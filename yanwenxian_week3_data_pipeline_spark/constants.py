@@ -1,0 +1,111 @@
+"""Frozen constants shared by the Spark expression builders and the DuckDB
+oracle-SQL generators.
+
+Anything that affects query *values* (entity decode table, whitespace class,
+validation limits, message templates, hash recipe) lives here exactly once so
+the Spark side and the SQL side can never drift.
+
+Reference parity notes (paths relative to
+/root/reference/week3assigment/week3-assignment/):
+- validation limits: validator.py:14-17
+- reason codes + labels: validator.py:99-141
+- whitespace collapse + HTML entity decode: cleaner.py:20,23-48
+- "none"/"null"/"nan" treated as missing dates: cleaner.py:64
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# Text cleaning
+# ---------------------------------------------------------------------------
+
+# HTML entity subset observed in article-style data. Decoded by a chained
+# replace in BOTH engines; `&amp;` must be LAST so that `&amp;lt;` decodes to
+# `&lt;` (single pass), matching Python ``html.unescape`` on already-escaped
+# entities. (Full html.unescape covers ~2k named entities; the UDF variant in
+# functions/text.py handles those outside the oracle path.)
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&#x27;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+# Whitespace characters collapsed to a single space. Python's ``\s`` (used by
+# the reference, cleaner.py:20) is Unicode-aware and in particular matches
+# U+00A0 (the decode of &nbsp;). Java regex and RE2 ``\s`` are ASCII-only, so
+# we spell the class out explicitly — identical in Spark and DuckDB.
+WHITESPACE_CHARS: str = " \t\n\r\f\x0b\xa0"
+# Character-class body, escaped for embedding in a regex in both engines.
+WHITESPACE_CLASS: str = "[ \\t\\n\\r\\f\\x0B\\xA0]"
+
+# ---------------------------------------------------------------------------
+# Validation limits (validator.py:14-16)
+# ---------------------------------------------------------------------------
+
+MIN_CONTENT_LENGTH = 120
+MAX_TITLE_LENGTH = 500
+MAX_CONTENT_LENGTH = 1_000_000
+
+# Reason codes in rule order (first failing rule wins the `reason` slot,
+# validator.py:95) and their human-readable labels (validator.py:131-141).
+REASON_LABELS: dict[str, str] = {
+    "missing_title": "Title is missing or empty.",
+    "title_too_long": f"Title exceeds maximum length ({MAX_TITLE_LENGTH} characters).",
+    "missing_content": "Content is missing or empty.",
+    "short_content": f"Content is too short (minimum {MIN_CONTENT_LENGTH} characters).",
+    "content_too_long": f"Content exceeds maximum length ({MAX_CONTENT_LENGTH} characters).",
+    "missing_url": "URL is missing or empty.",
+    "invalid_url": "URL must start with http:// or https:// and have valid format.",
+    "missing_published": "Published date is missing or empty.",
+    "validation_failed": "Validation failed.",
+}
+
+# Date strings treated as missing by the permissive parser (cleaner.py:64).
+MISSING_DATE_LITERALS: tuple[str, ...] = ("none", "null", "nan")
+
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic hashing
+# ---------------------------------------------------------------------------
+
+# 60-bit unsigned hash = first 15 hex chars of md5, parsed base-16.
+#   Spark : conv(substr(md5(s), 1, 15), 16, 10) :: bigint
+#   DuckDB: ('0x' || substr(md5(s), 1, 15)) :: BIGINT
+# Verified identical on both engines (probe 2026-08-13).
+HASH64_HEX_CHARS = 15
+
+# MinHash configuration (dedup family).
+MINHASH_NUM_HASHES = 32
+MINHASH_BANDS = 8          # 8 bands x 4 rows
+MINHASH_ROWS_PER_BAND = MINHASH_NUM_HASHES // MINHASH_BANDS
+MINHASH_SHINGLE_K = 3      # token 3-gram shingles
+MINHASH_JACCARD_THRESHOLD = 0.5
+
+# SimHash configuration: 32 bits keeps every intermediate in signed-64 range
+# in both engines.
+SIMHASH_BITS = 32
+SIMHASH_HAMMING_THRESHOLD = 3
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+# Tiny frozen stopword lists for the heuristic language-ID operator. The
+# operator is deterministic: score(lang) = number of tokens that are in the
+# lang's stopword list; argmax with ties broken by ascending lang code.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"),
+    "en": ("the", "a", "and", "is", "not", "of", "to", "in", "on", "for"),
+    "es": ("el", "la", "los", "las", "y", "es", "no", "un", "una", "con"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "un", "une", "avec", "pour"),
+}
+
+# Regex for BPE-ish token pieces: runs of letters, runs of digits, or a single
+# other non-space symbol. ASCII-only classes → identical in Java regex & RE2.
+BPE_PIECE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]"
+
+# English stopwords reused for the quality-score stopword ratio.
+QUALITY_STOPWORDS: tuple[str, ...] = LANG_STOPWORDS["en"]

@@ -1,0 +1,179 @@
+"""Text-analysis scalar functions for the LLM-data-pipeline surface:
+tokenization, token counting (whitespace + BPE-ish pieces), quality scoring,
+heuristic language-ID, and document fingerprinting.
+
+Every function has a Spark ``Column`` form and a synchronized DuckDB SQL
+form, both driven by the frozen tables in ``constants``.
+
+Convention: all operate on a CLEANED text value (single-space separated —
+output of ``text.clean_text_expr``), which makes whitespace tokenization a
+plain split on one space in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from ..constants import BPE_PIECE_REGEX, LANG_STOPWORDS, QUALITY_STOPWORDS
+from .hashing import hash60_expr, hash60_sql
+
+# ---------------------------------------------------------------------------
+# Tokenization (over cleaned text)
+# ---------------------------------------------------------------------------
+
+def tokens_expr(clean: Column) -> Column:
+    return F.when(clean == "", F.array().cast("array<string>")).otherwise(F.split(clean, " "))
+
+
+def tokens_sql(clean: str) -> str:
+    return f"(CASE WHEN {clean} = '' THEN []::VARCHAR[] ELSE string_split({clean}, ' ') END)"
+
+
+def token_count_expr(clean: Column) -> Column:
+    return F.size(tokens_expr(clean)).cast("long")
+
+
+def token_count_sql(clean: str) -> str:
+    return f"CAST(len({tokens_sql(clean)}) AS BIGINT)"
+
+
+def bpe_piece_count_expr(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(BPE_PIECE_REGEX)).cast("long")
+
+
+def bpe_piece_count_sql(expr: str) -> str:
+    return f"CAST(len(regexp_extract_all({expr}, '{BPE_PIECE_REGEX}')) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length, alpha ratio, stopword ratio, avg token length
+# ---------------------------------------------------------------------------
+
+def _stopword_hits_expr(toks: Column, words: tuple[str, ...]) -> Column:
+    lit = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(lit, t))).cast("long")
+
+
+def _stopword_hits_sql(toks: str, words: tuple[str, ...]) -> str:
+    lit = "[" + ", ".join("'" + w + "'" for w in words) + "]"
+    return f"CAST(len(list_filter({toks}, t -> list_contains({lit}, t))) AS BIGINT)"
+
+
+def quality_features_expr(clean: Column) -> dict[str, Column]:
+    """Returns named feature Columns; caller aliases them."""
+    toks = tokens_expr(clean)
+    n_chars = F.length(clean).cast("long")
+    n_tokens = F.size(toks).cast("long")
+    alpha_chars = F.length(F.regexp_replace(clean, "[^A-Za-z]", "")).cast("long")
+    stop_hits = _stopword_hits_expr(toks, QUALITY_STOPWORDS)
+    nz = F.greatest(n_chars, F.lit(1))
+    nzt = F.greatest(n_tokens, F.lit(1))
+    alpha_ratio = F.round(alpha_chars / nz, 4)
+    stop_ratio = F.round(stop_hits / nzt, 4)
+    avg_token_len = F.round((n_chars - (n_tokens - 1)) / nzt, 4)  # chars minus separators
+    score = F.round(
+        F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.3
+        + alpha_ratio * 0.4
+        + stop_ratio * 0.3,
+        4,
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": alpha_ratio,
+        "stopword_ratio": stop_ratio,
+        "avg_token_len": avg_token_len,
+        "quality_score": score,
+    }
+
+
+def quality_features_sql(clean: str) -> dict[str, str]:
+    toks = tokens_sql(clean)
+    n_chars = f"CAST(length({clean}) AS BIGINT)"
+    n_tokens = f"CAST(len({toks}) AS BIGINT)"
+    alpha_chars = f"CAST(length(regexp_replace({clean}, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+    stop_hits = _stopword_hits_sql(toks, QUALITY_STOPWORDS)
+    nz = f"greatest({n_chars}, 1)"
+    nzt = f"greatest({n_tokens}, 1)"
+    alpha_ratio = f"round({alpha_chars} / {nz}, 4)"
+    stop_ratio = f"round({stop_hits} / {nzt}, 4)"
+    avg_token_len = f"round(({n_chars} - ({n_tokens} - 1)) / {nzt}, 4)"
+    score = (
+        f"round(least({n_chars} / 500.0, 1.0) * 0.3 + {alpha_ratio} * 0.4 + {stop_ratio} * 0.3, 4)"
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": alpha_ratio,
+        "stopword_ratio": stop_ratio,
+        "avg_token_len": avg_token_len,
+        "quality_score": score,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Heuristic language-ID: stopword-hit argmax, ties broken by ascending code
+# ---------------------------------------------------------------------------
+
+def lang_scores_expr(clean: Column) -> dict[str, Column]:
+    toks = tokens_expr(clean)
+    return {lang: _stopword_hits_expr(toks, words) for lang, words in sorted(LANG_STOPWORDS.items())}
+
+
+def lang_scores_sql(clean: str) -> dict[str, str]:
+    toks = tokens_sql(clean)
+    return {lang: _stopword_hits_sql(toks, words) for lang, words in sorted(LANG_STOPWORDS.items())}
+
+
+def lang_id_expr(clean: Column) -> Column:
+    scores = lang_scores_expr(clean)
+    langs = sorted(scores)
+    expr = F.lit(langs[-1])
+    # evaluate in ascending order: first lang whose score >= all later ones
+    for i in range(len(langs) - 2, -1, -1):
+        later = [scores[l] for l in langs[i + 1:]]
+        cond = scores[langs[i]] >= (later[0] if len(later) == 1 else F.greatest(*later))
+        expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
+    return expr
+
+
+def lang_id_sql(clean: str) -> str:
+    scores = lang_scores_sql(clean)
+    langs = sorted(scores)
+    parts = []
+    for i, lang in enumerate(langs[:-1]):
+        later = [scores[l] for l in langs[i + 1:]]
+        great = later[0] if len(later) == 1 else "greatest(" + ", ".join(later) + ")"
+        parts.append(f"WHEN {scores[lang]} >= {great} THEN '{lang}'")
+    return "(CASE " + " ".join(parts) + f" ELSE '{langs[-1]}' END)"
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprints
+# ---------------------------------------------------------------------------
+
+def fingerprint_md5_expr(clean: Column) -> Column:
+    return F.md5(clean)
+
+
+def fingerprint_md5_sql(clean: str) -> str:
+    return f"md5({clean})"
+
+
+def fingerprint_shape_expr(clean: Column) -> Column:
+    """Order-insensitive fingerprint: md5 over the sorted distinct token set."""
+    toks = F.array_sort(F.array_distinct(tokens_expr(clean)))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def fingerprint_shape_sql(clean: str) -> str:
+    toks = f"list_sort(list_distinct({tokens_sql(clean)}))"
+    return f"md5(array_to_string({toks}, ' '))"
+
+
+def fingerprint_hash60_expr(clean: Column) -> Column:
+    return hash60_expr(clean)
+
+
+def fingerprint_hash60_sql(clean: str) -> str:
+    return hash60_sql(clean)

@@ -1,0 +1,114 @@
+"""Multimodal column plumbing (EXT surface).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata. The
+Spark-side plumbing — schema, batching, partition sizing, UDF signatures —
+is real and tested; the actual media decode is STUBBED (the container has no
+image/audio libraries) behind ``DecodeNotAvailable`` with a deterministic
+fake implementation used by tests.
+
+Pattern at scale: ``mapInPandas`` over Arrow record batches so each Python
+worker sees a bounded batch of blobs; heavy blobs ride alongside metadata
+columns without driver round-trips. Pair with
+``spark.sql.execution.arrow.maxRecordsPerBatch`` to cap batch memory.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+class DecodeNotAvailable(NotImplementedError):
+    """Raised by the real decode path: media codecs are not installed in
+    this environment. The deterministic fake below keeps the distributed
+    plumbing testable."""
+
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),   # image/audio/video
+        StructField("payload", BinaryType(), True),       # opaque blob
+        StructField("byte_len", LongType(), True),
+        StructField("sha256", StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("byte_len", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("feature_crc", LongType(), True),
+    ]
+)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter for tests/bench: treat document text bytes as opaque payloads
+    so the binary-column plumbing runs on real distributed data."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        (F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int"))).alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+
+
+def _fake_decode(media_type: str, payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for a real codec: derives (width, height,
+    n_frames, crc) purely from the payload bytes. Replace with PIL/ffmpeg
+    calls in a full environment."""
+    if payload is None:
+        return (0, 0, 0, 0)
+    h = 0
+    for byt in payload[:4096]:
+        h = (h * 131 + byt) % (1 << 31)
+    width = 16 + h % 1024
+    height = 16 + (h >> 10) % 1024
+    n_frames = 1 if media_type == "image" else 1 + h % 300
+    return (width, height, n_frames, h)
+
+
+def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """Distributed feature extraction over binary payloads via
+    ``mapInPandas`` (Arrow-batched; one Python process per task, bounded
+    batches)."""
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if real_decode:
+                raise DecodeNotAvailable("media codecs not installed in this environment")
+            feats = [
+                _fake_decode(mt, pl) for mt, pl in zip(pdf["media_type"], pdf["payload"])
+            ]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "byte_len": pdf["byte_len"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                    "feature_crc": [f[3] for f in feats],
+                }
+            )
+            yield out
+
+    return media.mapInPandas(gen, FEATURE_SCHEMA)

@@ -1,0 +1,312 @@
+"""Reference-surface queries (SURVEY.md §2.1-2.9) expressed over the driver
+tables, each with a DuckDB oracle twin built from the SAME SQL fragments as
+the Spark expressions (plans/documents_domain.py, functions/*).
+
+IDs reuse the SURVEY §2 inventory names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.dates import parse_iso_date_expr, parse_iso_date_sql
+from ..functions.text import (
+    clean_text_expr,
+    is_missing_expr,
+    is_missing_sql,
+)
+from ..operators.aggregates import completeness, date_range, failure_distribution, pass_rate
+from ..operators.dedup import dedup_keep_first
+from ..operators.validate import with_validation
+from . import QuerySpec
+from .documents_domain import (
+    CLEANED_CTE,
+    COMPLETE_WHERE,
+    DEDUP_CTE,
+    MESSAGE_SQL,
+    PASSED_SQL,
+    REASON_SQL,
+    cleaned_documents,
+    complete_predicate,
+    document_rules,
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+# Staged document DataFrames (shared by several queries)
+
+def _doc_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    docs = _docs(spark, sf_dir)
+    cleaned = cleaned_documents(docs)
+    complete = cleaned.where(complete_predicate())
+    deduped = dedup_keep_first(complete, key_cols=("text_clean",), order_col="doc_id")
+    validated = with_validation(deduped, document_rules())
+    return {
+        "loaded": docs,
+        "cleaned": cleaned,
+        "complete": complete,
+        "deduped": deduped,
+        "validated": validated,
+        "valid": validated.where(F.col("passed")),
+    }
+
+
+_STAGES_SQL = f"""
+WITH cleaned AS ({CLEANED_CTE}),
+complete AS (SELECT * FROM cleaned WHERE {COMPLETE_WHERE}),
+deduped AS ({DEDUP_CTE}),
+validated AS (SELECT *, {PASSED_SQL} AS passed, {REASON_SQL} AS reason, {MESSAGE_SQL} AS message FROM deduped)
+"""
+
+
+# ---------------------------------------------------------------------------
+# fn_clean_text
+# ---------------------------------------------------------------------------
+
+def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", clean_text_expr(F.col("text")).alias("text_clean")
+    )
+
+
+from .documents_domain import CLEAN_SQL  # noqa: E402
+
+_SQL_CLEAN_TEXT = f"SELECT doc_id, {CLEAN_SQL} AS text_clean FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# pred_is_missing
+# ---------------------------------------------------------------------------
+
+def _q_is_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        is_missing_expr(F.col("text")).alias("text_missing"),
+        is_missing_expr(F.col("lang")).alias("lang_missing"),
+    )
+
+
+_SQL_IS_MISSING = (
+    f"SELECT doc_id, {is_missing_sql('text')} AS text_missing, "
+    f"{is_missing_sql('lang')} AS lang_missing FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# flt_drop_incomplete
+# ---------------------------------------------------------------------------
+
+def _q_drop_incomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _doc_stages(spark, sf_dir)
+    return st["complete"].select("doc_id", "lang", "source")
+
+
+_SQL_DROP_INCOMPLETE = (
+    f"WITH cleaned AS ({CLEANED_CTE}) "
+    f"SELECT doc_id, lang, source FROM cleaned WHERE {COMPLETE_WHERE}"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_first
+# ---------------------------------------------------------------------------
+
+def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _doc_stages(spark, sf_dir)
+    return st["deduped"].select("doc_id")
+
+
+_SQL_DEDUP_KEEP_FIRST = _STAGES_SQL + "SELECT doc_id FROM deduped"
+
+
+# ---------------------------------------------------------------------------
+# val_batch (the reference's core query: per-row passed/reason/message)
+# ---------------------------------------------------------------------------
+
+def _q_val_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _doc_stages(spark, sf_dir)
+    return st["validated"].select("doc_id", "passed", "reason", "message")
+
+
+_SQL_VAL_BATCH = _STAGES_SQL + "SELECT doc_id, passed, reason, message FROM validated"
+
+
+# ---------------------------------------------------------------------------
+# flt_valid_rows
+# ---------------------------------------------------------------------------
+
+def _q_valid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _doc_stages(spark, sf_dir)
+    return st["valid"].select("doc_id", "lang", "source")
+
+
+_SQL_VALID_ROWS = _STAGES_SQL + "SELECT doc_id, lang, source FROM validated WHERE passed"
+
+
+# ---------------------------------------------------------------------------
+# agg_counts_funnel — THE FLAGSHIP (entry() runs this)
+# ---------------------------------------------------------------------------
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _doc_stages(spark, sf_dir)
+
+    def stage_count(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    return (
+        stage_count(0, "loaded", st["loaded"])
+        .unionAll(stage_count(1, "complete", st["complete"]))
+        .unionAll(stage_count(2, "deduped", st["deduped"]))
+        .unionAll(stage_count(3, "valid", st["valid"]))
+    )
+
+
+_SQL_FUNNEL = _STAGES_SQL + """
+SELECT 0 AS stage_idx, 'loaded' AS stage, (SELECT count(*) FROM documents) AS n_rows
+UNION ALL SELECT 1, 'complete', (SELECT count(*) FROM complete)
+UNION ALL SELECT 2, 'deduped', (SELECT count(*) FROM deduped)
+UNION ALL SELECT 3, 'valid', (SELECT count(*) FROM validated WHERE passed)
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_completeness
+# ---------------------------------------------------------------------------
+
+def _q_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return completeness(_docs(spark, sf_dir), ["text", "lang", "source"])
+
+
+def _completeness_col_sql(c: str) -> str:
+    return (
+        f"SELECT '{c}' AS \"column\", "
+        f"CAST(count(*) FILTER (WHERE NOT {is_missing_sql(c)}) AS BIGINT) AS non_empty, "
+        f"count(*) AS total FROM documents"
+    )
+
+
+_SQL_COMPLETENESS = (
+    "WITH per_col AS ("
+    + " UNION ALL ".join(_completeness_col_sql(c) for c in ("text", "lang", "source"))
+    + ") SELECT \"column\", non_empty, total, "
+    "round(CASE WHEN total > 0 THEN non_empty * 100.0 / total ELSE 0.0 END, 1) AS pct FROM per_col"
+)
+
+
+# ---------------------------------------------------------------------------
+# agg_failure_dist / agg_top_failure / agg_pass_rate
+# ---------------------------------------------------------------------------
+
+def _q_failure_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _doc_stages(spark, sf_dir)
+    return failure_distribution(st["validated"])
+
+
+_SQL_FAILURE_DIST = _STAGES_SQL + (
+    "SELECT reason, count(*) AS n FROM validated WHERE NOT passed "
+    "GROUP BY reason ORDER BY n DESC, reason ASC"
+)
+
+
+def _q_top_failure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _doc_stages(spark, sf_dir)
+    return failure_distribution(st["validated"]).limit(1)
+
+
+_SQL_TOP_FAILURE = _SQL_FAILURE_DIST + " LIMIT 1"
+
+
+def _q_pass_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _doc_stages(spark, sf_dir)
+    return pass_rate(st["validated"])
+
+
+_SQL_PASS_RATE = _STAGES_SQL + (
+    "SELECT count(*) AS total, "
+    "CAST(count(*) FILTER (WHERE passed) AS BIGINT) AS passed, "
+    "CAST(count(*) FILTER (WHERE NOT passed) AS BIGINT) AS failed, "
+    "round(CASE WHEN count(*) > 0 THEN count(*) FILTER (WHERE passed) * 100.0 / count(*) ELSE 0.0 END, 1) AS pass_rate_pct "
+    "FROM validated"
+)
+
+
+# ---------------------------------------------------------------------------
+# agg_date_range (orders.o_orderdate — the timestamp column)
+# ---------------------------------------------------------------------------
+
+def _q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return date_range(_orders(spark, sf_dir), "o_orderdate")
+
+
+_SQL_DATE_RANGE = (
+    "SELECT min(o_orderdate) AS earliest, max(o_orderdate) AS latest, "
+    "count(o_orderdate) AS n_dated, count(*) AS n_rows FROM orders"
+)
+
+
+# ---------------------------------------------------------------------------
+# fn_parse_iso_date — permissive multi-format date parsing, exercised by
+# rendering o_orderdate into 5 formats (incl. invalid + missing literals)
+# and parsing back
+# ---------------------------------------------------------------------------
+
+def _q_parse_iso_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    m = (F.col("o_orderkey") % 5).cast("int")
+    raw = (
+        F.when(m == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(m == 1, F.date_format("o_orderdate", "MMM d, yyyy"))
+        .when(m == 2, F.date_format("o_orderdate", "d/M/yyyy"))
+        .when(m == 3, F.concat(F.lit("not-a-date-"), F.col("o_orderkey").cast("string")))
+        .otherwise(F.lit("none"))
+    )
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw_date"),
+        parse_iso_date_expr(raw).alias("iso_date"),
+    )
+
+
+_SQL_PARSE_ISO_DATE = f"""
+WITH shaped AS (
+  SELECT o_orderkey,
+    CASE CAST(o_orderkey % 5 AS INT)
+      WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+      WHEN 1 THEN strftime(o_orderdate, '%b %-d, %Y')
+      WHEN 2 THEN strftime(o_orderdate, '%-d/%-m/%Y')
+      WHEN 3 THEN 'not-a-date-' || o_orderkey
+      ELSE 'none'
+    END AS raw_date
+  FROM orders
+)
+SELECT o_orderkey, raw_date, {parse_iso_date_sql('raw_date')} AS iso_date FROM shaped
+"""
+
+
+QUERIES = [
+    QuerySpec("fn_clean_text", _q_clean_text, _SQL_CLEAN_TEXT),
+    QuerySpec("fn_parse_iso_date", _q_parse_iso_date, _SQL_PARSE_ISO_DATE),
+    QuerySpec("pred_is_missing", _q_is_missing, _SQL_IS_MISSING),
+    QuerySpec("flt_drop_incomplete", _q_drop_incomplete, _SQL_DROP_INCOMPLETE),
+    QuerySpec("dedup_keep_first", _q_dedup_keep_first, _SQL_DEDUP_KEEP_FIRST),
+    QuerySpec("val_batch", _q_val_batch, _SQL_VAL_BATCH),
+    QuerySpec("flt_valid_rows", _q_valid_rows, _SQL_VALID_ROWS),
+    QuerySpec("agg_counts_funnel", _q_funnel, _SQL_FUNNEL, headline=True),
+    QuerySpec("agg_completeness", _q_completeness, _SQL_COMPLETENESS),
+    QuerySpec("agg_failure_dist", _q_failure_dist, _SQL_FAILURE_DIST),
+    QuerySpec("agg_top_failure", _q_top_failure, _SQL_TOP_FAILURE),
+    QuerySpec("agg_pass_rate", _q_pass_rate, _SQL_PASS_RATE),
+    QuerySpec("agg_date_range", _q_date_range, _SQL_DATE_RANGE),
+]

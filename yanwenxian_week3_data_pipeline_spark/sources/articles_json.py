@@ -1,0 +1,70 @@
+"""Article JSON source.
+
+Accepts the reference's four input envelope shapes (cleaner.py:124-143):
+
+1. top-level JSON array of records
+2. ``{"articles": [...]}`` wrapper
+3. a bare single object (treated as one record)
+4. ``null`` / empty array → empty DataFrame
+
+and assigns an ingest-order ``record_id`` replacing the pandas row index.
+
+Scale note: ``multiLine=True`` makes a whole JSON document one split, which
+is correct for pretty-printed array files but not parallel. At 100 TB inputs
+arrive as JSON-Lines; ``load_articles_jsonl`` reads those fully distributed
+(one record per line, splittable) — keep-first dedup ordering there uses a
+documented stable sort instead of physical order (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..schema import ARTICLE_SCHEMA, RECORD_ID, conform
+
+
+def _with_record_id(df: DataFrame) -> DataFrame:
+    # monotonically_increasing_id preserves within-partition order and orders
+    # partitions by index, so ranking it yields a dense ingest-order id.
+    mono = df.withColumn("_mono", F.monotonically_increasing_id())
+    w = Window.orderBy("_mono")
+    return (
+        mono.withColumn(RECORD_ID, (F.row_number().over(w) - 1).cast("long"))
+        .drop("_mono")
+    )
+
+
+def load_articles(spark: SparkSession, path: str) -> DataFrame:
+    """Read one pretty-printed JSON document (any of the 4 envelope shapes)
+    and return a conformed article DataFrame with ``record_id``."""
+    raw = spark.read.json(path, multiLine=True)
+    cols = raw.columns
+
+    if not cols or cols == ["_corrupt_record"]:
+        return _empty(spark)
+
+    if "articles" in cols:
+        # {"articles": [...]} wrapper — posexplode keeps the array position
+        # so ingest order stays deterministic
+        arr = raw.select(F.posexplode_outer("articles").alias("_pos", "_a"))
+        df = arr.select(F.col("_pos"), F.col("_a.*")).sort("_pos").drop("_pos")
+        return conform(_with_record_id(df))
+
+    # top-level array and bare single object both land here (spark.read.json
+    # handles either as rows)
+    return conform(_with_record_id(raw))
+
+
+def load_articles_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed JSON-Lines reader for at-scale inputs; schema enforced at
+    the scan (no inference pass)."""
+    df = spark.read.schema(ARTICLE_SCHEMA).json(path)
+    return conform(_with_record_id(df))
+
+
+def _empty(spark: SparkSession) -> DataFrame:
+    empty = spark.createDataFrame([], ARTICLE_SCHEMA)
+    return conform(empty).withColumn(RECORD_ID, F.lit(None).cast("long")).select(
+        RECORD_ID, *ARTICLE_SCHEMA.fieldNames()
+    ).where(F.lit(False))
