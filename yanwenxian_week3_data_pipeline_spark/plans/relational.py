@@ -1,9 +1,444 @@
-"""EXT relational surface (SURVEY.md §2.10): joins, grouped aggregation,
-rollup/cube, window functions, set ops, sorts/top-k, event-time windows over
-the star schema. Populated incrementally."""
+"""EXT relational surface (SURVEY.md §2.10, §7.2 step 6): grouped
+aggregation, star-schema joins (broadcast + shuffle, semi/anti), rollup/cube,
+window functions (rank / lag / running frames), set operations, sorts/top-k,
+event-time windows (tumbling + sessionization) and JSON extraction over the
+``events`` table.
+
+Scale notes (100 TB):
+- dimension joins (region/nation/customer/supplier/part) use explicit
+  ``F.broadcast`` — no shuffle of the fact table for enrichment;
+- fact aggregations shuffle once on their grouping key with map-side partial
+  aggregation (HashAggregate → Exchange → HashAggregate, verified via
+  ``.explain``); AQE coalesces post-shuffle partitions;
+- running/window queries shuffle once per partitioning key; consecutive
+  windows over the same key reuse the exchange;
+- money arithmetic is cast to DECIMAL before aggregation so results are
+  bit-identical across engines AND deterministic under parallel reduction
+  (double sums are order-dependent; decimal sums are exact).
+"""
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
 from . import QuerySpec
 
-QUERIES: list[QuerySpec] = []
+DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# q1_pricing_summary — TPC-H Q1-shaped scan+aggregate over lineitem
+# ---------------------------------------------------------------------------
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sum_qty"),
+            F.sum(price).alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).alias("sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax)).alias("sum_charge"),
+            F.avg(qty).cast("decimal(18,4)").alias("avg_qty"),
+            F.avg(price).cast("decimal(18,4)").alias("avg_price"),
+            F.avg(disc).cast("decimal(18,4)").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+  sum(CAST(l_quantity AS {DEC})) AS sum_qty,
+  sum(CAST(l_extendedprice AS {DEC})) AS sum_base_price,
+  sum(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS sum_disc_price,
+  sum(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC})) * (CAST(1 AS {DEC}) + CAST(l_tax AS {DEC}))) AS sum_charge,
+  CAST(avg(CAST(l_quantity AS {DEC})) AS DECIMAL(18,4)) AS avg_qty,
+  CAST(avg(CAST(l_extendedprice AS {DEC})) AS DECIMAL(18,4)) AS avg_price,
+  CAST(avg(CAST(l_discount AS {DEC})) AS DECIMAL(18,4)) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_region_revenue — star join: fact shuffles only for the final groupBy;
+# all dimensions broadcast
+# ---------------------------------------------------------------------------
+
+def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)))
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+            F.sum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_SQL_REGION_REVENUE = f"""
+SELECT r_name,
+  sum(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS revenue,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_semi / join_anti
+# ---------------------------------------------------------------------------
+
+def _q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_SQL_SEMI = (
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')"
+)
+
+
+def _q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+_SQL_ANTI = (
+    "SELECT p_partkey, p_name, p_brand FROM part WHERE NOT EXISTS "
+    "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)"
+)
+
+
+# ---------------------------------------------------------------------------
+# groupby_rollup / groupby_cube
+# ---------------------------------------------------------------------------
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("total_price"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+_SQL_ROLLUP = f"""
+SELECT o_orderstatus, o_orderpriority,
+  count(*) AS n_orders,
+  sum(CAST(o_totalprice AS {DEC})) AS total_price,
+  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+  CAST(grouping(o_orderpriority) AS INT) AS g_priority
+FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    )
+
+
+_SQL_CUBE = f"""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+  sum(CAST(l_quantity AS {DEC})) AS sum_qty,
+  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+  CAST(grouping(l_linestatus) AS INT) AS g_status
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# window_topk_per_group / window_running_total / window_lag_delta
+# ---------------------------------------------------------------------------
+
+def _q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+_SQL_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def _q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).alias("running_spend"),
+    )
+
+
+_SQL_WINDOW_RUNNING = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+  sum(CAST(o_totalprice AS {DEC})) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+FROM orders
+"""
+
+
+def _q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    prev = F.lag(F.col("o_totalprice").cast(DEC)).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_price"),
+        (F.col("o_totalprice").cast(DEC) - prev).alias("price_delta"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+_SQL_WINDOW_LAG = f"""
+SELECT o_custkey, o_orderkey,
+  lag(CAST(o_totalprice AS {DEC})) OVER w AS prev_price,
+  CAST(o_totalprice AS {DEC}) - lag(CAST(o_totalprice AS {DEC})) OVER w AS price_delta,
+  lead(o_orderkey) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+def _q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return a.union(b).distinct()
+
+
+_SQL_SET_UNION = (
+    "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+    "UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'"
+)
+
+
+def _q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.intersect(b)
+
+
+_SQL_SET_INTERSECT = (
+    "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+    "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'"
+)
+
+
+def _q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.select("o_custkey")
+    b = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.exceptAll(b)
+
+
+_SQL_SET_EXCEPT_ALL = (
+    "SELECT o_custkey FROM orders "
+    "EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'"
+)
+
+
+# ---------------------------------------------------------------------------
+# sorts / top-k / distinct counting
+# ---------------------------------------------------------------------------
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+_SQL_TOPK_ORDERS = (
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+)
+
+
+def _q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+_SQL_COUNT_DISTINCT = (
+    "SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps, "
+    "count(DISTINCT l_orderkey) AS n_orders FROM lineitem"
+)
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No oracle: sketch estimates are
+    engine-specific by construction; tests assert relative error vs exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling window, sessionization, JSON extraction
+# ---------------------------------------------------------------------------
+
+def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import tumbling_window_agg
+    from ..sources.tables import load_events
+
+    return tumbling_window_agg(load_events(spark, sf_dir), "1 hour")
+
+
+_SQL_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+  count(*) AS n_events,
+  sum(CAST(value AS DECIMAL(18,3))) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import sessionize
+    from ..sources.tables import load_events
+
+    return sessionize(load_events(spark, sf_dir), gap_minutes=30)
+
+
+_SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, CAST(sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end,
+  sum(CAST(value AS DECIMAL(18,3))) AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_SQL_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES = [
+    QuerySpec("q1_pricing_summary", _q1, _SQL_Q1, headline=True),
+    QuerySpec("join_region_revenue", _q_region_revenue, _SQL_REGION_REVENUE, headline=True),
+    QuerySpec("join_semi_urgent_customers", _q_semi, _SQL_SEMI),
+    QuerySpec("join_anti_unordered_parts", _q_anti, _SQL_ANTI),
+    QuerySpec("groupby_rollup_orders", _q_rollup, _SQL_ROLLUP),
+    QuerySpec("groupby_cube_lineitem", _q_cube, _SQL_CUBE),
+    QuerySpec("window_topk_per_customer", _q_window_topk, _SQL_WINDOW_TOPK, headline=True),
+    QuerySpec("window_running_total", _q_window_running, _SQL_WINDOW_RUNNING),
+    QuerySpec("window_lag_delta", _q_window_lag, _SQL_WINDOW_LAG),
+    QuerySpec("set_union_priorities", _q_set_union, _SQL_SET_UNION),
+    QuerySpec("set_intersect_priorities", _q_set_intersect, _SQL_SET_INTERSECT),
+    QuerySpec("set_except_all_open_orders", _q_set_except_all, _SQL_SET_EXCEPT_ALL),
+    QuerySpec("topk_orders", _q_topk_orders, _SQL_TOPK_ORDERS),
+    QuerySpec("agg_count_distinct", _q_count_distinct, _SQL_COUNT_DISTINCT),
+    QuerySpec("agg_approx_count_distinct", _q_approx_distinct, None),
+    QuerySpec("events_tumbling_hourly", _q_tumbling, _SQL_TUMBLING, headline=True),
+    QuerySpec("events_sessionize", _q_sessionize, _SQL_SESSIONIZE, headline=True),
+    QuerySpec("events_json_props", _q_json_props, _SQL_JSON_PROPS),
+]

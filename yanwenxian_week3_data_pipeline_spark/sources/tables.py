@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TABLES = (
     "region",
@@ -32,6 +32,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table carries TIMESTAMP(NANOS) parquet, which Spark's
+    reader rejects by default. Read nanos as long (legacy conf) and convert
+    to TIMESTAMP_NTZ (micros, truncating — matches DuckDB's read of the same
+    file). Session timezone is pinned to UTC for the LTZ→NTZ hop so the
+    result is timezone-independent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return raw.withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+    )
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
