@@ -71,11 +71,17 @@ def quality_features_expr(clean: Column) -> dict[str, Column]:
     alpha_ratio = F.round(alpha_chars / nz, 4)
     stop_ratio = F.round(stop_hits / nzt, 4)
     avg_token_len = F.round((n_chars - (n_tokens - 1)) / nzt, 4)  # chars minus separators
-    score = F.round(
-        F.least(n_chars / F.lit(500.0), F.lit(1.0)) * 0.3
-        + alpha_ratio * 0.4
-        + stop_ratio * 0.3,
-        4,
+    # score is computed in DECIMAL so the weighted sum is exact: a double
+    # weighted sum lands on half-way rounding boundaries (e.g. 0.62745) that
+    # Spark and DuckDB round differently
+    dec = "decimal(14,6)"
+    len_term = F.least((n_chars / F.lit(500.0)).cast(dec), F.lit("1.0").cast(dec))
+    w3 = F.lit("0.3").cast("decimal(2,1)")
+    w4 = F.lit("0.4").cast("decimal(2,1)")
+    # the exact sum has at most 5 decimals (4-decimal ratios × 1-decimal
+    # weights), so casting to scale 5 is EXACT — no rounding step to diverge
+    score = (len_term * w3 + alpha_ratio.cast(dec) * w4 + stop_ratio.cast(dec) * w3).cast(
+        "decimal(14,5)"
     )
     return {
         "n_chars": n_chars,
@@ -98,8 +104,11 @@ def quality_features_sql(clean: str) -> dict[str, str]:
     alpha_ratio = f"round({alpha_chars} / {nz}, 4)"
     stop_ratio = f"round({stop_hits} / {nzt}, 4)"
     avg_token_len = f"round(({n_chars} - ({n_tokens} - 1)) / {nzt}, 4)"
+    len_term = f"least(CAST({n_chars} / 500.0 AS DECIMAL(14,6)), CAST('1.0' AS DECIMAL(14,6)))"
     score = (
-        f"round(least({n_chars} / 500.0, 1.0) * 0.3 + {alpha_ratio} * 0.4 + {stop_ratio} * 0.3, 4)"
+        f"CAST({len_term} * CAST('0.3' AS DECIMAL(2,1))"
+        f" + CAST({alpha_ratio} AS DECIMAL(14,6)) * CAST('0.4' AS DECIMAL(2,1))"
+        f" + CAST({stop_ratio} AS DECIMAL(14,6)) * CAST('0.3' AS DECIMAL(2,1)) AS DECIMAL(14,5))"
     )
     return {
         "n_chars": n_chars,

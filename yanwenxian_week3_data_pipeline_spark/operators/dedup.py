@@ -100,9 +100,14 @@ def shingles_expr(clean: Column, k: int = MINHASH_SHINGLE_K) -> Column:
 def minhash_signature_expr(shingles: Column, num_hashes: int = MINHASH_NUM_HASHES) -> Column:
     """array<long> of length ``num_hashes``: min over shingles of the seeded
     60-bit hash; MAXLONG sentinel when the shingle set is empty."""
+    def hasher(seed: int):
+        # NB: a plain `lambda s, seed=seed:` would have arity 2 and PySpark
+        # would bind the second param to the array INDEX — closure instead
+        return lambda s: hash60_expr(s, seed=seed)
+
     sigs = [
         F.coalesce(
-            F.array_min(F.transform(shingles, lambda s, seed=seed: hash60_expr(s, seed=seed))),
+            F.array_min(F.transform(shingles, hasher(seed))),
             F.lit(2**62).cast("long"),
         )
         for seed in range(num_hashes)
@@ -194,11 +199,13 @@ def simhash_expr(clean: Column, bits: int = SIMHASH_BITS) -> Column:
     toks = F.array_distinct(tokens_expr(clean))
     n = F.size(toks)
     hashes = F.transform(toks, lambda t: hash60_expr(t))
+    def bit_pred(j: int):
+        # closure, not default-arg: keep the HOF lambda arity at 1
+        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+
     bit_cols = []
     for j in range(bits):
-        ones = F.size(
-            F.filter(hashes, lambda h, j=j: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
-        )
+        ones = F.size(F.filter(hashes, bit_pred(j)))
         bit_cols.append(F.when(ones * 2 > n, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")))
     total = bit_cols[0]
     for c in bit_cols[1:]:

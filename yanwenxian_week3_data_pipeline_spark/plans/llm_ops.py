@@ -1,8 +1,446 @@
-"""EXT LLM-data-pipeline surface: dedup family, similarity search, text
-analysis, multimodal plumbing. Populated incrementally."""
+"""EXT LLM-data-pipeline surface (BASELINE.json north star): deduplication
+(exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search
+(brute-force + IVF cosine top-k), text analysis (token counting, quality
+scoring, language-ID, fingerprinting), multimodal binary plumbing.
+
+Oracle strategy: every deterministic operator gets a DuckDB twin whose SQL
+is GENERATED from the same constants/seed recipe as the Spark expressions
+(functions/hashing.py md5-based 60-bit hash family), so even MinHash
+signatures and SimHash bits are bit-identical across engines. Only the
+``mapInPandas`` feature-extraction stub and the HLL sketch are rows-only.
+"""
 
 from __future__ import annotations
 
-from . import QuerySpec
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-QUERIES: list[QuerySpec] = []
+from ..constants import (
+    MINHASH_BANDS,
+    MINHASH_JACCARD_THRESHOLD,
+    MINHASH_NUM_HASHES,
+    MINHASH_ROWS_PER_BAND,
+    MINHASH_SHINGLE_K,
+    SIMHASH_BITS,
+    SIMHASH_HAMMING_THRESHOLD,
+)
+from ..functions.hashing import hash60_sql
+from ..functions.text import clean_text_expr
+from ..functions.textstats import (
+    bpe_piece_count_expr,
+    bpe_piece_count_sql,
+    fingerprint_md5_expr,
+    fingerprint_md5_sql,
+    fingerprint_shape_expr,
+    fingerprint_shape_sql,
+    lang_id_expr,
+    lang_id_sql,
+    quality_features_expr,
+    quality_features_sql,
+    token_count_expr,
+    token_count_sql,
+    tokens_sql,
+)
+from ..functions.vectors import cosine_sql
+from ..operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    minhash_signatures,
+    simhash_signatures,
+)
+from ..operators.multimodal import documents_as_media, extract_features
+from ..operators.similarity import cosine_topk, cosine_topk_ivf
+from . import QuerySpec
+from .documents_domain import CLEAN_SQL
+
+SIM_QUERY_IDS = [0, 1, 2, 3, 4]
+SIM_K = 10
+
+_CLEANED = f"SELECT doc_id, {CLEAN_SQL} AS c FROM documents"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", clean_text_expr(F.col("text")).alias("c"), "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _cleaned_docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count_expr(F.col("c")).alias("n_tokens"),
+        bpe_piece_count_expr(F.col("c")).alias("n_bpe_pieces"),
+    )
+
+
+_SQL_TOKEN_COUNT = (
+    f"WITH d AS ({_CLEANED}) SELECT doc_id, {token_count_sql('c')} AS n_tokens, "
+    f"{bpe_piece_count_sql('c')} AS n_bpe_pieces FROM d"
+)
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _cleaned_docs(spark, sf_dir)
+    feats = quality_features_expr(F.col("c"))
+    return d.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+_q_feats_sql = quality_features_sql("c")
+_SQL_QUALITY = (
+    f"WITH d AS ({_CLEANED}) SELECT doc_id, "
+    + ", ".join(f"{v} AS {k}" for k, v in _q_feats_sql.items())
+    + " FROM d"
+)
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _cleaned_docs(spark, sf_dir)
+    pred = lang_id_expr(F.col("c"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("agrees"),
+    )
+
+
+_SQL_LANG_ID = (
+    f"WITH d AS (SELECT doc_id, {CLEAN_SQL} AS c, lang FROM documents) "
+    f"SELECT doc_id, lang AS lang_declared, {lang_id_sql('c')} AS lang_pred, "
+    f"({lang_id_sql('c')} = lang) AS agrees FROM d"
+)
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _cleaned_docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        fingerprint_md5_expr(F.col("c")).alias("fp_md5"),
+        fingerprint_shape_expr(F.col("c")).alias("fp_shape"),
+    )
+
+
+_SQL_FINGERPRINT = (
+    f"WITH d AS ({_CLEANED}) SELECT doc_id, {fingerprint_md5_sql('c')} AS fp_md5, "
+    f"{fingerprint_shape_sql('c')} AS fp_shape FROM d"
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(_docs(spark, sf_dir), "text", "doc_id")
+
+
+_SQL_DEDUP_EXACT = (
+    f"WITH d AS ({_CLEANED}) SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
+    "FROM d GROUP BY c"
+)
+
+
+# --- MinHash: shared SQL fragments generated from the same recipe ----------
+
+def _shingles_sql_inline(c: str, k: int = MINHASH_SHINGLE_K) -> str:
+    toks = tokens_sql(c)
+    gram = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(k))
+    return (
+        f"(CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {k} + 2), i -> {gram})) "
+        f"ELSE []::VARCHAR[] END)"
+    )
+
+
+_SENTINEL = 2**62
+
+
+def _minhash_sig_sql(shingles_col: str, num: int = MINHASH_NUM_HASHES) -> str:
+    mins = ", ".join(
+        f"coalesce(list_min(list_transform({shingles_col}, s -> {hash60_sql('s', seed=seed)})), {_SENTINEL})"
+        for seed in range(num)
+    )
+    return f"[{mins}]"
+
+
+def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_docs(spark, sf_dir), "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "sig"
+    )
+
+
+_SQL_MINHASH_SIG = f"""
+WITH d AS ({_CLEANED}),
+sh AS (SELECT doc_id, {_shingles_sql_inline('c')} AS shingles FROM d)
+SELECT doc_id, {_minhash_sig_sql('shingles')} AS sig FROM sh
+"""
+
+
+def _band_key_sql(b: int, rows: int = MINHASH_ROWS_PER_BAND) -> str:
+    parts = " || ',' || ".join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+    return f"md5({parts})"
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_minhash_lsh(
+        _docs(spark, sf_dir), "text", "doc_id", threshold=MINHASH_JACCARD_THRESHOLD
+    ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+_band_structs = ", ".join(
+    "{'band_idx': %d, 'band_key': %s}" % (b, _band_key_sql(b)) for b in range(MINHASH_BANDS)
+)
+
+_SQL_DEDUP_MINHASH = f"""
+WITH d AS ({_CLEANED}),
+sh AS (SELECT doc_id, {_shingles_sql_inline('c')} AS shingles FROM d),
+sigs AS (SELECT doc_id, shingles, {_minhash_sig_sql('shingles')} AS sig FROM sh WHERE len(shingles) > 0),
+banded AS (SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
+           FROM sigs, UNNEST([{_band_structs}]) AS t(u)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b
+           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT doc_a, doc_b,
+    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+          / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT), 6) AS jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+"""
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def _simhash_sql(c: str, bits: int = SIMHASH_BITS) -> str:
+    toks = f"list_distinct({tokens_sql(c)})"
+    hashes = f"list_transform({toks}, t -> {hash60_sql('t')})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter({hashes}, h -> ((h >> {j}) & 1) = 1)) > len({toks}) "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return f"(CASE WHEN len({toks}) > 0 THEN ({bit_terms}) ELSE CAST(0 AS BIGINT) END)"
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(_docs(spark, sf_dir), "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+_SQL_SIMHASH = f"WITH d AS ({_CLEANED}) SELECT doc_id, {_simhash_sql('c')} AS simhash FROM d"
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_simhash(
+        _docs(spark, sf_dir), "text", "doc_id", max_hamming=SIMHASH_HAMMING_THRESHOLD
+    ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+_SIMHASH_CHUNKS = 4
+_CHUNK_WIDTH = SIMHASH_BITS // _SIMHASH_CHUNKS
+_CHUNK_MASK = (1 << _CHUNK_WIDTH) - 1
+
+_chunk_structs = ", ".join(
+    "{'chunk_idx': %d, 'chunk_val': ((simhash >> %d) & %d)}" % (c, c * _CHUNK_WIDTH, _CHUNK_MASK)
+    for c in range(_SIMHASH_CHUNKS)
+)
+
+_SQL_DEDUP_SIMHASH = f"""
+WITH d AS ({_CLEANED}),
+sigs AS (SELECT doc_id, {_simhash_sql('c')} AS simhash FROM d),
+chunked AS (SELECT doc_id, simhash, u.chunk_idx AS chunk_idx, u.chunk_val AS chunk_val
+            FROM sigs, UNNEST([{_chunk_structs}]) AS t(u)),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
+         FROM chunked a JOIN chunked b
+           ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_HAMMING_THRESHOLD}
+"""
+
+
+# --- n-gram (character 3-gram) Jaccard over consecutive-id pairs -----------
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard similarity — the verify kernel exposed
+    standalone, computed between each doc and the next doc id (a cheap
+    deterministic pairing that exercises the kernel everywhere)."""
+    d = _cleaned_docs(spark, sf_dir).select("doc_id", "c")
+    def grams(col):
+        # guard: Spark sequence(1, n) with n < 1 would generate a DESCENDING
+        # sequence, so gate on length >= 3 explicitly
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - 2),
+                lambda i: col.substr(i, F.lit(3)),
+            )
+        )
+        return F.when(F.length(col) >= 3, g).otherwise(F.array().cast("array<string>"))
+    a = d.select(F.col("doc_id").alias("doc_a"), grams(F.col("c")).alias("g_a"))
+    b = d.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"), grams(F.col("c")).alias("g_b"))
+    j = (
+        a.join(b, "doc_a")
+        .withColumn("n_inter", F.size(F.array_intersect("g_a", "g_b")).cast("long"))
+        .withColumn("n_union", (F.size("g_a") + F.size("g_b") - F.col("n_inter")).cast("long"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard"),
+        )
+    )
+    return j
+
+
+_NGRAMS = (
+    "list_distinct(list_transform(range(1, greatest(length({c}) - 2, 0) + 1), i -> substr({c}, i, 3)))"
+)
+
+_SQL_NGRAM_JACCARD = f"""
+WITH d AS ({_CLEANED}),
+g AS (SELECT doc_id, {_NGRAMS.format(c='c')} AS grams FROM d)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT)
+        / CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS BIGINT), 6) AS jaccard
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(_emb(spark, sf_dir), SIM_QUERY_IDS, k=SIM_K)
+
+
+_COS = cosine_sql("q.embedding", "e.embedding")
+_IDS = ", ".join(str(i) for i in SIM_QUERY_IDS)
+
+_SQL_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN ({_IDS})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id, {_COS} AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, cand_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= {SIM_K}
+"""
+
+
+def _q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk_ivf(_emb(spark, sf_dir), SIM_QUERY_IDS, k=SIM_K, n_cells=16, nprobe=4)
+
+
+_COS_CENT = cosine_sql("x.embedding", "cen.cell_vec")
+
+_SQL_COSINE_TOPK_IVF = f"""
+WITH cen AS (SELECT vec_id AS cell, embedding AS cell_vec FROM embeddings ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT cand_id, cand_vec, cell FROM (
+    SELECT x.vec_id AS cand_id, x.embedding AS cand_vec, cen.cell,
+      row_number() OVER (PARTITION BY x.vec_id ORDER BY {_COS_CENT} DESC, cen.cell ASC) AS rn
+    FROM embeddings x, cen) WHERE rn = 1),
+probes AS (
+  SELECT query_id, query_vec, cell FROM (
+    SELECT x.vec_id AS query_id, x.embedding AS query_vec, cen.cell,
+      row_number() OVER (PARTITION BY x.vec_id ORDER BY {_COS_CENT} DESC, cen.cell ASC) AS rn
+    FROM embeddings x, cen WHERE x.vec_id IN ({_IDS})) WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.cand_id, {cosine_sql('p.query_vec', 'a.cand_vec')} AS cos
+  FROM assigned a JOIN probes p ON a.cell = p.cell
+  WHERE a.cand_id <> p.query_id),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk
+  FROM scored)
+SELECT query_id, cand_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= {SIM_K}
+"""
+
+
+def _q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import norm_expr
+
+    e = _emb(spark, sf_dir)
+    norm = norm_expr(F.col("embedding"))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(norm.cast("decimal(18,6)")).alias("sum_norm"),
+        F.min(norm).alias("min_norm"),
+        F.max(norm).alias("max_norm"),
+    )
+
+
+from ..functions.vectors import norm_sql  # noqa: E402
+
+_NORM = norm_sql("embedding")
+
+_SQL_EMB_NORMS = f"""
+SELECT label, count(*) AS n,
+  sum(CAST({_NORM} AS DECIMAL(18,6))) AS sum_norm,
+  min({_NORM}) AS min_norm,
+  max({_NORM}) AS max_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def _q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents_as_media(_docs(spark, sf_dir)).select(
+        "media_id", "media_type", "byte_len", "sha256"
+    )
+
+
+_SQL_MM_BINARY_META = """
+SELECT doc_id AS media_id,
+  (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  sha256(text) AS sha256
+FROM documents
+"""
+
+
+def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (stubbed decode —
+    deterministic fake; rows-only check, exercised further in tests/)."""
+    return extract_features(documents_as_media(_docs(spark, sf_dir)))
+
+
+QUERIES = [
+    QuerySpec("text_token_count", _q_token_count, _SQL_TOKEN_COUNT),
+    QuerySpec("text_quality_score", _q_quality, _SQL_QUALITY, headline=True),
+    QuerySpec("text_lang_id", _q_lang_id, _SQL_LANG_ID),
+    QuerySpec("text_fingerprint", _q_fingerprint, _SQL_FINGERPRINT),
+    QuerySpec("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
+    QuerySpec("text_minhash_signature", _q_minhash_sig, _SQL_MINHASH_SIG),
+    QuerySpec("dedup_minhash_lsh", _q_dedup_minhash, _SQL_DEDUP_MINHASH, headline=True),
+    QuerySpec("text_simhash", _q_simhash, _SQL_SIMHASH),
+    QuerySpec("dedup_simhash_pairs", _q_dedup_simhash, _SQL_DEDUP_SIMHASH),
+    QuerySpec("dedup_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    QuerySpec("sim_cosine_topk", _q_cosine_topk, _SQL_COSINE_TOPK, headline=True),
+    QuerySpec("sim_cosine_topk_ivf", _q_cosine_topk_ivf, _SQL_COSINE_TOPK_IVF),
+    QuerySpec("emb_label_norms", _q_emb_norms, _SQL_EMB_NORMS),
+    QuerySpec("mm_binary_meta", _q_mm_binary_meta, _SQL_MM_BINARY_META),
+    QuerySpec("mm_extract_features", _q_mm_features, None),
+]
