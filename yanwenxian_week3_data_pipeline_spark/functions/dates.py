@@ -93,8 +93,7 @@ def parse_iso_date_udf():
 
     from dateutil import parser as dateutil_parser
 
-    @pandas_udf("string")
-    def _parse(s: pd.Series) -> pd.Series:
+    def _parse(s):
         def one(v):
             if v is None:
                 return None
@@ -108,4 +107,7 @@ def parse_iso_date_udf():
 
         return s.map(one)
 
-    return _parse
+    # real class objects, not strings: this module's `from __future__ import
+    # annotations` would otherwise leave hints PySpark cannot resolve
+    _parse.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_parse, "string")

@@ -30,6 +30,28 @@ def hash60_sql(expr: str, seed: int | None = None) -> str:
     return f"(('0x' || substr(md5({s}), 1, {HASH64_HEX_CHARS}))::BIGINT)"
 
 
+D38 = "decimal(38,0)"
+_P = None  # set below to avoid import cycle noise
+
+
+def mulmod_hash_expr(h: Column, a: int, b: int) -> Column:
+    """(a·h + b) mod (2^61−1) computed exactly in DECIMAL(38,0); ``h`` is a
+    60-bit hash value (long). Bit-identical to the DuckDB HUGEINT twin."""
+    from ..constants import MINHASH_PRIME
+
+    hd = h.cast(D38)
+    return (
+        (F.lit(str(a)).cast(D38) * hd + F.lit(str(b)).cast(D38))
+        % F.lit(str(MINHASH_PRIME)).cast(D38)
+    ).cast("long")
+
+
+def mulmod_hash_sql(h: str, a: int, b: int) -> str:
+    from ..constants import MINHASH_PRIME
+
+    return f"CAST(((({h})::HUGEINT) * {a} + {b}) % {MINHASH_PRIME} AS BIGINT)"
+
+
 def md5_hex_expr(col: Column) -> Column:
     return F.md5(col)
 

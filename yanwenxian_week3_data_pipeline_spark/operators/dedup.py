@@ -86,9 +86,15 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def shingles_expr(clean: Column, k: int = MINHASH_SHINGLE_K) -> Column:
-    """Distinct token k-gram shingles of cleaned text (space-joined)."""
-    toks = tokens_expr(clean)
+def shingles_expr(toks: Column, k: int = MINHASH_SHINGLE_K) -> Column:
+    """Distinct token k-gram shingles (space-joined) over a MATERIALIZED
+    token-array column.
+
+    Perf note: ``toks`` must be a plain column reference, not a nested
+    expression — Catalyst does NOT eliminate common subexpressions inside
+    higher-order-function lambdas, so an inlined tokenizer would be
+    re-evaluated k times per shingle position (measured 20s+ for 5k docs
+    before this was split into materialized steps)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - k)  # empty when n < k
     grams = F.transform(
@@ -97,30 +103,50 @@ def shingles_expr(clean: Column, k: int = MINHASH_SHINGLE_K) -> Column:
     return F.when(n >= k, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature_expr(shingles: Column, num_hashes: int = MINHASH_NUM_HASHES) -> Column:
-    """array<long> of length ``num_hashes``: min over shingles of the seeded
-    60-bit hash; MAXLONG sentinel when the shingle set is empty."""
-    def hasher(seed: int):
-        # NB: a plain `lambda s, seed=seed:` would have arity 2 and PySpark
-        # would bind the second param to the array INDEX — closure instead
-        return lambda s: hash60_expr(s, seed=seed)
+MINHASH_EMPTY_SENTINEL = 2**62
 
-    sigs = [
-        F.coalesce(
-            F.array_min(F.transform(shingles, hasher(seed))),
-            F.lit(2**62).cast("long"),
-        )
-        for seed in range(num_hashes)
-    ]
-    return F.array(*sigs)
+
+def doc_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingles) — cleaned, tokenized, k-gram shingled. Each step
+    materializes its column so the next step's HOF lambdas see a plain
+    reference (no recomputation inside lambdas — see shingles_expr)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_expr(clean_text_expr(F.col(text_col))).alias("toks")
+    )
+    return toks.select("id", shingles_expr(F.col("toks")).alias("shingles"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    clean = clean_text_expr(F.col(text_col))
-    return df.select(
-        F.col(id_col).alias("id"),
-        shingles_expr(clean).alias("shingles"),
-    ).withColumn("sig", minhash_signature_expr(F.col("shingles")))
+    """(id, shingles, sig: array<long>[num_hashes]).
+
+    sig_i = min over shingles of the seed-i 60-bit md5 hash; MAXLONG
+    sentinel for empty shingle sets.
+
+    Execution shape: explode shingles → groupBy(id) with ``num_hashes``
+    codegen'd min(hash) aggregates → reassemble the array. Two earlier
+    shapes measured 4-5× slower at sf0.1:
+    - array-lambda (array_min∘transform): HOFs are interpreted, and
+      CollapseProject re-inlines the whole clean→tokenize→shingle pipeline
+      into every one of the 32 signature expressions, so "materializing"
+      the shingle column in a previous select does not stick;
+    - one-md5 + exact (a·h+b) mod p universal family: the 122-bit products
+      need DECIMAL(38,0) and BigDecimal arithmetic costs ~µs/op, 3-4× an
+      extra md5.
+    A document's shingles are colocated, so map-side partial aggregation
+    collapses each doc to one row before the shuffle."""
+    sh = doc_shingles(df, text_col, id_col)
+    exploded = sh.select("id", F.explode("shingles").alias("s"))
+    aggs = [
+        F.min(hash60_expr(F.col("s"), seed=seed)).alias(f"_m{seed}")
+        for seed in range(MINHASH_NUM_HASHES)
+    ]
+    sigs = exploded.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[F.col(f"_m{seed}") for seed in range(MINHASH_NUM_HASHES)]).alias("sig")
+    )
+    sentinel = F.array(*[F.lit(MINHASH_EMPTY_SENTINEL).cast("long")] * MINHASH_NUM_HASHES)
+    return sh.join(sigs, "id", "left").select(
+        "id", "shingles", F.coalesce(F.col("sig"), sentinel).alias("sig")
+    )
 
 
 def dedup_minhash_lsh(
@@ -139,7 +165,13 @@ def dedup_minhash_lsh(
     grows with data) → distinct candidate pairs → verify via shingle-set
     intersection/union sizes.
     """
-    sigs = minhash_signatures(df, text_col, id_col).where(F.size("shingles") > 0)
+    # signatures feed three consumers (band explode + both verify sides).
+    # persist AND materialize eagerly: with a lazy persist all three subtrees
+    # of the single pair-join job race ahead of cache population and each
+    # recomputes the signatures (measured 38s vs 12s at sf0.1). At cluster
+    # scale this is the materialized signature table of a dedup pipeline.
+    sigs = minhash_signatures(df, text_col, id_col).where(F.size("shingles") > 0).persist()
+    sigs.count()
 
     band_structs = F.array(
         *[
@@ -192,30 +224,38 @@ def dedup_minhash_lsh(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_expr(clean: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over the distinct token set: bit j is 1 iff the count of
-    tokens with hash-bit j set exceeds half the token count. Kept at 32 bits
-    so every intermediate fits signed-64 in both engines."""
-    toks = F.array_distinct(tokens_expr(clean))
-    n = F.size(toks)
-    hashes = F.transform(toks, lambda t: hash60_expr(t))
-    def bit_pred(j: int):
-        # closure, not default-arg: keep the HOF lambda arity at 1
-        return lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash): bit j of the SimHash is 1 iff the count of distinct
+    tokens with hash-bit j set exceeds half the distinct-token count. Kept
+    at 32 bits so every intermediate fits signed-64 in both engines.
 
-    bit_cols = []
+    Execution shape mirrors minhash_signatures: explode distinct tokens →
+    hash once → groupBy(id) with ``bits`` conditional-count aggregates
+    (codegen'd; HOF-lambda bit counting is interpreted and far slower), then
+    assemble the bits. Docs with no tokens get simhash 0."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens_expr(clean_text_expr(F.col(text_col)))).alias("toks"),
+    )
+    exploded = toks.select("id", F.explode("toks").alias("t")).select(
+        "id", hash60_expr(F.col("t")).alias("h")
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    counted = exploded.groupBy("id").agg(*aggs)
+    total = F.lit(0).cast("long")
     for j in range(bits):
-        ones = F.size(F.filter(hashes, bit_pred(j)))
-        bit_cols.append(F.when(ones * 2 > n, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long")))
-    total = bit_cols[0]
-    for c in bit_cols[1:]:
-        total = total + c
-    return F.when(n > 0, total).otherwise(F.lit(0).cast("long"))
-
-
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    clean = clean_text_expr(F.col(text_col))
-    return df.select(F.col(id_col).alias("id"), simhash_expr(clean).alias("simhash"))
+        total = total + F.when(
+            F.col(f"_b{j}") * 2 > F.col("_n"), F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = counted.select("id", total.alias("simhash"))
+    return (
+        toks.select("id")
+        .join(sigs, "id", "left")
+        .select("id", F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def hamming_expr(a: Column, b: Column, bits: int = SIMHASH_BITS) -> Column:
@@ -238,7 +278,10 @@ def dedup_simhash(
     value) — no cross join.
     """
     assert max_hamming < chunks, "pigeonhole guarantee requires max_hamming < chunks"
-    sig = simhash_signatures(df, text_col, id_col)
+    # both sides of the chunk self-join read the signatures; materialize
+    # eagerly (see dedup_minhash_lsh)
+    sig = simhash_signatures(df, text_col, id_col).persist()
+    sig.count()
     width = bits // chunks
     mask = (1 << width) - 1
     chunk_structs = F.array(
