@@ -84,11 +84,9 @@ MINHASH_ROWS_PER_BAND = MINHASH_NUM_HASHES // MINHASH_BANDS
 MINHASH_SHINGLE_K = 3      # token 3-gram shingles
 MINHASH_JACCARD_THRESHOLD = 0.5
 
-# Prime for the exact mulmod primitive in functions/hashing.py (kept for the
-# (a·h+b) mod p universal family; benchmarking found seeded-md5 MinHash rows
-# faster in Spark because exact 122-bit products need DECIMAL(38,0), and
-# BigDecimal arithmetic costs more than an extra md5 — see
-# operators/dedup.py::minhash_signature_expr).
+# Modulus of the Kirsch-Mitzenmacher MinHash family g_i = (h1 + i·h2) mod p
+# (functions/hashing.py::km_hash_expr): two md5-derived base hashes replace
+# num_hashes seeded md5s, with every intermediate in signed-64 range.
 MINHASH_PRIME = (1 << 61) - 1
 
 # SimHash configuration: 32 bits keeps every intermediate in signed-64 range

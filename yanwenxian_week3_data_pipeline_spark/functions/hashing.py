@@ -30,26 +30,38 @@ def hash60_sql(expr: str, seed: int | None = None) -> str:
     return f"(('0x' || substr(md5({s}), 1, {HASH64_HEX_CHARS}))::BIGINT)"
 
 
-D38 = "decimal(38,0)"
-_P = None  # set below to avoid import cycle noise
+def hash56_expr(col: Column, seed: int | None = None) -> Column:
+    """56-bit md5 hash (14 hex chars) — the h2 of the Kirsch-Mitzenmacher
+    MinHash family; 56 bits keep i·h2 (i < 32) inside signed-64."""
+    s = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long")
 
 
-def mulmod_hash_expr(h: Column, a: int, b: int) -> Column:
-    """(a·h + b) mod (2^61−1) computed exactly in DECIMAL(38,0); ``h`` is a
-    60-bit hash value (long). Bit-identical to the DuckDB HUGEINT twin."""
+def hash56_sql(expr: str, seed: int | None = None) -> str:
+    s = expr if seed is None else f"('{seed}:' || {expr})"
+    return f"(('0x' || substr(md5({s}), 1, 14))::BIGINT)"
+
+
+def km_hash_expr(h1: Column, h2: Column, i: int) -> Column:
+    """g_i = (h1 + i·h2) mod (2^61−1), pure int64: h1 < 2^60, i·h2 < 32·2^56
+    < 2^61, and the sum of the two residues < 2^62 — no overflow, no
+    decimal. Two md5 calls replace ``num_hashes`` seeded md5s (the
+    measured alternatives: 32 seeded md5s ≈ 2× slower; exact (a·h+b) mod p
+    in DECIMAL(38,0) ≈ 3-4× slower than an extra md5)."""
     from ..constants import MINHASH_PRIME
 
-    hd = h.cast(D38)
-    return (
-        (F.lit(str(a)).cast(D38) * hd + F.lit(str(b)).cast(D38))
-        % F.lit(str(MINHASH_PRIME)).cast(D38)
-    ).cast("long")
+    if i == 0:
+        return h1  # h1 < 2^60 < P, so g_0 = h1 mod P = h1
+    p = F.lit(MINHASH_PRIME)
+    return (h1 + (F.lit(i) * h2) % p) % p
 
 
-def mulmod_hash_sql(h: str, a: int, b: int) -> str:
+def km_hash_sql(h1: str, h2: str, i: int) -> str:
     from ..constants import MINHASH_PRIME
 
-    return f"CAST(((({h})::HUGEINT) * {a} + {b}) % {MINHASH_PRIME} AS BIGINT)"
+    if i == 0:
+        return h1
+    return f"(({h1} + (({i} * {h2}) % {MINHASH_PRIME})) % {MINHASH_PRIME})"
 
 
 def md5_hex_expr(col: Column) -> Column:

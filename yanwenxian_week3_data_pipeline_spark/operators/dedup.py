@@ -34,7 +34,7 @@ from ..constants import (
     MINHASH_SHINGLE_K,
     SIMHASH_BITS,
 )
-from ..functions.hashing import hash60_expr
+from ..functions.hashing import hash56_expr, hash60_expr, km_hash_expr
 from ..functions.text import clean_text_expr
 from ..functions.textstats import tokens_expr
 
@@ -107,13 +107,23 @@ MINHASH_EMPTY_SENTINEL = 2**62
 
 
 def doc_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, shingles) — cleaned, tokenized, k-gram shingled. Each step
-    materializes its column so the next step's HOF lambdas see a plain
-    reference (no recomputation inside lambdas — see shingles_expr)."""
+    """(id, shingles) — cleaned, tokenized, k-gram shingled, PERSISTED and
+    materialized.
+
+    The persist is load-bearing, not a cache hint: projection chains are no
+    optimizer barrier (CollapseProject / generator pushdown re-inline the
+    regex tokenizer into every ``element_at`` / ``size`` reference of the
+    shingle builder and into downstream Generate nodes — measured 24.7s for
+    a bare explode over 5k docs vs 1.4s from a materialized frame at sf0.1).
+    At cluster scale this is the materialized shingle table of a dedup
+    pipeline; the cache doubles as the shared input of the signature
+    aggregation and the verify stage."""
     toks = df.select(
         F.col(id_col).alias("id"), tokens_expr(clean_text_expr(F.col(text_col))).alias("toks")
     )
-    return toks.select("id", shingles_expr(F.col("toks")).alias("shingles"))
+    sh = toks.select("id", shingles_expr(F.col("toks")).alias("shingles")).persist()
+    sh.count()
+    return sh
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -122,26 +132,31 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     sig_i = min over shingles of the seed-i 60-bit md5 hash; MAXLONG
     sentinel for empty shingle sets.
 
-    Execution shape: explode shingles → groupBy(id) with ``num_hashes``
-    codegen'd min(hash) aggregates → reassemble the array. Two earlier
-    shapes measured 4-5× slower at sf0.1:
+    Execution shape: explode the materialized shingles → two md5 base
+    hashes per shingle → groupBy(id) with ``num_hashes`` codegen'd
+    min(Kirsch-Mitzenmacher g_i) aggregates → reassemble the array. Earlier
+    shapes measured slower at sf0.1:
     - array-lambda (array_min∘transform): HOFs are interpreted, and
       CollapseProject re-inlines the whole clean→tokenize→shingle pipeline
-      into every one of the 32 signature expressions, so "materializing"
-      the shingle column in a previous select does not stick;
+      into every one of the 32 signature expressions;
+    - 32 independently-seeded md5s: ~2× the hashing cost of the KM family;
     - one-md5 + exact (a·h+b) mod p universal family: the 122-bit products
       need DECIMAL(38,0) and BigDecimal arithmetic costs ~µs/op, 3-4× an
       extra md5.
     A document's shingles are colocated, so map-side partial aggregation
     collapses each doc to one row before the shuffle."""
     sh = doc_shingles(df, text_col, id_col)
-    exploded = sh.select("id", F.explode("shingles").alias("s"))
+    hashed = sh.select("id", F.explode("shingles").alias("s")).select(
+        "id",
+        hash60_expr(F.col("s"), seed=0).alias("h1"),
+        hash56_expr(F.col("s"), seed=1).alias("h2"),
+    )
     aggs = [
-        F.min(hash60_expr(F.col("s"), seed=seed)).alias(f"_m{seed}")
-        for seed in range(MINHASH_NUM_HASHES)
+        F.min(km_hash_expr(F.col("h1"), F.col("h2"), i)).alias(f"_m{i}")
+        for i in range(MINHASH_NUM_HASHES)
     ]
-    sigs = exploded.groupBy("id").agg(*aggs).select(
-        "id", F.array(*[F.col(f"_m{seed}") for seed in range(MINHASH_NUM_HASHES)]).alias("sig")
+    sigs = hashed.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[F.col(f"_m{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig")
     )
     sentinel = F.array(*[F.lit(MINHASH_EMPTY_SENTINEL).cast("long")] * MINHASH_NUM_HASHES)
     return sh.join(sigs, "id", "left").select(
@@ -232,11 +247,16 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = SI
     Execution shape mirrors minhash_signatures: explode distinct tokens →
     hash once → groupBy(id) with ``bits`` conditional-count aggregates
     (codegen'd; HOF-lambda bit counting is interpreted and far slower), then
-    assemble the bits. Docs with no tokens get simhash 0."""
+    assemble the bits. Docs with no tokens get simhash 0.
+
+    The token frame is persisted before the explode for the same reason as
+    doc_shingles: generator pushdown would otherwise re-inline the regex
+    tokenizer into the Generate node."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens_expr(clean_text_expr(F.col(text_col)))).alias("toks"),
-    )
+    ).persist()
+    toks.count()
     exploded = toks.select("id", F.explode("toks").alias("t")).select(
         "id", hash60_expr(F.col("t")).alias("h")
     )

@@ -23,7 +23,7 @@ from ..constants import (
     SIMHASH_BITS,
     SIMHASH_HAMMING_THRESHOLD,
 )
-from ..functions.hashing import hash60_sql
+from ..functions.hashing import hash56_sql, hash60_sql, km_hash_sql
 from ..functions.text import clean_text_expr
 from ..functions.textstats import (
     bpe_piece_count_expr,
@@ -169,9 +169,12 @@ _SENTINEL = 2**62
 
 
 def _minhash_sig_sql(shingles_col: str, num: int = MINHASH_NUM_HASHES) -> str:
+    # same Kirsch-Mitzenmacher family as operators/dedup.py: g_i over
+    # (h1, h2) base hashes, min per i; sentinel for empty shingle sets
+    h1, h2 = hash60_sql("s", seed=0), hash56_sql("s", seed=1)
     mins = ", ".join(
-        f"coalesce(list_min(list_transform({shingles_col}, s -> {hash60_sql('s', seed=seed)})), {_SENTINEL})"
-        for seed in range(num)
+        f"coalesce(list_min(list_transform({shingles_col}, s -> {km_hash_sql(h1, h2, i)})), {_SENTINEL})"
+        for i in range(num)
     )
     return f"[{mins}]"
 
