@@ -153,3 +153,47 @@ def test_approx_count_distinct_error(spark, sf_dir):
         F.countDistinct("l_partkey").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.1
+
+
+def _vecs_with_near_dups(spark):
+    import numpy as np
+
+    rs = np.random.RandomState(7)
+    base = [rs.randn(64).tolist() for _ in range(20)]
+    near = list(base[0])
+    near[0] += 0.01 * (1 if near[0] >= 0 else -1)  # cosine(base[0], near) ~ 0.99999
+    rows = (
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+        + [(100, [float(x) for x in base[0]])]   # exact dup of 0
+        + [(101, [float(x) for x in near])]      # near dup of 0
+    )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_cosine_pairs_exact(spark):
+    from yanwenxian_week3_data_pipeline_spark.operators.similarity import embedding_cosine_pairs
+
+    vecs = _vecs_with_near_dups(spark)
+    pairs = {
+        (r.id_a, r.id_b): r.cosine for r in embedding_cosine_pairs(vecs, 0.99).collect()
+    }
+    assert pairs[(0, 100)] == 1.0
+    assert pairs[(0, 101)] >= 0.999
+    assert (100, 101) in pairs
+    assert len(pairs) == 3  # random 64-dim vectors never reach 0.99
+
+
+def test_dedup_embedding_lsh_recall(spark):
+    from yanwenxian_week3_data_pipeline_spark.operators.similarity import (
+        dedup_embedding_lsh,
+        embedding_cosine_pairs,
+    )
+
+    vecs = _vecs_with_near_dups(spark)
+    exact = {(r.id_a, r.id_b) for r in embedding_cosine_pairs(vecs, 0.99).collect()}
+    approx = {(r.id_a, r.id_b) for r in dedup_embedding_lsh(vecs, 0.99).collect()}
+    # identical vectors collide on every band -> guaranteed; the perturbed
+    # near-dup flips at most a couple of sign bits out of 32
+    assert (0, 100) in approx
+    assert approx <= exact          # verify stage guarantees precision = 1
+    assert len(exact & approx) / len(exact) >= 2 / 3

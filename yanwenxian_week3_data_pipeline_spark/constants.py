@@ -114,3 +114,29 @@ BPE_PIECE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r\\f]"
 
 # English stopwords reused for the quality-score stopword ratio.
 QUALITY_STOPWORDS: tuple[str, ...] = LANG_STOPWORDS["en"]
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (random-hyperplane LSH / signed random projection)
+# ---------------------------------------------------------------------------
+
+# Driver testdata embedding dimensionality (embeddings.parquet, array<float>).
+EMB_DIM = 64
+# 32 hyperplanes = 4 bands x 8 bits. At the 0.99 cosine near-dup threshold
+# (theta ~ 8.1 deg, per-bit collision p ~ 0.955) this gives ~0.99 recall while
+# a random pair collides on a band with p = 2^-8 -> ~1.6% of pairs become
+# candidates. The +/-1 plane matrix is generated from a seeded PRNG and
+# embedded as literals in BOTH engines' expressions, so bucketing is
+# bit-identical.
+EMB_LSH_PLANES = 32
+EMB_LSH_BANDS = 4
+EMB_LSH_BITS_PER_BAND = EMB_LSH_PLANES // EMB_LSH_BANDS
+EMB_LSH_SEED = 42
+# near-dup verify threshold for the LSH query (true dups sit at ~1.0)
+EMB_COSINE_NEAR_DUP = 0.99
+# exact all-pairs query threshold: the synthetic embeddings are near-random
+# (max pairwise cosine ~0.51 at sf0.01), so the demo threshold is low enough
+# to produce a nonempty, bounded result
+EMB_COSINE_PAIRS_THRESHOLD = 0.4
+# vec_id offset for the LSH demo query's exact-copy union
+EMB_COPY_OFFSET = 1_000_000

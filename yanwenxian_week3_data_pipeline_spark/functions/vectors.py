@@ -36,3 +36,56 @@ def cosine_expr(a: Column, b: Column) -> Column:
 
 def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (signed random projection) LSH primitives
+# ---------------------------------------------------------------------------
+
+def hyperplane_matrix(n_planes: int, dim: int, seed: int) -> list[list[int]]:
+    """±1 plane matrix from the legacy numpy ``RandomState`` bit stream
+    (stable across numpy versions). Embedded as LITERALS in both engines'
+    expressions, so bucketing is deterministic and cross-engine identical."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return (rs.randint(0, 2, size=(n_planes, dim)) * 2 - 1).tolist()
+
+
+def signed_projection_expr(vec: Column, plane: list[int]) -> Column:
+    """dot(vec, plane) ≥ 0 as a 0/1 long. Same float→double cast and
+    sequential left-to-right fold as ``dot_expr`` — the DuckDB twin folds in
+    the same order, so even a dot product within 1 ulp of zero gets the
+    same sign in both engines."""
+    prods = F.zip_with(
+        vec,
+        F.array(*[F.lit(float(p)) for p in plane]),
+        lambda x, y: x.cast("double") * y,
+    )
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    return (dot >= 0).cast("long")
+
+
+def signed_projection_sql(vec: str, plane: list[int]) -> str:
+    lits = ", ".join(f"{float(p)!r}" for p in plane)
+    prods = (
+        f"list_transform(range(1, len({vec}) + 1), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ([{lits}])[i])"
+    )
+    dot = f"list_reduce(list_prepend(0.0, {prods}), (acc, x) -> acc + x)"
+    return f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END)"
+
+
+def band_value_expr(vec: Column, planes: list[list[int]]) -> Column:
+    """Integer band key: bit j of the band = sign bit of plane j."""
+    total = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        total = total + signed_projection_expr(vec, plane) * F.lit(1 << j).cast("long")
+    return total
+
+
+def band_value_sql(vec: str, planes: list[list[int]]) -> str:
+    terms = " + ".join(
+        f"({signed_projection_sql(vec, plane)} * {1 << j})" for j, plane in enumerate(planes)
+    )
+    return f"CAST({terms} AS BIGINT)"

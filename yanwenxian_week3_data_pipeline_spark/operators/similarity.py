@@ -113,3 +113,116 @@ def cosine_topk_ivf(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup: every (id_a < id_b) pair with
+    round(cosine, 6) ≥ threshold. The O(n²) correctness baseline — norms are
+    precomputed once per row (a projection below the join, evaluated once
+    per input row, not once per pair), so each pair costs one dot product.
+
+    ``dedup_embedding_lsh`` is the scale path; this brute-force form is for
+    small/medium tables and for recall evaluation of the approximate one.
+    """
+    nrm = norm_expr(F.col(vec_col))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), nrm.alias("n_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), nrm.alias("n_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", F.round(dot_expr(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def dedup_embedding_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int | None = None,
+    bands: int | None = None,
+    seed: int | None = None,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding near-dup via random-hyperplane LSH.
+
+    Plan shape (the scale path — no O(n²) stage):
+      1. per vector: ``bands`` integer band keys, bit j of band b = sign of
+         the projection onto plane (b·bits + j); the ±1 plane matrix is a
+         seeded-PRNG literal shared with the DuckDB oracle;
+      2. explode to (id, band_idx, band_val) and self-equi-join on the band
+         — the only shuffle that grows with data, keyed by the bucket;
+      3. distinct candidate pairs → exact-cosine verify (join the vectors
+         back) → round(cosine, 6) ≥ threshold.
+
+    With the default 4 bands × 8 bits: recall ≈ 0.99 at cosine 0.99 and only
+    ~1.6 % of random pairs ever become candidates. Identical vectors collide
+    on every band, so exact-duplicate recall is 1."""
+    from ..constants import (
+        EMB_DIM,
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS_PER_BAND,
+        EMB_LSH_PLANES,
+        EMB_LSH_SEED,
+    )
+    from ..functions.vectors import band_value_expr, hyperplane_matrix
+
+    n_planes = n_planes or EMB_LSH_PLANES
+    bands = bands or EMB_LSH_BANDS
+    seed = EMB_LSH_SEED if seed is None else seed
+    dim = dim or EMB_DIM
+    bits = n_planes // bands
+    planes = hyperplane_matrix(n_planes, dim, seed)
+
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                band_value_expr(F.col("vec"), planes[b * bits : (b + 1) * bits]).alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.select("id", F.explode(band_structs).alias("bd")).select(
+        "id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    nrm = norm_expr(F.col("vec"))
+    va = base.select(F.col("id").alias("id_a"), F.col("vec").alias("v_a"), nrm.alias("n_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("vec").alias("v_b"), nrm.alias("n_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine", F.round(dot_expr(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

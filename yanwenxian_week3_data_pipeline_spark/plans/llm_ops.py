@@ -40,7 +40,23 @@ from ..functions.textstats import (
     token_count_sql,
     tokens_sql,
 )
-from ..functions.vectors import cosine_sql
+from ..constants import (
+    EMB_COPY_OFFSET,
+    EMB_COSINE_NEAR_DUP,
+    EMB_COSINE_PAIRS_THRESHOLD,
+    EMB_DIM,
+    EMB_LSH_BANDS,
+    EMB_LSH_BITS_PER_BAND,
+    EMB_LSH_PLANES,
+    EMB_LSH_SEED,
+)
+from ..functions.vectors import (
+    band_value_sql,
+    cosine_sql,
+    dot_sql,
+    hyperplane_matrix,
+    norm_sql,
+)
 from ..operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
@@ -49,7 +65,12 @@ from ..operators.dedup import (
     simhash_signatures,
 )
 from ..operators.multimodal import documents_as_media, extract_features
-from ..operators.similarity import cosine_topk, cosine_topk_ivf
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    dedup_embedding_lsh,
+    embedding_cosine_pairs,
+)
 from . import QuerySpec
 from .documents_domain import CLEAN_SQL
 
@@ -392,8 +413,6 @@ def _q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ..functions.vectors import norm_sql  # noqa: E402
-
 _NORM = norm_sql("embedding")
 
 _SQL_EMB_NORMS = f"""
@@ -402,6 +421,67 @@ SELECT label, count(*) AS n,
   min({_NORM}) AS min_norm,
   max({_NORM}) AS max_norm
 FROM embeddings GROUP BY label
+"""
+
+
+# --- Embedding near-dup ------------------------------------------------------
+
+def _q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_cosine_pairs(_emb(spark, sf_dir), EMB_COSINE_PAIRS_THRESHOLD)
+
+
+_NORM_E = norm_sql("embedding")
+_DOT_AB = dot_sql("a.embedding", "b.embedding")
+
+_SQL_EMB_COSINE_PAIRS = f"""
+WITH n AS (SELECT vec_id, embedding, {_NORM_E} AS nrm FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round({_DOT_AB} / (a.nrm * b.nrm), 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {EMB_COSINE_PAIRS_THRESHOLD}
+"""
+
+
+def _q_dedup_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup demo over embeddings ∪ an exact copy (vec_id offset by
+    EMB_COPY_OFFSET): every original pairs with its copy at cosine 1.0; the
+    near-random originals (max pairwise cosine ≈ 0.51) never verify."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = e.select((F.col("vec_id") + F.lit(EMB_COPY_OFFSET)).alias("vec_id"), "embedding")
+    return dedup_embedding_lsh(e.unionByName(copies), EMB_COSINE_NEAR_DUP)
+
+
+_emb_planes = hyperplane_matrix(EMB_LSH_PLANES, EMB_DIM, EMB_LSH_SEED)
+_emb_band_structs = ", ".join(
+    "{'band_idx': %d, 'band_val': %s}"
+    % (
+        b,
+        band_value_sql(
+            "embedding",
+            _emb_planes[b * EMB_LSH_BITS_PER_BAND : (b + 1) * EMB_LSH_BITS_PER_BAND],
+        ),
+    )
+    for b in range(EMB_LSH_BANDS)
+)
+
+_SQL_DEDUP_EMB_LSH = f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_COPY_OFFSET}, embedding FROM embeddings),
+banded AS (
+  SELECT vec_id AS id, u.band_idx AS band_idx, u.band_val AS band_val
+  FROM e, UNNEST([{_emb_band_structs}]) AS t(u)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id < b.id),
+n AS (SELECT vec_id, embedding, {_NORM_E} AS nrm FROM e),
+v AS (
+  SELECT id_a, id_b, round({_DOT_AB} / (a.nrm * b.nrm), 6) AS cosine
+  FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b)
+SELECT id_a, id_b, cosine FROM v WHERE cosine >= {EMB_COSINE_NEAR_DUP}
 """
 
 
@@ -443,6 +523,8 @@ QUERIES = [
     QuerySpec("dedup_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     QuerySpec("sim_cosine_topk", _q_cosine_topk, _SQL_COSINE_TOPK, headline=True),
     QuerySpec("sim_cosine_topk_ivf", _q_cosine_topk_ivf, _SQL_COSINE_TOPK_IVF),
+    QuerySpec("dedup_embedding_cosine", _q_emb_cosine_pairs, _SQL_EMB_COSINE_PAIRS),
+    QuerySpec("dedup_embedding_lsh", _q_dedup_emb_lsh, _SQL_DEDUP_EMB_LSH, headline=True),
     QuerySpec("emb_label_norms", _q_emb_norms, _SQL_EMB_NORMS),
     QuerySpec("mm_binary_meta", _q_mm_binary_meta, _SQL_MM_BINARY_META),
     QuerySpec("mm_extract_features", _q_mm_features, None),
