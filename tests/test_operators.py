@@ -197,3 +197,31 @@ def test_dedup_embedding_lsh_recall(spark):
     assert (0, 100) in approx
     assert approx <= exact          # verify stage guarantees precision = 1
     assert len(exact & approx) / len(exact) >= 2 / 3
+
+
+def test_asof_join_edges(spark):
+    from datetime import datetime
+
+    from yanwenxian_week3_data_pipeline_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T10:00:00"), "L1"),   # before any right row -> null
+            (1, t("2024-01-01T12:00:00"), "L2"),   # exactly equal ts -> matches R1
+            (1, t("2024-01-01T15:00:00"), "L3"),   # between R1 and R2 -> R1
+            (2, t("2024-01-01T12:30:00"), "L4"),   # other key -> R3 only
+        ],
+        "user_id long, ts timestamp, l_tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T12:00:00"), "R1"),
+            (1, t("2024-01-01T16:00:00"), "R2"),
+            (2, t("2024-01-01T12:00:00"), "R3"),
+            (3, t("2024-01-01T00:00:00"), "R4"),   # key with no left rows
+        ],
+        "user_id long, ts timestamp, r_tag string",
+    )
+    out = {r.l_tag: r.r_r_tag for r in asof_join(left, right, on="ts", by="user_id").collect()}
+    assert out == {"L1": None, "L2": "R1", "L3": "R1", "L4": "R3"}

@@ -156,20 +156,53 @@ _SQL_VALID_ROWS = _STAGES_SQL + "SELECT doc_id, lang, source FROM validated WHER
 # ---------------------------------------------------------------------------
 
 def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = _doc_stages(spark, sf_dir)
+    """Single-pass funnel: ONE scan computes per-row stage-survival flags,
+    then one aggregate produces all four stage counts (exploded to rows).
 
-    def stage_count(idx: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
+    - ``complete``: the completeness predicate;
+    - ``kept`` (dedup survivor): first complete row per dedup key, via a
+      conditional cumulative count over the key window — incomplete rows
+      share the window but never contribute to the rank, which is exactly
+      ``dedup_keep_first`` applied to the complete subset;
+    - ``valid``: kept ∧ all validation rules pass (row-local expressions).
+
+    The staged form (four cascading DataFrames, one count each) scans and
+    re-cleans the table once per stage — 4× the I/O at 100 TB; this shape
+    reads it once and shuffles once (the dedup-key window)."""
+    docs = _docs(spark, sf_dir)
+    flagged = cleaned_documents(docs).withColumn("_complete", complete_predicate())
+    w = (
+        Window.partitionBy("text_clean")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = flagged.withColumn(
+        "_kept",
+        F.col("_complete") & (F.sum(F.col("_complete").cast("int")).over(w) == 1),
+    )
+    validated = with_validation(flagged, document_rules())
+    counts = validated.agg(
+        F.count(F.lit(1)).alias("n_loaded"),
+        F.sum(F.col("_complete").cast("long")).alias("n_complete"),
+        F.sum(F.col("_kept").cast("long")).alias("n_deduped"),
+        F.sum((F.col("_kept") & F.col("passed")).cast("long")).alias("n_valid"),
+    )
+
+    def stage(idx: int, name: str, n: str):
+        return F.struct(
             F.lit(idx).alias("stage_idx"),
             F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_rows"),
+            F.col(n).alias("n_rows"),
         )
 
-    return (
-        stage_count(0, "loaded", st["loaded"])
-        .unionAll(stage_count(1, "complete", st["complete"]))
-        .unionAll(stage_count(2, "deduped", st["deduped"]))
-        .unionAll(stage_count(3, "valid", st["valid"]))
+    stages = F.array(
+        stage(0, "loaded", "n_loaded"),
+        stage(1, "complete", "n_complete"),
+        stage(2, "deduped", "n_deduped"),
+        stage(3, "valid", "n_valid"),
+    )
+    return counts.select(F.explode(stages).alias("s")).select(
+        "s.stage_idx", "s.stage", "s.n_rows"
     )
 
 

@@ -396,6 +396,39 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's most recent prior-or-equal view
+    (backward as-of join; unmatched purchases keep nulls)."""
+    from ..operators.asof import asof_join
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.col("value").alias("purchase_value")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = asof_join(purchases, views, on="ts", by="user_id")
+    return out.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_id",
+        "purchase_value",
+        F.col("r_ts").alias("view_ts"),
+        F.col("r_view_id").alias("view_id"),
+    )
+
+
+_SQL_ASOF = """
+SELECT l.user_id, l.ts AS purchase_ts, l.event_id AS purchase_id,
+  l.value AS purchase_value, r.ts AS view_ts, r.event_id AS view_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
 
@@ -438,6 +471,7 @@ QUERIES = [
     QuerySpec("topk_orders", _q_topk_orders, _SQL_TOPK_ORDERS),
     QuerySpec("agg_count_distinct", _q_count_distinct, _SQL_COUNT_DISTINCT),
     QuerySpec("agg_approx_count_distinct", _q_approx_distinct, None),
+    QuerySpec("join_asof_purchase_view", _q_asof, _SQL_ASOF),
     QuerySpec("events_tumbling_hourly", _q_tumbling, _SQL_TUMBLING, headline=True),
     QuerySpec("events_sessionize", _q_sessionize, _SQL_SESSIONIZE, headline=True),
     QuerySpec("events_json_props", _q_json_props, _SQL_JSON_PROPS),
