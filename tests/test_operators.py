@@ -225,3 +225,46 @@ def test_asof_join_edges(spark):
     )
     out = {r.l_tag: r.r_r_tag for r in asof_join(left, right, on="ts", by="user_id").collect()}
     assert out == {"L1": None, "L2": "R1", "L3": "R1", "L4": "R3"}
+
+
+def test_point_in_interval_join_edges(spark):
+    from datetime import datetime
+
+    from yanwenxian_week3_data_pipeline_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    t = lambda s: datetime.fromisoformat(s)
+    # intervals of 1h; bucket width deliberately NOT aligned to the data
+    left = spark.createDataFrame(
+        [
+            (1, 10, t("2024-01-01T11:00:00"), t("2024-01-01T12:00:00")),
+            (1, 11, t("2024-01-01T13:30:00"), t("2024-01-01T14:30:00")),  # straddles a bucket edge
+            (2, 12, t("2024-01-01T11:00:00"), t("2024-01-01T12:00:00")),  # other key, no points
+        ],
+        "user_id long, iid long, win_start timestamp, win_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T11:00:00")),  # == win_start -> inclusive
+            (1, t("2024-01-01T12:00:00")),  # == win_end -> inclusive
+            (1, t("2024-01-01T12:00:01")),  # just outside interval 10
+            (1, t("2024-01-01T13:59:59")),  # inside interval 11, bucket B
+            (1, t("2024-01-01T14:00:01")),  # inside interval 11, bucket B+1
+            (2, t("2024-01-01T15:00:00")),  # key 2 but outside its interval
+        ],
+        "user_id long, pt timestamp",
+    )
+    out = point_in_interval_join(
+        left, right, by="user_id", left_start="win_start", left_end="win_end",
+        right_point="pt", bucket_seconds=3600, how="left", left_id="iid",
+    )
+    counts = {r.iid: r.n for r in out.groupBy("iid").agg(F.count("pt").alias("n")).collect()}
+    assert counts == {10: 2, 11: 2, 12: 0}
+    # inner drops the empty interval and yields exactly one row per pair
+    inner = point_in_interval_join(
+        left, right, by="user_id", left_start="win_start", left_end="win_end",
+        right_point="pt", bucket_seconds=3600,
+    )
+    assert inner.count() == 4
+    assert inner.select("iid").distinct().count() == 2

@@ -1,0 +1,486 @@
+"""EXT analytic breadth, batch 2 (SURVEY.md §2.10): grouping sets,
+percentiles/median, exact cross-engine moment statistics, pivot/unpivot,
+deterministic hash sampling, correlated/scalar subqueries, ntile quartiles,
+rolling range-frame windows, full outer joins, and a bucketized
+point-in-interval range join.
+
+Cross-engine determinism rules used throughout (the reason every query here
+carries a DuckDB oracle):
+
+- money/measure sums go through DECIMAL — exact, order-independent under
+  parallel reduction;
+- moment statistics (variance/stddev/corr) are computed from DECIMAL power
+  sums, combined in double with the *identical* expression tree on both
+  engines — IEEE 754 ops are exactly specified, so identical inputs +
+  identical association order = bit-identical results;
+- interpolated percentiles are rounded to 4 decimals (the one place the two
+  engines' internal float association may differ in the last bit);
+- sampling is hash-based (shared md5 recipe, functions/hashing.py), never
+  ``TABLESAMPLE``/``rand()`` — reproducible across engines, runs, and
+  cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..functions.hashing import hash60_expr, hash60_sql
+from . import QuerySpec
+
+DEC = "decimal(18,2)"
+# Moment sums: inputs cast to (25,6). Width >19 forces DuckDB's product
+# onto int128 at (38,12) — at (18,6) it binds the product to int64 DECIMAL
+# (18,12) and overflows at runtime. Spark's product lands on (38,6)
+# (precision-loss scale adjustment). Both are exact for these inputs (true
+# product scale ≤ 4), so the double casts downstream are bit-identical.
+DEC6 = "decimal(25,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# groupby_grouping_sets — explicit GROUPING SETS (finer than rollup/cube):
+# (status, priority) detail, (status) subtotal, () grand total, with
+# GROUPING() flags to disambiguate subtotal rows from real NULL groups.
+# ---------------------------------------------------------------------------
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+  GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_priority,
+  count(*) AS n_orders,
+  sum(CAST(o_totalprice AS {DEC})) AS total_price
+FROM {{orders}}
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL-direct over the parquet scan: grouping sets are a SQL-surface
+    # feature; Catalyst expands them into a single Expand + one aggregate
+    # (one scan, one shuffle — not one scan per set).
+    return spark.sql(
+        _GROUPING_SETS_SQL.format(orders=f"parquet.`{sf_dir}/orders.parquet`")
+    )
+
+
+_SQL_GROUPING_SETS = _GROUPING_SETS_SQL.format(orders="orders")
+
+
+# ---------------------------------------------------------------------------
+# agg_percentiles — exact interpolated percentiles + median per return flag.
+# ---------------------------------------------------------------------------
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(q, F.lit(0.25)), 4).alias("p25_qty"),
+            F.round(F.median(q), 4).alias("median_qty"),
+            F.round(F.percentile(q, F.lit(0.75)), 4).alias("p75_qty"),
+            F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.95)), 4).alias("p95_price"),
+        )
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT l_returnflag,
+  round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+  round(median(l_quantity), 4) AS median_qty,
+  round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
+  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_stats_moments — stddev / variance / correlation per order status,
+# from exact DECIMAL power sums (see module docstring). The built-in
+# stddev/corr aggregates are NOT used: their partial-merge order differs
+# between engines (and between runs under AQE), so their double output is
+# not reproducible. Power sums in DECIMAL are.
+# ---------------------------------------------------------------------------
+
+def _q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast(DEC6)
+    y = F.col("l_extendedprice").cast(DEC6)
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    var_x = (sxx - (sx * sx) / n) / (n - F.lit(1.0))
+    var_y = (syy - (sy * sy) / n) / (n - F.lit(1.0))
+    cov = (sxy - (sx * sy) / n) / (n - F.lit(1.0))
+    # Outputs are rounded because the two engines' DECIMAL→DOUBLE casts
+    # differ in the last ulp (DuckDB divides the int128 by 10^scale in
+    # float — not correctly rounded; Java BigDecimal is). The decimal sums
+    # themselves are bit-identical — verified; rounding absorbs only the
+    # cast noise (~1e-10 relative).
+    return sums.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.round(var_x, 6).alias("var_qty"),
+        F.round(F.sqrt(var_x), 6).alias("stddev_qty"),
+        F.round(cov, 4).alias("covar_qty_price"),
+        F.round(cov / (F.sqrt(var_x) * F.sqrt(var_y)), 8).alias("corr_qty_price"),
+    )
+
+
+_SQL_STATS_MOMENTS = f"""
+WITH sums AS (
+  SELECT l_returnflag,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(CAST(l_quantity AS {DEC6})) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS {DEC6})) AS DOUBLE) AS sy,
+    CAST(sum(CAST(l_quantity AS {DEC6}) * CAST(l_quantity AS {DEC6})) AS DOUBLE) AS sxx,
+    CAST(sum(CAST(l_extendedprice AS {DEC6}) * CAST(l_extendedprice AS {DEC6})) AS DOUBLE) AS syy,
+    CAST(sum(CAST(l_quantity AS {DEC6}) * CAST(l_extendedprice AS {DEC6})) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+  CAST(n AS BIGINT) AS n_rows,
+  round((sxx - (sx * sx) / n) / (n - 1.0), 6) AS var_qty,
+  round(sqrt((sxx - (sx * sx) / n) / (n - 1.0)), 6) AS stddev_qty,
+  round((sxy - (sx * sy) / n) / (n - 1.0), 4) AS covar_qty_price,
+  round(((sxy - (sx * sy) / n) / (n - 1.0))
+    / (sqrt((sxx - (sx * sx) / n) / (n - 1.0)) * sqrt((syy - (sy * sy) / n) / (n - 1.0))), 8) AS corr_qty_price
+FROM sums
+"""
+
+
+# ---------------------------------------------------------------------------
+# pivot_status_revenue — groupBy().pivot() with the value list pinned
+# (pinning skips the extra distinct-scan job AND makes the schema stable —
+# a requirement for production tables; never let pivot infer at scale).
+# ---------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[F.col(s).alias(f"total_{s}") for s in _STATUSES],
+    )
+
+
+_SQL_PIVOT = f"""
+SELECT o_orderpriority,
+  sum(CAST(o_totalprice AS {DEC})) FILTER (o_orderstatus = 'F') AS total_F,
+  sum(CAST(o_totalprice AS {DEC})) FILTER (o_orderstatus = 'O') AS total_O,
+  sum(CAST(o_totalprice AS {DEC})) FILTER (o_orderstatus = 'P') AS total_P
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# unpivot_charge_components — melt the three charge columns into
+# (measure, value) rows; wide→long is the lakehouse normalization step.
+# ---------------------------------------------------------------------------
+
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.sum(F.col("value").cast(DEC6)).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_UNPIVOT = f"""
+WITH long AS (
+  SELECT l_returnflag, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+)
+SELECT l_returnflag, measure, sum(CAST(value AS {DEC6})) AS total, count(*) AS n
+FROM long GROUP BY l_returnflag, measure
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample_hash_orders — deterministic 5 % sample: hash-mod on the key, not
+# TABLESAMPLE/rand(). Reproducible across engines, runs, retries, and
+# cluster sizes — the property a training-data pipeline needs for
+# train/held-out splits and debugging at 100 TB.
+# ---------------------------------------------------------------------------
+
+def _q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    keep = (hash60_expr(F.col("o_orderkey").cast("string")) % 100) < 5
+    return (
+        orders.where(keep)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast(DEC)).alias("sampled_price"),
+        )
+    )
+
+
+_SQL_SAMPLE_HASH = f"""
+SELECT o_orderstatus, count(*) AS n_sampled,
+  sum(CAST(o_totalprice AS {DEC})) AS sampled_price
+FROM orders
+WHERE ({hash60_sql("CAST(o_orderkey AS VARCHAR)")} % 100) < 5
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# subq_exists_big_open_order — correlated EXISTS (decorrelated by Catalyst
+# into a semi join — verify with .explain; it must NOT be a per-row
+# subquery execution).
+# ---------------------------------------------------------------------------
+
+_EXISTS_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM {customer} c
+WHERE EXISTS (
+  SELECT 1 FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O' AND o.o_totalprice > 300000
+)
+GROUP BY c_mktsegment
+"""
+
+
+def _q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        _EXISTS_SQL.format(
+            customer=f"parquet.`{sf_dir}/customer.parquet`",
+            orders=f"parquet.`{sf_dir}/orders.parquet`",
+        )
+    )
+
+
+_SQL_EXISTS = _EXISTS_SQL.format(customer="customer", orders="orders")
+
+
+# ---------------------------------------------------------------------------
+# subq_scalar_above_avg — scalar subquery (the average is one broadcast
+# scalar, not a rescan per row).
+# ---------------------------------------------------------------------------
+
+_SCALAR_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_above_avg,
+  sum(CAST(o_totalprice AS {{dec}})) AS total_above_avg
+FROM {{orders}}
+WHERE CAST(o_totalprice AS {{dec}}) > (SELECT avg(CAST(o_totalprice AS {{dec}})) FROM {{orders}})
+GROUP BY o_orderpriority
+"""
+
+
+def _q_scalar_subq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        _SCALAR_SQL.format(orders=f"parquet.`{sf_dir}/orders.parquet`", dec=DEC)
+    )
+
+
+_SQL_SCALAR_SUBQ = _SCALAR_SQL.format(orders="orders", dec=DEC)
+
+
+# ---------------------------------------------------------------------------
+# window_ntile_quartiles — ntile(4) wealth quartiles per market segment.
+# Order is made total (acctbal, custkey) so quartile assignment is
+# deterministic — ntile over a partial order is not reproducible.
+# ---------------------------------------------------------------------------
+
+def _q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min(F.col("c_acctbal").cast(DEC)).alias("min_bal"),
+            F.max(F.col("c_acctbal").cast(DEC)).alias("max_bal"),
+            # Exact 4-dp average, no float anywhere: balances are summed as
+            # integer cents, the half-up division happens in integer
+            # arithmetic, and the rescale is an exact decimal multiply.
+            # (avg(DECIMAL) is NOT portable: DuckDB routes it through
+            # double, Spark stays decimal — a group here landed exactly on
+            # the x.xxxx5 boundary and the two paths rounded apart.)
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("_s_cents"),
+        )
+        .withColumn(
+            "avg_bal",
+            F.expr(
+                "CAST((CASE WHEN _s_cents >= 0 THEN 1 ELSE -1 END)"
+                " * ((2 * abs(_s_cents) * 100 + n_customers) DIV (2 * n_customers))"
+                " AS DECIMAL(18,0)) * CAST(0.0001 AS DECIMAL(5,4))"
+            ),
+        )
+        .drop("_s_cents")
+    )
+
+
+_SQL_NTILE = f"""
+WITH q AS (
+  SELECT c_mktsegment, c_acctbal,
+    ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment, quartile, n_customers, min_bal, max_bal,
+  CAST((CASE WHEN s_cents >= 0 THEN 1 ELSE -1 END)
+    * ((2 * abs(s_cents) * 100 + n_customers) // (2 * n_customers))
+    AS DECIMAL(18,0)) * CAST(0.0001 AS DECIMAL(5,4)) AS avg_bal
+FROM (
+  SELECT c_mktsegment, quartile, count(*) AS n_customers,
+    min(CAST(c_acctbal AS {DEC})) AS min_bal,
+    max(CAST(c_acctbal AS {DEC})) AS max_bal,
+    sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s_cents
+  FROM q GROUP BY c_mktsegment, quartile
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# window_rolling_7d_spend — RANGE frame over event time: each order's
+# trailing-7-day spend for its customer. RANGE (not ROWS) so same-timestamp
+# peers aggregate identically on both engines; frame bounds are epoch
+# seconds (Spark range frames need a numeric ordering column).
+# ---------------------------------------------------------------------------
+
+def _q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # TIMESTAMP_NTZ has no direct long cast; via TIMESTAMP under the
+        # session's pinned UTC zone = plain epoch seconds (matches DuckDB
+        # epoch()).
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
+
+
+_SQL_ROLLING_7D = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+  sum(CAST(o_totalprice AS {DEC})) OVER w AS spend_7d,
+  count(*) OVER w AS n_orders_7d
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_full_outer_nation_activity — customers vs suppliers per nation;
+# both sides pre-aggregated so the outer join is tiny (aggregate-then-join
+# beats join-then-aggregate by the fact-table row count).
+# ---------------------------------------------------------------------------
+
+def _q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    supp = _t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    joined = cust.join(supp, cust.c_nationkey == supp.s_nationkey, "full_outer")
+    return joined.select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+_SQL_FULL_OUTER = """
+WITH c AS (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey)
+SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+  coalesce(n_customers, 0) AS n_customers,
+  coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# join_range_views_before_purchase — bucketized point-in-interval join:
+# views in the hour before each purchase (operators/rangejoin.py).
+# ---------------------------------------------------------------------------
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import point_in_interval_join
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    pairs = point_in_interval_join(
+        purchases,
+        views,
+        by="user_id",
+        left_start="win_start",
+        left_end="win_end",
+        right_point="view_ts",
+        bucket_seconds=3600,
+        how="left",
+        left_id="purchase_id",
+    )
+    return pairs.groupBy("user_id", "purchase_id").agg(
+        F.count("view_ts").alias("n_views_1h")
+    )
+
+
+_SQL_RANGE_JOIN = """
+SELECT p.user_id, p.event_id AS purchase_id, count(v.ts) AS n_views_1h
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+GROUP BY p.user_id, p.event_id
+"""
+
+
+QUERIES = [
+    QuerySpec("groupby_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS),
+    QuerySpec("agg_percentiles", _q_percentiles, _SQL_PERCENTILES),
+    QuerySpec("agg_stats_moments", _q_stats_moments, _SQL_STATS_MOMENTS),
+    QuerySpec("pivot_status_revenue", _q_pivot, _SQL_PIVOT),
+    QuerySpec("unpivot_charge_components", _q_unpivot, _SQL_UNPIVOT),
+    QuerySpec("sample_hash_orders", _q_sample_hash, _SQL_SAMPLE_HASH),
+    QuerySpec("subq_exists_big_open_order", _q_exists, _SQL_EXISTS),
+    QuerySpec("subq_scalar_above_avg", _q_scalar_subq, _SQL_SCALAR_SUBQ),
+    QuerySpec("window_ntile_quartiles", _q_ntile, _SQL_NTILE),
+    QuerySpec("window_rolling_7d_spend", _q_rolling_7d, _SQL_ROLLING_7D),
+    QuerySpec("join_full_outer_nation_activity", _q_full_outer, _SQL_FULL_OUTER),
+    QuerySpec("join_range_views_before_purchase", _q_range_join, _SQL_RANGE_JOIN),
+]
