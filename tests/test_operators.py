@@ -268,3 +268,18 @@ def test_point_in_interval_join_edges(spark):
     )
     assert inner.count() == 4
     assert inner.select("iid").distinct().count() == 2
+
+
+def test_connected_components_chain_and_isolates(spark):
+    from yanwenxian_week3_data_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    # 0-1-2-3-4 chain (needs >1 propagation round), 10-11 pair, 20-21-22
+    # triangle; edges only ever name one direction
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 2), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    got = {r.node: r.comp for r in connected_components(edges, "src", "dst").collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

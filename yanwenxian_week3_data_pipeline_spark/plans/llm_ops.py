@@ -510,6 +510,137 @@ def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(documents_as_media(_docs(spark, sf_dir)))
 
 
+# ---------------------------------------------------------------------------
+# dedup_cc_clusters — pairs → clusters → canonical survivors.
+# LSH gives PAIRS; dedup needs GROUPS (duplicate chains A~B~C must collapse
+# to one survivor even when A~C was never emitted). Connected components
+# over the verified-pair graph (operators/components.py), canonical = min
+# doc_id per component; docs in no pair are their own singleton cluster.
+# Oracle: DuckDB WITH RECURSIVE min-label walk over the same pair SQL.
+# ---------------------------------------------------------------------------
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.components import connected_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_minhash_lsh(
+        docs, "text", "doc_id", threshold=MINHASH_JACCARD_THRESHOLD
+    )
+    comp = connected_components(pairs, "id_a", "id_b").withColumnsRenamed(
+        {"node": "doc_id", "comp": "_comp"}
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_comp", "doc_id").alias("cluster_id"),
+            (F.coalesce("_comp", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+        )
+    )
+
+
+_SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_SQL_DEDUP_MINHASH}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+),
+cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+SELECT d.doc_id,
+  coalesce(cc.comp, d.doc_id) AS cluster_id,
+  (coalesce(cc.comp, d.doc_id) = d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_chunking — overlapping fixed-width character windows (the LLM
+# context-window prep step), entirely in native expressions: sequence +
+# explode + substring; no UDF. Chunk text is reported as (len, md5) so the
+# result stays narrow.
+# ---------------------------------------------------------------------------
+
+CHUNK_CHARS = 512
+CHUNK_STRIDE = 384
+
+
+def _q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_chunks = (
+        F.lit(1)
+        + F.floor((F.greatest(F.length("text"), F.lit(1)) - 1) / F.lit(CHUNK_STRIDE))
+    ).cast("int")
+    return (
+        docs.select("doc_id", "text", n_chunks.alias("_n"))
+        .withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(
+                f"substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_CHARS})"
+            ).alias("_chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length("_chunk").alias("chunk_len"),
+            F.md5("_chunk").alias("chunk_md5"),
+        )
+    )
+
+
+_SQL_TEXT_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    1 + CAST(floor((greatest(length(text), 1) - 1) / {CHUNK_STRIDE}) AS INT) AS n
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, i AS chunk_idx,
+    substring(text, CAST(i AS INT) * {CHUNK_STRIDE} + 1, {CHUNK_CHARS}) AS chunk
+  FROM base, UNNEST(range(0, n)) AS t(i)
+)
+SELECT doc_id, chunk_idx, length(chunk) AS chunk_len, md5(chunk) AS chunk_md5
+FROM ch
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_train_split — deterministic train/val/test assignment by key hash
+# (shared md5 recipe): reproducible across engines, runs, and cluster
+# sizes, and stable under data growth (a doc's split never changes when
+# other docs are added — the property rand()-based splits lack).
+# ---------------------------------------------------------------------------
+
+def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash60_expr
+
+    docs = _docs(spark, sf_dir)
+    bucket = hash60_expr(F.col("doc_id").cast("string")) % 1000
+    split = (
+        F.when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+_SQL_TRAIN_SPLIT = f"""
+SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
+  count(*) AS n_docs, sum(n_chars) AS total_chars,
+  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM (SELECT *, ({hash60_sql("CAST(doc_id AS VARCHAR)")} % 1000) AS b FROM documents)
+GROUP BY 1
+"""
+
+
 QUERIES = [
     QuerySpec("text_token_count", _q_token_count, _SQL_TOKEN_COUNT),
     QuerySpec("text_quality_score", _q_quality, _SQL_QUALITY, headline=True),
@@ -528,4 +659,7 @@ QUERIES = [
     QuerySpec("emb_label_norms", _q_emb_norms, _SQL_EMB_NORMS),
     QuerySpec("mm_binary_meta", _q_mm_binary_meta, _SQL_MM_BINARY_META),
     QuerySpec("mm_extract_features", _q_mm_features, None),
+    QuerySpec("dedup_cc_clusters", _q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    QuerySpec("text_chunking", _q_text_chunks, _SQL_TEXT_CHUNKS),
+    QuerySpec("docs_train_split", _q_train_split, _SQL_TRAIN_SPLIT),
 ]
