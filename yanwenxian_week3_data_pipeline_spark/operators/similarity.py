@@ -15,7 +15,10 @@ floating-point results are cross-engine deterministic (sequential folds).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from ..functions.vectors import cosine_expr, dot_expr, norm_expr
@@ -181,7 +184,7 @@ def dedup_embedding_lsh(
         EMB_LSH_PLANES,
         EMB_LSH_SEED,
     )
-    from ..functions.vectors import band_value_expr, hyperplane_matrix
+    from ..functions.vectors import hyperplane_matrix
 
     n_planes = n_planes or EMB_LSH_PLANES
     bands = bands or EMB_LSH_BANDS
@@ -191,18 +194,41 @@ def dedup_embedding_lsh(
     planes = hyperplane_matrix(n_planes, dim, seed)
 
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                band_value_expr(F.col("vec"), planes[b * bits : (b + 1) * bits]).alias("band_val"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = base.select("id", F.explode(band_structs).alias("bd")).select(
-        "id", F.col("bd.band_idx").alias("band_idx"), F.col("bd.band_val").alias("band_val")
-    )
+
+    # Banding = one dense matmul per Arrow batch (Pandas UDF). The two
+    # expression formulations measured first at sf0.1: plane matrix as
+    # inline literals → ~4 s of whole-stage-codegen COMPILE for the 2048
+    # literals × 32 unrolled folds; plane matrix as broadcast data +
+    # higher-order folds → ~3 s EXECUTE, because ArrayAggregate is
+    # CodegenFallback (interpreted per element). Dense linear algebra is
+    # exactly the narrow case where the Arrow escape hatch beats native
+    # expressions; numpy does n×64 @ 64×32 per batch.
+    #
+    # Determinism caveat: numpy's dot accumulates in a different float
+    # association than the oracle's sequential fold, so a projection within
+    # ~1e-15 of zero could flip a band bit vs DuckDB. Candidates only —
+    # the exact-cosine verify below (sequential fold, shared rounding)
+    # decides membership, so a flipped bit can only add/remove a CANDIDATE
+    # pair whose true cosine sits exactly at the LSH boundary — vanishingly
+    # rare and checked continuously by the sf0.01 oracle gate.
+    plane_mat = np.asarray(planes, dtype=np.float64)  # n_planes × dim
+    powers = (1 << np.arange(bits)).astype(np.int64)
+    n_bands = bands
+
+    @pandas_udf("array<long>")
+    def _band_vals(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(vecs.tolist(), dtype=np.float64)  # n × dim
+        sign_bits = (x @ plane_mat.T >= 0).astype(np.int64)  # n × n_planes
+        vals = np.stack(
+            [sign_bits[:, b * bits : (b + 1) * bits] @ powers for b in range(n_bands)],
+            axis=1,
+        )
+        return pd.Series(list(vals))
+
+    banded = base.select(
+        "id", F.posexplode(_band_vals(F.col("vec"))).alias("band_idx", "band_val")
+    ).persist()
+    banded.count()  # barrier: both sides of the self-join read the cache
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
