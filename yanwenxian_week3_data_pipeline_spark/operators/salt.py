@@ -1,0 +1,59 @@
+"""Salted two-stage aggregation — the manual skew-mitigation pattern.
+
+A hot grouping key concentrates its rows on one reducer. Salting splits
+each key into ``salt_buckets`` sub-keys, aggregates partially per
+(key, salt), then combines per key: two small shuffles instead of one
+skewed one.
+
+When to reach for it (and when not):
+
+- plain ``count``/``sum``/``min``/``max`` group-bys already get map-side
+  partial aggregation (HashAggregate → Exchange → HashAggregate), which
+  neutralizes most aggregation skew for free — check ``.explain`` first;
+- salting earns its keep where partial aggregation can't: high-cardinality
+  state per group (``collect_list``, exact ``count_distinct`` re-expressed
+  as two-level groupBy), skewed JOIN keys (salt one side, explode the
+  other), or AQE disabled/ineffective;
+- the salt must vary WITHIN a key: here it's a hash of the full row, so
+  it is deterministic (no ``rand()`` — reruns and retries bucket
+  identically) yet spreads a hot key's rows across buckets.
+
+The decomposable aggregates supported here (count / sum / min / max) are
+exactly re-combinable, so results are identical to the unsalted form —
+which is what the DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, Column] | None = None,
+    count_alias: str = "n_rows",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """groupBy(keys) with count + sums, executed as salted two-stage
+    aggregation. ``sum_cols`` maps output name → row-level expression to
+    sum (cast sums to DECIMAL for order-independent exactness)."""
+    sum_cols = sum_cols or {}
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*keys, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_pn"),
+            *[expr.alias(f"_ps_{name}") for name, expr in
+              ((n, F.sum(e)) for n, e in sum_cols.items())],
+        )
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(
+            F.sum("_pn").alias(count_alias),
+            *[F.sum(f"_ps_{name}").alias(name) for name in sum_cols],
+        )
+    )

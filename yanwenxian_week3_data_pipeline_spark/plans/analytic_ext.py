@@ -470,6 +470,57 @@ GROUP BY p.user_id, p.event_id
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_salted_event_type — skew-mitigation demo: events has only 5 event
+# types, the worst-case aggregation-key skew (5 hot keys vs 32 reducers).
+# Salted two-stage aggregation (operators/salt.py) spreads each key over
+# hash-of-row salt buckets; results are identical to the plain groupBy —
+# which is exactly what the oracle checks. Sums go through DECIMAL so the
+# extra combine stage cannot change the value (double sums are
+# order-dependent; decimal sums are exact).
+# ---------------------------------------------------------------------------
+
+def _q_salted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.salt import salted_agg
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return salted_agg(
+        ev.select("event_type", F.col("value").cast(DEC6).alias("value")),
+        keys=["event_type"],
+        sum_cols={"total_value": F.col("value")},
+        count_alias="n_events",
+    )
+
+
+_SQL_SALTED_EVENTS = f"""
+SELECT event_type, count(*) AS n_events,
+  sum(CAST(value AS {DEC6})) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_partial_union — sketch REUSE: per-nation HLL sketches of the
+# customer set, merged upward to nations-total without rescanning the
+# table. The production pattern at 100 TB: persist the binary sketch per
+# partition/day, answer rollups by unioning sketches. Estimates are
+# engine-specific (Apache DataSketches here) → rows-only driver check.
+# ---------------------------------------------------------------------------
+
+def _q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_nation.agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_rows").alias("n_customers"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct_custkeys"),
+    )
+
+
 QUERIES = [
     QuerySpec("groupby_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS),
     QuerySpec("agg_percentiles", _q_percentiles, _SQL_PERCENTILES),
@@ -483,4 +534,6 @@ QUERIES = [
     QuerySpec("window_rolling_7d_spend", _q_rolling_7d, _SQL_ROLLING_7D),
     QuerySpec("join_full_outer_nation_activity", _q_full_outer, _SQL_FULL_OUTER),
     QuerySpec("join_range_views_before_purchase", _q_range_join, _SQL_RANGE_JOIN),
+    QuerySpec("agg_salted_event_type", _q_salted_events, _SQL_SALTED_EVENTS),
+    QuerySpec("agg_hll_partial_union", _q_hll_union, None),
 ]

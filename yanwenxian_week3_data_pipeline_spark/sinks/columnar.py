@@ -1,0 +1,61 @@
+"""Columnar / delimited sinks and their matching readers — the EXT
+source/sink surface (SURVEY.md §2.1: the reference ships JSON only and
+lists CSV/Parquet export as future work, prompt-log.md:291).
+
+``write_partitioned_parquet`` is the lakehouse output shape for the 100 TB
+path:
+
+- hive-style ``partitionBy`` directories so downstream readers get
+  partition PRUNING (a filter on the partition column never touches the
+  other directories' files);
+- optional ``sort_within_partitions`` so each file is internally ordered —
+  parquet min/max row-group statistics then let even non-partition
+  predicates skip row groups;
+- ``target_file_partitions`` repartitions by the partition columns before
+  the write, collapsing the output to ~one file per partition value
+  instead of (#tasks × #values) small files — the classic small-files
+  failure mode of naive partitioned writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_within_partitions: list[str] | None = None,
+    target_file_partitions: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    out = df
+    if target_file_partitions:
+        out = out.repartition(*partition_by)
+    if sort_within_partitions:
+        out = out.sortWithinPartitions(*sort_within_partitions)
+    out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    """Delimited export (splittable, header per file). Types flatten to
+    text — a lossy interchange format; parquet is the fidelity path."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -> DataFrame:
+    """Schema-ON-READ csv: an explicit DDL schema, never inference — an
+    inference pass reads the whole input once before the real job, and
+    silently mistypes columns on dirty data."""
+    return (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
