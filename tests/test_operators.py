@@ -324,3 +324,66 @@ def test_csv_roundtrip_schema_on_read(spark, sf_dir, tmp_path):
     assert sorted(tuple(r) for r in back.collect()) == sorted(
         tuple(r) for r in nation.collect()
     )
+
+
+def test_dedup_incremental_batch_vs_corpus(spark):
+    """Batch docs (id % 10 == 0) are matched only against corpus docs:
+    id 0 (exact dup of corpus id 4) resolves to dup_of=4; id 30 (unrelated)
+    is unique; batch-internal duplicates do NOT pair with each other."""
+    from yanwenxian_week3_data_pipeline_spark.operators.dedup import dedup_incremental
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+        "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
+    )
+    unrelated = (
+        "completely different content about spark catalyst optimizer and parquet "
+        "columnar files with adaptive execution and shuffle partition coalescing"
+    )
+    rows = [
+        (0, base),        # batch: dup of corpus 4
+        (4, base),        # corpus
+        (10, unrelated),  # batch: dup of batch 20 ONLY -> must stay unique
+        (20, unrelated),  # batch
+        (30, "short no shingles"),  # batch: too short for 5-shingles -> unique
+        (7, "some corpus only text that matches nothing else in this tiny fixture here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup_incremental(
+            df, "text", "doc_id", batch_pred=lambda i: i % 10 == 0, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {0, 10, 20, 30}          # one row per batch doc
+    assert out[0].dup_of == 4 and out[0].jaccard == 1.0 and not out[0].is_unique
+    assert out[10].is_unique and out[10].dup_of is None   # batch-batch ignored
+    assert out[20].is_unique
+    assert out[30].is_unique                     # shingle-less doc is unique
+
+
+def test_pii_scrub_patterns(spark):
+    from yanwenxian_week3_data_pipeline_spark.functions.textstats import (
+        pii_counts_expr,
+        pii_scrub_expr,
+    )
+
+    rows = [
+        (1, "reach me at jane.doe+spam@sub.example.co.uk or call +1 555-010-9999"),
+        (2, "server at 192.168.000.1 and 10.0.42.1 serve mail for bob@x.io"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    res = {
+        r.id: r
+        for r in df.select(
+            "id",
+            *[v.alias(k) for k, v in pii_counts_expr(F.col("t")).items()],
+            pii_scrub_expr(F.col("t")).alias("scrubbed"),
+        ).collect()
+    }
+    assert res[1].n_email == 1 and res[1].n_phone == 1
+    assert "<EMAIL>" in res[1].scrubbed and "<PHONE>" in res[1].scrubbed
+    assert "jane" not in res[1].scrubbed
+    assert res[2].n_ipv4 == 2 and res[2].n_email == 1
+    assert res[3].scrubbed == "no pii here at all"

@@ -77,3 +77,63 @@ def test_funnel_single_scan(spark, sf_dir):
     # single-pass funnel: one scan of documents feeds all four stage counts
     plan = plan_of(spark, "agg_counts_funnel", sf_dir)
     assert node_count(plan, "Scan parquet") == 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing: orders and lineitem written bucketed
+    by the join key join WITHOUT an Exchange on either side — the plan shape
+    that makes repeated fact-fact joins affordable at 100 TB (shuffle paid
+    once at write time, reused by every downstream join)."""
+    wh = str(tmp_path / "warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdb LOCATION '{wh}'")
+    # force the shuffle-free merge path (at test scale the dimension side
+    # would broadcast, which also avoids the shuffle but hides the bucket
+    # co-location this test is about)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+         .sortBy("o_orderkey").saveAsTable("buckdb.orders_b"))
+        (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+         .sortBy("l_orderkey").saveAsTable("buckdb.lineitem_b"))
+        ob = spark.table("buckdb.orders_b")
+        lb = spark.table("buckdb.lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).groupBy("o_orderpriority").count()
+
+        import contextlib, io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain(mode="formatted")
+        plan = buf.getvalue()
+        n_exchange = node_count(plan, "Exchange")
+        # the only allowed Exchange is the final groupBy — the join itself
+        # must consume bucket-local partitioning on both sides
+        assert n_exchange <= 1, f"bucketed join reintroduced shuffles:\n{plan}"
+        assert node_count(plan, "SortMergeJoin") + node_count(plan, "ShuffledHashJoin") >= 1
+
+        # and the result matches the plain (shuffled) join
+        plain = (
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority").count()
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS buckdb.orders_b")
+        spark.sql("DROP TABLE IF EXISTS buckdb.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS buckdb")
+
+
+def test_incremental_dedup_never_joins_corpus_with_itself(spark, sf_dir):
+    """The incremental-dedup band join must be batch×corpus, not
+    corpus×corpus: both join inputs carry a Filter on the batch/corpus
+    predicate below the join."""
+    plan = plan_of(spark, "dedup_incremental", sf_dir)
+    # both band-join inputs are filtered on the batch/corpus predicate
+    # BEFORE the join (pushdown below the explode output), and no cartesian
+    # fallback appears anywhere
+    assert len(re.findall(r"% 10\)", plan)) >= 2, plan
+    assert node_count(plan, "CartesianProduct") == 0
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 0

@@ -186,3 +186,105 @@ def fingerprint_hash60_expr(clean: Column) -> Column:
 
 def fingerprint_hash60_sql(clean: str) -> str:
     return hash60_sql(clean)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: redact emails / phone numbers / IPv4 addresses.
+# Patterns are RE2-and-Java-compatible (no backrefs, no lookaround) so the
+# exact same strings drive Spark's regexp_replace/regexp_count and DuckDB's
+# regexp_replace(..., 'g')/regexp_extract_all.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9]{1,2}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+)
+
+
+def pii_counts_expr(text: Column) -> dict[str, Column]:
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS
+    }
+
+
+def pii_counts_sql(expr: str) -> dict[str, str]:
+    return {
+        f"n_{name}": f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"
+        for name, pat in PII_PATTERNS
+    }
+
+
+def pii_scrub_expr(text: Column) -> Column:
+    """Replace each PII category with a typed placeholder, in declaration
+    order (email before ipv4 so a host part already rewritten to <EMAIL>
+    cannot be re-matched as an address)."""
+    out = text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_scrub_sql(expr: str) -> str:
+    out = expr
+    for name, pat in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '<{name.upper()}>', 'g')"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style quality signals): duplicate-token fraction,
+# most-frequent-token fraction, duplicate-2-gram fraction. All native
+# array expressions; the O(distinct × n) top-token scan is bounded by
+# document length, not table size, so it stays embarrassingly parallel.
+# ---------------------------------------------------------------------------
+
+def repetition_features_expr(clean: Column) -> dict[str, Column]:
+    toks = tokens_expr(clean)
+    n = F.size(toks).cast("long")
+    nz = F.greatest(n, F.lit(1))
+    uniq = F.array_distinct(toks)
+    n_uniq = F.size(uniq).cast("long")
+    top_cnt = F.array_max(
+        F.transform(uniq, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    ).cast("long")
+    n_int = F.size(toks)  # int-typed: sequence() lambda vars must be INT for element_at
+    grams2 = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_int - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n2 = F.size(grams2).cast("long")
+    nz2 = F.greatest(n2, F.lit(1))
+    return {
+        "n_tokens": n,
+        "dup_token_ratio": F.round((n - n_uniq) / nz, 4),
+        "top_token_frac": F.round(F.coalesce(top_cnt, F.lit(0)) / nz, 4),
+        "dup_2gram_ratio": F.round((n2 - F.size(F.array_distinct(grams2)).cast("long")) / nz2, 4),
+    }
+
+
+def repetition_features_sql(clean: str) -> dict[str, str]:
+    toks = tokens_sql(clean)
+    n = f"CAST(len({toks}) AS BIGINT)"
+    nz = f"greatest({n}, 1)"
+    uniq = f"list_distinct({toks})"
+    n_uniq = f"CAST(len({uniq}) AS BIGINT)"
+    top_cnt = (
+        f"CAST(list_max(list_transform({uniq}, d -> len(list_filter({toks}, t -> t = d)))) AS BIGINT)"
+    )
+    grams2 = (
+        f"(CASE WHEN {n} >= 2 THEN list_transform(range(1, {n}), "
+        f"i -> ({toks})[i] || ' ' || ({toks})[i + 1]) ELSE []::VARCHAR[] END)"
+    )
+    n2 = f"CAST(len({grams2}) AS BIGINT)"
+    nz2 = f"greatest({n2}, 1)"
+    return {
+        "n_tokens": n,
+        "dup_token_ratio": f"round(({n} - {n_uniq}) / {nz}, 4)",
+        "top_token_frac": f"round(coalesce({top_cnt}, 0) / {nz}, 4)",
+        "dup_2gram_ratio": f"round(({n2} - CAST(len(list_distinct({grams2})) AS BIGINT)) / {nz2}, 4)",
+    }

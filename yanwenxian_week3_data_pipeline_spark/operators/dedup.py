@@ -337,3 +337,97 @@ def dedup_simhash(
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+def minhash_band_keys(sigs: DataFrame, bands: int = MINHASH_BANDS,
+                      rows_per_band: int = MINHASH_ROWS_PER_BAND) -> DataFrame:
+    """(id, band_idx, band_key) — explode a signature frame to its LSH band
+    keys (md5 over the band's signature slice, same recipe as the oracle)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", F.explode(band_structs).alias("band")).select(
+        "id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+
+
+def dedup_incremental(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    batch_pred,
+    threshold: float,
+) -> DataFrame:
+    """Incremental near-dup: which NEW-batch docs already exist (as near
+    duplicates) in the corpus? The daily-ingest shape of dedup at scale:
+    signatures are computed ONCE over the union, then the (small) batch side
+    band-joins against the (large) corpus side — never corpus × corpus.
+
+    ``batch_pred`` is a function id-Column → boolean Column deciding batch
+    membership (e.g. ``lambda i: i % 10 == 0``).
+
+    Returns one row per batch doc: (doc_id, dup_of, jaccard, is_unique)
+    where dup_of is the best-matching corpus doc (max jaccard, ties to the
+    lowest id) or null when the doc is genuinely new. Batch docs with no
+    shingles (too short) are unique by definition.
+
+    At cluster scale the corpus band table is a persisted/bucketed dataset
+    keyed by (band_idx, band_key); each new batch only shuffles ITS bands.
+    """
+    sigs = minhash_signatures(df, text_col, id_col).where(F.size("shingles") > 0).persist()
+    sigs.count()
+    banded = minhash_band_keys(sigs)
+    batch_bands = banded.where(batch_pred(F.col("id")))
+    corpus_bands = banded.where(~batch_pred(F.col("id")))
+    cand = (
+        batch_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("n.id").alias("batch_id"), F.col("c.id").alias("corpus_id"))
+        .distinct()
+    )
+    sh = sigs.select("id", "shingles")
+    verified = (
+        cand.join(sh.withColumnsRenamed({"id": "batch_id", "shingles": "sh_n"}), "batch_id")
+        .join(sh.withColumnsRenamed({"id": "corpus_id", "shingles": "sh_c"}), "corpus_id")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_n", "sh_c")).cast("long"))
+        .withColumn("n_union", (F.size("sh_n") + F.size("sh_c") - F.col("n_inter")).cast("long"))
+        .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("batch_id", "corpus_id", "jaccard")
+    )
+    w = Window.partitionBy("batch_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
+    best = (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("batch_id", F.col("corpus_id").alias("dup_of"), "jaccard")
+    )
+    return (
+        df.where(batch_pred(F.col(id_col)))
+        .select(F.col(id_col).alias("doc_id"))
+        .join(best.withColumnsRenamed({"batch_id": "doc_id"}), "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "jaccard",
+            F.col("dup_of").isNull().alias("is_unique"),
+        )
+    )

@@ -27,6 +27,27 @@ def tumbling_window_agg(events: DataFrame, duration: str = "1 hour") -> DataFram
     )
 
 
+def sliding_window_agg(
+    events: DataFrame, duration: str = "15 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Overlapping sliding windows via the native ``F.window`` operator —
+    each event lands in duration/slide windows; Spark expands them with a
+    single Expand + hash aggregate (no self-join)."""
+    return (
+        events.groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the time since
     the previous event exceeds the gap. Classic lag + running-sum windows —

@@ -641,6 +641,242 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# text_pii_scrub — typed-placeholder redaction of emails / phones / IPv4.
+# The synthetic corpus carries no PII, so each engine deterministically
+# injects it first (doc_id-keyed suffixes) — the scrub then has real work:
+# ~1/3 of docs gain an email, 1/5 a phone, 1/7 an address.
+# ---------------------------------------------------------------------------
+
+from ..functions.textstats import (  # noqa: E402
+    pii_counts_expr,
+    pii_counts_sql,
+    pii_scrub_expr,
+    pii_scrub_sql,
+    repetition_features_expr,
+    repetition_features_sql,
+)
+
+
+def _inject_pii_expr() -> F.Column:
+    did = F.col("doc_id")
+    email = F.when(
+        did % 3 == 0, F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@mail.example.com"))
+    ).otherwise("")
+    phone = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" call +1 555-010-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise("")
+    ip = F.when(
+        did % 7 == 0, F.concat(F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".1"))
+    ).otherwise("")
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+_INJECTED_SQL = (
+    "text"
+    " || (CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN ' call +1 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END)"
+    " || (CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END)"
+)
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", _inject_pii_expr().alias("t"))
+    counts = pii_counts_expr(F.col("t"))
+    scrubbed = pii_scrub_expr(F.col("t"))
+    return d.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+_pii_counts = pii_counts_sql("t")
+_SQL_PII_SCRUB = (
+    f"WITH d AS (SELECT doc_id, {_INJECTED_SQL} AS t FROM documents) SELECT doc_id, "
+    + ", ".join(f"{v} AS {k}" for k, v in _pii_counts.items())
+    + f", length({pii_scrub_sql('t')}) AS scrubbed_len, md5({pii_scrub_sql('t')}) AS scrubbed_md5 FROM d"
+)
+
+
+# ---------------------------------------------------------------------------
+# text_word_repetition — Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+def _q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _cleaned_docs(spark, sf_dir)
+    feats = repetition_features_expr(F.col("c"))
+    return d.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+_rep_sql = repetition_features_sql("c")
+_SQL_WORD_REPETITION = (
+    f"WITH d AS ({_CLEANED}) SELECT doc_id, "
+    + ", ".join(f"{v} AS {k}" for k, v in _rep_sql.items())
+    + " FROM d"
+)
+
+
+# ---------------------------------------------------------------------------
+# docs_corpus_curation — the end-to-end curation funnel in ONE pass:
+# clean → quality gate (score ≥ 0.5 ∧ tokens ≥ 30) → exact dedup survivor
+# (min doc_id per cleaned text among quality docs, via one window) →
+# per-(lang, source) funnel counts + kept token mass. Two shuffles total
+# (window on text, groupBy on the group keys); no joins.
+# ---------------------------------------------------------------------------
+
+CURATION_MIN_SCORE = "0.5"
+CURATION_MIN_TOKENS = 30
+
+
+def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", "source", clean_text_expr(F.col("text")).alias("c")
+    )
+    feats = quality_features_expr(F.col("c"))
+    f_ = d.select(
+        "doc_id", "lang", "source", "c",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality_score"].alias("score"),
+    )
+    g = f_.withColumn(
+        "pass",
+        (F.col("score") >= F.lit(CURATION_MIN_SCORE).cast("decimal(14,5)"))
+        & (F.col("n_tokens") >= CURATION_MIN_TOKENS),
+    )
+    w = Window.partitionBy("c").orderBy(F.desc("pass"), F.asc("doc_id"))
+    r = g.withColumn("rn", F.row_number().over(w))
+    surv = F.col("pass") & (F.col("rn") == 1)
+    return r.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_loaded"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).cast("long").alias("n_quality"),
+        F.sum(F.when(surv, 1).otherwise(0)).cast("long").alias("n_unique"),
+        F.sum(F.when(surv, F.col("n_tokens")).otherwise(0)).cast("long").alias("tokens_kept"),
+    )
+
+
+_cur_feats = quality_features_sql("c")
+_SQL_CORPUS_CURATION = f"""
+WITH d AS (SELECT doc_id, lang, source, {CLEAN_SQL} AS c FROM documents),
+f AS (SELECT doc_id, lang, source, c, {_cur_feats['n_tokens']} AS n_tokens,
+        {_cur_feats['quality_score']} AS score FROM d),
+g AS (SELECT *, (score >= CAST('{CURATION_MIN_SCORE}' AS DECIMAL(14,5))
+                 AND n_tokens >= {CURATION_MIN_TOKENS}) AS pass FROM f),
+r AS (SELECT *, row_number() OVER (PARTITION BY c ORDER BY pass DESC, doc_id ASC) AS rn FROM g)
+SELECT lang, source, count(*) AS n_loaded,
+  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  CAST(sum(CASE WHEN pass AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+  CAST(sum(CASE WHEN pass AND rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM r GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf_top_terms — top-5 distinctive terms per language by TF-IDF.
+# Corpus-level text analysis: one explode + two hash aggregations + a
+# broadcast of the (tiny) per-term doc-freq side onto the per-lang term
+# counts; ranking via a per-lang window. idf is rounded to 6 decimals and
+# the score kept in DECIMAL so the cross-engine ranking is exact.
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+    from ..functions.textstats import tokens_expr
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", clean_text_expr(F.col("text")).alias("c")
+    )
+    tok = d.select("doc_id", "lang", F.explode(tokens_expr(F.col("c"))).alias("t"))
+    tf = tok.groupBy("lang", "t").agg(F.count(F.lit(1)).alias("term_count"))
+    docfreq = tok.select("doc_id", "t").distinct().groupBy("t").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf", F.round(F.log(F.col("n_docs") / F.col("doc_freq")), 6).cast("decimal(18,6)")
+        )
+        .withColumn("tfidf", (F.col("term_count") * F.col("idf")).cast("decimal(28,6)"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("lang", F.col("t").alias("term"), "term_count", "doc_freq", "tfidf",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_SQL_TFIDF = f"""
+WITH d AS (SELECT doc_id, lang, {CLEAN_SQL} AS c FROM documents),
+tok AS (SELECT doc_id, lang, unnest({tokens_sql('c')}) AS t FROM d),
+tf AS (SELECT lang, t, count(*) AS term_count FROM tok GROUP BY lang, t),
+docfreq AS (SELECT t, count(*) AS doc_freq FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY t),
+nd AS (SELECT count(*) AS n_docs FROM d),
+scored AS (
+  SELECT lang, t, term_count, doc_freq,
+    CAST(term_count * CAST(round(ln(CAST(n_docs AS DOUBLE) / doc_freq), 6) AS DECIMAL(18,6)) AS DECIMAL(28,6)) AS tfidf
+  FROM tf JOIN docfreq USING (t), nd),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, t ASC) AS rnk FROM scored)
+SELECT lang, t AS term, term_count, doc_freq, tfidf, CAST(rnk AS INT) AS rank
+FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_incremental — new-batch (doc_id % 10 = 0) vs corpus near-dup check
+# ---------------------------------------------------------------------------
+
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_incremental
+
+    return dedup_incremental(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        batch_pred=lambda i: i % 10 == 0,
+        threshold=MINHASH_JACCARD_THRESHOLD,
+    )
+
+
+_SQL_DEDUP_INCREMENTAL = f"""
+WITH d AS ({_CLEANED}),
+sh AS (SELECT doc_id, {_shingles_sql_inline('c')} AS shingles FROM d),
+sigs AS (SELECT doc_id, shingles, {_minhash_sig_sql('shingles')} AS sig FROM sh WHERE len(shingles) > 0),
+banded AS (SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
+           FROM sigs, UNNEST([{_band_structs}]) AS t(u)),
+cand AS (SELECT DISTINCT nb.doc_id AS batch_id, cb.doc_id AS corpus_id
+         FROM banded nb JOIN banded cb
+           ON nb.band_idx = cb.band_idx AND nb.band_key = cb.band_key
+          AND nb.doc_id % 10 = 0 AND cb.doc_id % 10 <> 0),
+verified AS (
+  SELECT batch_id, corpus_id,
+    round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+          / CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT), 6) AS jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = batch_id
+  JOIN sigs sb ON sb.doc_id = corpus_id),
+best AS (
+  SELECT batch_id, corpus_id AS dup_of, jaccard FROM (
+    SELECT *, row_number() OVER (PARTITION BY batch_id ORDER BY jaccard DESC, corpus_id ASC) AS rn
+    FROM verified WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD})
+  WHERE rn = 1)
+SELECT doc.doc_id, b.dup_of, b.jaccard, (b.dup_of IS NULL) AS is_unique
+FROM documents doc LEFT JOIN best b ON b.batch_id = doc.doc_id
+WHERE doc.doc_id % 10 = 0
+"""
+
+
 QUERIES = [
     QuerySpec("text_token_count", _q_token_count, _SQL_TOKEN_COUNT),
     QuerySpec("text_quality_score", _q_quality, _SQL_QUALITY, headline=True),
@@ -662,4 +898,9 @@ QUERIES = [
     QuerySpec("dedup_cc_clusters", _q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     QuerySpec("text_chunking", _q_text_chunks, _SQL_TEXT_CHUNKS),
     QuerySpec("docs_train_split", _q_train_split, _SQL_TRAIN_SPLIT),
+    QuerySpec("text_pii_scrub", _q_pii_scrub, _SQL_PII_SCRUB),
+    QuerySpec("text_word_repetition", _q_word_repetition, _SQL_WORD_REPETITION),
+    QuerySpec("docs_corpus_curation", _q_corpus_curation, _SQL_CORPUS_CURATION, headline=True),
+    QuerySpec("dedup_incremental", _q_dedup_incremental, _SQL_DEDUP_INCREMENTAL),
+    QuerySpec("text_tfidf_top_terms", _q_tfidf_top_terms, _SQL_TFIDF),
 ]

@@ -370,6 +370,29 @@ FROM events GROUP BY 1
 """
 
 
+def _q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessionize import sliding_window_agg
+    from ..sources.tables import load_events
+
+    return sliding_window_agg(load_events(spark, sf_dir), "15 minutes", "5 minutes")
+
+
+# every event belongs to exactly 3 windows (15m span / 5m slide); DuckDB's
+# time_bucket origin (2000-01-01) is a whole multiple of 5 minutes from
+# Spark's window origin (1970-01-01), so bucket edges coincide
+_SQL_SLIDING = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - (k.k * INTERVAL '5 minutes') AS window_start,
+         value
+  FROM events, (SELECT unnest(range(0, 3)) AS k) k)
+SELECT window_start,
+  window_start + INTERVAL 15 MINUTE AS window_end,
+  count(*) AS n_events,
+  sum(CAST(value AS DECIMAL(18,3))) AS sum_value
+FROM expanded GROUP BY 1
+"""
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import sessionize
     from ..sources.tables import load_events
@@ -473,6 +496,7 @@ QUERIES = [
     QuerySpec("agg_approx_count_distinct", _q_approx_distinct, None),
     QuerySpec("join_asof_purchase_view", _q_asof, _SQL_ASOF),
     QuerySpec("events_tumbling_hourly", _q_tumbling, _SQL_TUMBLING, headline=True),
+    QuerySpec("events_sliding_15m", _q_sliding, _SQL_SLIDING),
     QuerySpec("events_sessionize", _q_sessionize, _SQL_SESSIONIZE, headline=True),
     QuerySpec("events_json_props", _q_json_props, _SQL_JSON_PROPS),
 ]
