@@ -328,6 +328,98 @@ SELECT o_orderkey, raw_date, {parse_iso_date_sql('raw_date')} AS iso_date FROM s
 """
 
 
+# ---------------------------------------------------------------------------
+# pred_safe_str — stringify-with-default (validator.py:38-45 `_safe_str`):
+# nulls/blank → "" on a string col; numeric cols stringified losslessly
+# (bigint only — double rendering is engine-specific, excluded by the fixed
+# schema exactly as nested types were in the reference)
+# ---------------------------------------------------------------------------
+
+def _q_safe_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.coalesce(F.trim(F.col("source").cast("string")), F.lit("")).alias("source_str"),
+        F.coalesce(F.trim(F.col("n_chars").cast("string")), F.lit("")).alias("n_chars_str"),
+    )
+
+
+_SQL_SAFE_STR = (
+    "SELECT doc_id, coalesce(trim(CAST(source AS VARCHAR)), '') AS source_str, "
+    "coalesce(trim(CAST(n_chars AS VARCHAR)), '') AS n_chars_str FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# proj_text_cols — project the text-cleanable column subset (cleaner.py:317);
+# with a fixed schema this is a plain pruning projection (ReadSchema shrinks
+# to exactly these columns)
+# ---------------------------------------------------------------------------
+
+def _q_proj_text_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+
+
+_SQL_PROJ_TEXT_COLS = "SELECT doc_id, text, lang, source FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# fn_alias_published — derive the canonical date column from the raw one when
+# absent (cleaner.py:311-312 `published`→`published_date` copy)
+# ---------------------------------------------------------------------------
+
+def _q_alias_published(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    published = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    return ev.select(
+        "event_id",
+        published.alias("published"),
+        published.alias("published_date"),
+    )
+
+
+_SQL_ALIAS_PUBLISHED = (
+    "SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS published, "
+    "strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS published_date FROM events"
+)
+
+
+# ---------------------------------------------------------------------------
+# val_row — single-record validation (validator.py:48-96): same composed rule
+# expression as val_batch, point-looked-up by key (partition-prunable filter)
+# ---------------------------------------------------------------------------
+
+def _q_val_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = _doc_stages(spark, sf_dir)
+    return st["validated"].where(F.col("doc_id") == 42).select(
+        "doc_id", "passed", "reason", "message"
+    )
+
+
+_SQL_VAL_ROW = _STAGES_SQL + (
+    "SELECT doc_id, passed, reason, message FROM validated WHERE doc_id = 42"
+)
+
+
+# ---------------------------------------------------------------------------
+# agg_notna — count of parseable (non-null) values (cleaner.py:326-327)
+# ---------------------------------------------------------------------------
+
+def _q_notna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    return ev.agg(
+        F.count("ts").alias("n_parsed"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_SQL_NOTNA = "SELECT count(ts) AS n_parsed, count(*) AS n_rows FROM events"
+
+
 QUERIES = [
     QuerySpec("fn_clean_text", _q_clean_text, _SQL_CLEAN_TEXT),
     QuerySpec("fn_parse_iso_date", _q_parse_iso_date, _SQL_PARSE_ISO_DATE),
@@ -342,4 +434,9 @@ QUERIES = [
     QuerySpec("agg_top_failure", _q_top_failure, _SQL_TOP_FAILURE),
     QuerySpec("agg_pass_rate", _q_pass_rate, _SQL_PASS_RATE),
     QuerySpec("agg_date_range", _q_date_range, _SQL_DATE_RANGE),
+    QuerySpec("pred_safe_str", _q_safe_str, _SQL_SAFE_STR),
+    QuerySpec("proj_text_cols", _q_proj_text_cols, _SQL_PROJ_TEXT_COLS),
+    QuerySpec("fn_alias_published", _q_alias_published, _SQL_ALIAS_PUBLISHED),
+    QuerySpec("val_row", _q_val_row, _SQL_VAL_ROW),
+    QuerySpec("agg_notna", _q_notna, _SQL_NOTNA),
 ]
