@@ -18,7 +18,9 @@ def stream_src(spark, sf_dir, tmp_path_factory):
     ev = load_events(spark, sf_dir).select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
     )
-    ev.coalesce(2).write.mode("overwrite").json(d)
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import JSON_TS_FORMAT
+
+    ev.coalesce(2).write.mode("overwrite").option("timestampFormat", JSON_TS_FORMAT).json(d)
     return d
 
 

@@ -44,8 +44,18 @@ EVENT_STREAM_SCHEMA = StructType(
 )
 
 
+# Spark's JSON default timestampFormat keeps only milliseconds; event feeds
+# carry microsecond timestamps, so spell the format out end-to-end (readers
+# here, writers in tests) or sub-ms precision silently truncates.
+JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
 def read_event_stream(spark: SparkSession, src_dir: str) -> DataFrame:
-    return spark.readStream.schema(EVENT_STREAM_SCHEMA).json(src_dir)
+    return (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("timestampFormat", JSON_TS_FORMAT)
+        .json(src_dir)
+    )
 
 
 def tumbling_stream(
@@ -79,11 +89,11 @@ SESSION_STATE_SCHEMA = "start long, last long, n long"
 
 
 def _sessionize_fn(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState, flush_idle: bool = False
 ) -> Iterable[pd.DataFrame]:
     """Per-user sessionizer. State = (session_start_us, last_ts_us, count).
-    Emits a row per CLOSED session; on processing-time timeout the open
-    session is flushed with closed=false."""
+    Emits a row per CLOSED session; with ``flush_idle`` the open session is
+    additionally flushed with closed=false on processing-time timeout."""
     gap_us = 30 * 60 * 1_000_000
     (user_id,) = key
 
@@ -110,7 +120,6 @@ def _sessionize_fn(
     if state.exists:
         start, last, n = state.get
     else:
-        start = last = None, None  # placeholder replaced below
         start, last, n = None, None, 0
 
     out_rows: list[tuple] = []
@@ -125,7 +134,8 @@ def _sessionize_fn(
 
     if start is not None:
         state.update((start, last, n))
-        state.setTimeoutDuration(60_000)
+        if flush_idle:
+            state.setTimeoutDuration(60_000)
 
     if out_rows:
         yield pd.DataFrame(
@@ -139,17 +149,37 @@ def _sessionize_fn(
         )
 
 
-def sessionize_stateful(spark: SparkSession, src_dir: str) -> DataFrame:
-    """Custom stateful sessionization (applyInPandasWithState)."""
+def sessionize_stateful(
+    spark: SparkSession, src_dir: str, flush_idle: bool = False
+) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState).
+
+    ``flush_idle=False`` (drain mode): no timers — sessions close only when a
+    later event exceeds the gap; each user's final session stays in state.
+    This is REQUIRED for ``trigger(availableNow=True)`` runs: processing-time
+    timers keep scheduling micro-batches after the input is exhausted, so an
+    availableNow query with timers never terminates (observed: >1200 empty
+    ~0.5 s batches before we killed it).
+
+    ``flush_idle=True`` (continuous mode): a 60 s processing-time timeout
+    flushes idle users' open sessions with ``closed=false`` — use with a
+    continuous trigger in long-running deployments.
+    """
+    import functools
+
     ev = read_event_stream(spark, src_dir)
     return (
         ev.groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_fn,
+            functools.partial(_sessionize_fn, flush_idle=flush_idle),
             outputStructType=SESSION_OUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if flush_idle
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
