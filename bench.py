@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf resolves stringified type hints here
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,8 +28,30 @@ def main() -> None:
     spark = get_spark("ywx-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM + parquet reader
+    # Warm up execution machinery so one-time session costs are not
+    # attributed to whichever query happens to run first: parquet reader,
+    # shuffle + window codegen, the Python/Arrow worker pool (pandas UDFs
+    # fork workers on first use, ~1-2 s), and broadcast plumbing. No query
+    # results are cached — these run on spark.range, not the bench tables.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    r = spark.range(1000)
+    w = Window.partitionBy(F.col("id") % 10).orderBy("id")
+    r.withColumn("rn", F.row_number().over(w)).groupBy(F.col("id") % 7).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s + 1
+
+    r.select(_warm("id")).write.format("noop").mode("overwrite").save()
+    r.join(
+        F.broadcast(spark.range(10).withColumnRenamed("id", "k")), r.id % 10 == F.col("k")
+    ).write.format("noop").mode("overwrite").save()
 
     specs = {name: s for name, s in all_queries().items() if s.headline}
     timings: dict[str, float] = {}

@@ -42,6 +42,29 @@ def hash56_sql(expr: str, seed: int | None = None) -> str:
     return f"(('0x' || substr(md5({s}), 1, 14))::BIGINT)"
 
 
+def md5_split_exprs(col: Column) -> tuple[Column, Column]:
+    """(h1, h2) Kirsch-Mitzenmacher base hashes from ONE md5 digest:
+    h1 = hex chars 1-15 (60 bits), h2 = hex chars 16-29 (56 bits). Disjoint
+    halves of a single digest are independent hash values, so one md5 per
+    shingle replaces the two seeded calls (hashing is the dominant cost of
+    the signature stage; whole-stage codegen's subexpression elimination
+    computes the shared md5 once)."""
+    d = F.md5(col)
+    h1 = F.conv(F.substring(d, 1, HASH64_HEX_CHARS), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 16, 14), 16, 10).cast("long")
+    return h1, h2
+
+
+def md5_split_sql(digest_expr: str) -> tuple[str, str]:
+    """DuckDB twin of ``md5_split_exprs`` over an already-computed digest
+    column/expression (stage the ``md5(s)`` list once; inlining it would
+    recompute the digest inside every one of the num_hashes transforms)."""
+    return (
+        f"(('0x' || substr({digest_expr}, 1, {HASH64_HEX_CHARS}))::BIGINT)",
+        f"(('0x' || substr({digest_expr}, 16, 14))::BIGINT)",
+    )
+
+
 def km_hash_expr(h1: Column, h2: Column, i: int) -> Column:
     """g_i = (h1 + i·h2) mod (2^61−1), pure int64: h1 < 2^60, i·h2 < 32·2^56
     < 2^61, and the sum of the two residues < 2^62 — no overflow, no

@@ -34,7 +34,7 @@ from ..constants import (
     MINHASH_SHINGLE_K,
     SIMHASH_BITS,
 )
-from ..functions.hashing import hash56_expr, hash60_expr, km_hash_expr
+from ..functions.hashing import hash60_expr, km_hash_expr, md5_split_exprs
 from ..functions.text import clean_text_expr
 from ..functions.textstats import tokens_expr
 
@@ -132,9 +132,10 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     sig_i = min over shingles of the seed-i 60-bit md5 hash; MAXLONG
     sentinel for empty shingle sets.
 
-    Execution shape: explode the materialized shingles → two md5 base
-    hashes per shingle → groupBy(id) with ``num_hashes`` codegen'd
-    min(Kirsch-Mitzenmacher g_i) aggregates → reassemble the array. Earlier
+    Execution shape: explode the materialized shingles → ONE md5 per
+    shingle, split into the (h1, h2) Kirsch-Mitzenmacher base pair
+    (``md5_split_exprs``) → groupBy(id) with ``num_hashes`` codegen'd
+    min(g_i) aggregates → reassemble the array. Earlier
     shapes measured slower at sf0.1:
     - array-lambda (array_min∘transform): HOFs are interpreted, and
       CollapseProject re-inlines the whole clean→tokenize→shingle pipeline
@@ -146,10 +147,9 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     A document's shingles are colocated, so map-side partial aggregation
     collapses each doc to one row before the shuffle."""
     sh = doc_shingles(df, text_col, id_col)
+    h1, h2 = md5_split_exprs(F.col("s"))
     hashed = sh.select("id", F.explode("shingles").alias("s")).select(
-        "id",
-        hash60_expr(F.col("s"), seed=0).alias("h1"),
-        hash56_expr(F.col("s"), seed=1).alias("h2"),
+        "id", h1.alias("h1"), h2.alias("h2")
     )
     aggs = [
         F.min(km_hash_expr(F.col("h1"), F.col("h2"), i)).alias(f"_m{i}")

@@ -23,7 +23,7 @@ from ..constants import (
     SIMHASH_BITS,
     SIMHASH_HAMMING_THRESHOLD,
 )
-from ..functions.hashing import hash56_sql, hash60_sql, km_hash_sql
+from ..functions.hashing import hash60_sql, km_hash_sql, md5_split_sql
 from ..functions.text import clean_text_expr
 from ..functions.textstats import (
     bpe_piece_count_expr,
@@ -189,12 +189,17 @@ def _shingles_sql_inline(c: str, k: int = MINHASH_SHINGLE_K) -> str:
 _SENTINEL = 2**62
 
 
-def _minhash_sig_sql(shingles_col: str, num: int = MINHASH_NUM_HASHES) -> str:
-    # same Kirsch-Mitzenmacher family as operators/dedup.py: g_i over
-    # (h1, h2) base hashes, min per i; sentinel for empty shingle sets
-    h1, h2 = hash60_sql("s", seed=0), hash56_sql("s", seed=1)
+def _minhash_digests_sql(shingles_col: str) -> str:
+    # ONE md5 per shingle, staged as a list column; _minhash_sig_sql splits
+    # each digest into the (h1, h2) KM base pair (functions/hashing.py
+    # md5_split_sql) — same recipe as operators/dedup.py minhash_signatures.
+    return f"list_transform({shingles_col}, s -> md5(s))"
+
+
+def _minhash_sig_sql(digests_col: str, num: int = MINHASH_NUM_HASHES) -> str:
+    h1, h2 = md5_split_sql("dg")
     mins = ", ".join(
-        f"coalesce(list_min(list_transform({shingles_col}, s -> {km_hash_sql(h1, h2, i)})), {_SENTINEL})"
+        f"coalesce(list_min(list_transform({digests_col}, dg -> {km_hash_sql(h1, h2, i)})), {_SENTINEL})"
         for i in range(num)
     )
     return f"[{mins}]"
@@ -208,8 +213,9 @@ def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_MINHASH_SIG = f"""
 WITH d AS ({_CLEANED}),
-sh AS (SELECT doc_id, {_shingles_sql_inline('c')} AS shingles FROM d)
-SELECT doc_id, {_minhash_sig_sql('shingles')} AS sig FROM sh
+sh AS (SELECT doc_id, {_shingles_sql_inline('c')} AS shingles FROM d),
+hashed AS (SELECT doc_id, {_minhash_digests_sql('shingles')} AS ds FROM sh)
+SELECT doc_id, {_minhash_sig_sql('ds')} AS sig FROM hashed
 """
 
 
@@ -231,7 +237,8 @@ _band_structs = ", ".join(
 _SQL_DEDUP_MINHASH = f"""
 WITH d AS ({_CLEANED}),
 sh AS (SELECT doc_id, {_shingles_sql_inline('c')} AS shingles FROM d),
-sigs AS (SELECT doc_id, shingles, {_minhash_sig_sql('shingles')} AS sig FROM sh WHERE len(shingles) > 0),
+hashed AS (SELECT doc_id, shingles, {_minhash_digests_sql('shingles')} AS ds FROM sh WHERE len(shingles) > 0),
+sigs AS (SELECT doc_id, shingles, {_minhash_sig_sql('ds')} AS sig FROM hashed),
 banded AS (SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
            FROM sigs, UNNEST([{_band_structs}]) AS t(u)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -852,7 +859,8 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DEDUP_INCREMENTAL = f"""
 WITH d AS ({_CLEANED}),
 sh AS (SELECT doc_id, {_shingles_sql_inline('c')} AS shingles FROM d),
-sigs AS (SELECT doc_id, shingles, {_minhash_sig_sql('shingles')} AS sig FROM sh WHERE len(shingles) > 0),
+hashed AS (SELECT doc_id, shingles, {_minhash_digests_sql('shingles')} AS ds FROM sh WHERE len(shingles) > 0),
+sigs AS (SELECT doc_id, shingles, {_minhash_sig_sql('ds')} AS sig FROM hashed),
 banded AS (SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
            FROM sigs, UNNEST([{_band_structs}]) AS t(u)),
 cand AS (SELECT DISTINCT nb.doc_id AS batch_id, cb.doc_id AS corpus_id
