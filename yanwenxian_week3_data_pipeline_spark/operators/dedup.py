@@ -87,14 +87,13 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def shingles_expr(toks: Column, k: int = MINHASH_SHINGLE_K) -> Column:
-    """Distinct token k-gram shingles (space-joined) over a MATERIALIZED
-    token-array column.
-
-    Perf note: ``toks`` must be a plain column reference, not a nested
-    expression — Catalyst does NOT eliminate common subexpressions inside
-    higher-order-function lambdas, so an inlined tokenizer would be
-    re-evaluated k times per shingle position (measured 20s+ for 5k docs
-    before this was split into materialized steps)."""
+    """Distinct token k-gram shingles (space-joined) over a token-array
+    column that is a PLAIN REFERENCE (a real column or a lambda variable),
+    never a nested expression — Catalyst does not eliminate common
+    subexpressions inside higher-order-function lambdas, so an inlined
+    tokenizer would be re-evaluated k times per shingle position (measured
+    20s+ for 5k docs). Use ``shingles_from_text_expr`` to go straight from
+    raw text."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - k)  # empty when n < k
     grams = F.transform(
@@ -106,24 +105,30 @@ def shingles_expr(toks: Column, k: int = MINHASH_SHINGLE_K) -> Column:
 MINHASH_EMPTY_SENTINEL = 2**62
 
 
-def doc_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, shingles) — cleaned, tokenized, k-gram shingled, PERSISTED and
-    materialized.
+def shingles_from_text_expr(text: Column, k: int = MINHASH_SHINGLE_K) -> Column:
+    """Shingles straight from raw text, with the token array LET-BOUND via
+    ``transform(array(tokens), λ)[0]``: the lambda variable binds the
+    tokenized array once per row, so the k ``element_at`` references inside
+    the shingle builder cannot be re-inlined by CollapseProject / generator
+    pushdown (an inlined tokenizer is re-evaluated per reference — measured
+    24.7 s for a bare explode over 5k docs at sf0.1).
 
-    The persist is load-bearing, not a cache hint: projection chains are no
-    optimizer barrier (CollapseProject / generator pushdown re-inline the
-    regex tokenizer into every ``element_at`` / ``size`` reference of the
-    shingle builder and into downstream Generate nodes — measured 24.7s for
-    a bare explode over 5k docs vs 1.4s from a materialized frame at sf0.1).
-    At cluster scale this is the materialized shingle table of a dedup
-    pipeline; the cache doubles as the shared input of the signature
-    aggregation and the verify stage."""
-    toks = df.select(
-        F.col(id_col).alias("id"), tokens_expr(clean_text_expr(F.col(text_col))).alias("toks")
+    This replaces an earlier persist() optimizer barrier: writing 260k
+    shingle strings to the block cache cost 3.0 s against 0.4 s for the
+    whole let-bound computation, so recomputing beats caching here."""
+    return F.transform(
+        F.array(tokens_expr(clean_text_expr(text))), lambda t: shingles_expr(t, k)
+    )[0]
+
+
+def doc_shingles(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, shingles) — cleaned, tokenized, k-gram shingled. Lazy and cheap
+    to recompute (see ``shingles_from_text_expr``); consumers reference it
+    freely instead of caching it at 5-7× its compute cost."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        shingles_from_text_expr(F.col(text_col)).alias("shingles"),
     )
-    sh = toks.select("id", shingles_expr(F.col("toks")).alias("shingles")).persist()
-    sh.count()
-    return sh
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -147,6 +152,17 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     A document's shingles are colocated, so map-side partial aggregation
     collapses each doc to one row before the shuffle."""
     sh = doc_shingles(df, text_col, id_col)
+    sigs = _minhash_sig_table(sh)
+    sentinel = F.array(*[F.lit(MINHASH_EMPTY_SENTINEL).cast("long")] * MINHASH_NUM_HASHES)
+    return sh.join(sigs, "id", "left").select(
+        "id", "shingles", F.coalesce(F.col("sig"), sentinel).alias("sig")
+    )
+
+
+def _minhash_sig_table(sh: DataFrame) -> DataFrame:
+    """(id, sig) from a (id, shingles) frame. Docs with empty shingle sets
+    drop out at the explode (callers needing them re-join with the
+    sentinel). Small: num_hashes longs per doc — cheap to persist."""
     h1, h2 = md5_split_exprs(F.col("s"))
     hashed = sh.select("id", F.explode("shingles").alias("s")).select(
         "id", h1.alias("h1"), h2.alias("h2")
@@ -155,12 +171,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.min(km_hash_expr(F.col("h1"), F.col("h2"), i)).alias(f"_m{i}")
         for i in range(MINHASH_NUM_HASHES)
     ]
-    sigs = hashed.groupBy("id").agg(*aggs).select(
+    return hashed.groupBy("id").agg(*aggs).select(
         "id", F.array(*[F.col(f"_m{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig")
-    )
-    sentinel = F.array(*[F.lit(MINHASH_EMPTY_SENTINEL).cast("long")] * MINHASH_NUM_HASHES)
-    return sh.join(sigs, "id", "left").select(
-        "id", "shingles", F.coalesce(F.col("sig"), sentinel).alias("sig")
     )
 
 
@@ -180,31 +192,17 @@ def dedup_minhash_lsh(
     grows with data) → distinct candidate pairs → verify via shingle-set
     intersection/union sizes.
     """
-    # signatures feed three consumers (band explode + both verify sides).
-    # persist AND materialize eagerly: with a lazy persist all three subtrees
-    # of the single pair-join job race ahead of cache population and each
-    # recomputes the signatures (measured 38s vs 12s at sf0.1). At cluster
-    # scale this is the materialized signature table of a dedup pipeline.
-    sigs = minhash_signatures(df, text_col, id_col).where(F.size("shingles") > 0).persist()
+    sh = doc_shingles(df, text_col, id_col)
+    # ONLY the (id, sig) table is persisted — num_hashes longs per doc, a
+    # ~1 MB cache write at sf0.1, read by both sides of the band self-join.
+    # Eager count: with a lazy persist both join subtrees race ahead of
+    # cache population and each recomputes the signature aggregation.
+    # The shingle arrays are NOT cached: the verify joins recompute them
+    # let-bound (~0.4 s/side) — caching 260k shingle strings cost 3.0 s.
+    sigs = _minhash_sig_table(sh).persist()
     sigs.count()
 
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("id", F.explode(band_structs).alias("band")).select(
-        "id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
-    )
+    banded = minhash_band_keys(sigs, bands, rows_per_band)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -219,7 +217,6 @@ def dedup_minhash_lsh(
         .distinct()
     )
 
-    sh = sigs.select("id", "shingles")
     verified = (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
@@ -249,14 +246,16 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = SI
     (codegen'd; HOF-lambda bit counting is interpreted and far slower), then
     assemble the bits. Docs with no tokens get simhash 0.
 
-    The token frame is persisted before the explode for the same reason as
-    doc_shingles: generator pushdown would otherwise re-inline the regex
-    tokenizer into the Generate node."""
+    No persist: the token chain is referenced exactly once (by the
+    explode), so generator pushdown inlines the tokenizer into the Generate
+    node but evaluates it once per row — unlike the shingle builder, which
+    references its input k+1 times and needs the let-binding trick. The
+    all-ids left side of the sentinel join comes from ``df`` directly, so
+    column pruning drops the tokenizer there entirely."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(tokens_expr(clean_text_expr(F.col(text_col)))).alias("toks"),
-    ).persist()
-    toks.count()
+    )
     exploded = toks.select("id", F.explode("toks").alias("t")).select(
         "id", hash60_expr(F.col("t")).alias("h")
     )
@@ -272,7 +271,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str, bits: int = SI
         ).otherwise(F.lit(0).cast("long"))
     sigs = counted.select("id", total.alias("simhash"))
     return (
-        toks.select("id")
+        df.select(F.col(id_col).alias("id"))
         .join(sigs, "id", "left")
         .select("id", F.coalesce(F.col("simhash"), F.lit(0).cast("long")).alias("simhash"))
     )
@@ -343,8 +342,11 @@ def dedup_simhash(
 # Incremental dedup: new batch vs existing corpus
 # ---------------------------------------------------------------------------
 
-def minhash_band_keys(sigs: DataFrame, bands: int = MINHASH_BANDS,
-                      rows_per_band: int = MINHASH_ROWS_PER_BAND) -> DataFrame:
+def minhash_band_keys(
+    sigs: DataFrame,
+    bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+) -> DataFrame:
     """(id, band_idx, band_key) — explode a signature frame to its LSH band
     keys (md5 over the band's signature slice, same recipe as the oracle)."""
     band_structs = F.array(
@@ -389,7 +391,8 @@ def dedup_incremental(
     At cluster scale the corpus band table is a persisted/bucketed dataset
     keyed by (band_idx, band_key); each new batch only shuffles ITS bands.
     """
-    sigs = minhash_signatures(df, text_col, id_col).where(F.size("shingles") > 0).persist()
+    sh = doc_shingles(df, text_col, id_col)
+    sigs = _minhash_sig_table(sh).persist()  # small (id, sig); see dedup_minhash_lsh
     sigs.count()
     banded = minhash_band_keys(sigs)
     batch_bands = banded.where(batch_pred(F.col("id")))
@@ -404,7 +407,6 @@ def dedup_incremental(
         .select(F.col("n.id").alias("batch_id"), F.col("c.id").alias("corpus_id"))
         .distinct()
     )
-    sh = sigs.select("id", "shingles")
     verified = (
         cand.join(sh.withColumnsRenamed({"id": "batch_id", "shingles": "sh_n"}), "batch_id")
         .join(sh.withColumnsRenamed({"id": "corpus_id", "shingles": "sh_c"}), "corpus_id")
