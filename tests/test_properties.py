@@ -1,0 +1,197 @@
+"""Property-based tests (SURVEY.md §5.2 item 4): a randomized dirt
+generator for article records — injected nulls, blank/whitespace fields,
+HTML entities, duplicate keys, bad dates — driven through the cleaning
+stages, asserting the invariants the reference's goldens encode:
+
+- every valid-output row satisfies every validation rule;
+- the funnel only shrinks (loaded >= complete >= deduped >= valid);
+- dedup is idempotent and keeps the first record_id per normalized key;
+- clean_text is idempotent;
+- parse_iso_date emits ISO-8601Z or null, never anything else.
+
+Each hypothesis example builds a small in-memory DataFrame (no file I/O)
+so the whole suite stays in seconds; the scale path is exercised by the
+oracle-parity tests over the driver parquet tables.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+ISO_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z$")
+
+# -- dirt strategies --------------------------------------------------------
+
+_blankish = st.sampled_from([None, "", "   ", "\t\n  "])
+_entity_text = st.sampled_from(
+    [
+        "Tom &amp; Jerry",
+        "a&nbsp;&nbsp;b",
+        "&lt;tag&gt; &quot;q&quot;",
+        "  spaced   out\ttext  ",
+        "plain title",
+    ]
+)
+_title = st.one_of(_blankish, _entity_text, st.text(max_size=30), st.just("x" * 501))
+_content = st.one_of(
+    _blankish,
+    st.just("short"),
+    st.just("c" * 119),
+    st.just("d" * 120),
+    st.text(min_size=0, max_size=200),
+)
+_url = st.one_of(
+    _blankish,
+    st.sampled_from(
+        [
+            "https://ok.example/a",
+            "http://ok.example/b",
+            "HTTP://upper.example/c",  # case-sensitivity quirk (validator.py:76-84)
+            "ftp://bad.example/d",
+            "invalid-url",
+        ]
+    ),
+)
+_date = st.one_of(
+    _blankish,
+    st.sampled_from(
+        [
+            "2025-01-15T10:30:00Z",
+            "Jan 15, 2025",
+            "July 1st, 2025",
+            "15/03/2025",
+            "2025-13-99",  # impossible
+            "none",
+            "not a date",
+        ]
+    ),
+)
+
+_record = st.fixed_dictionaries(
+    {
+        "title": _title,
+        "content": _content,
+        "url": _url,
+        "published_date": _date,
+        "category": st.one_of(st.none(), st.just("tech")),
+        "author": st.one_of(_blankish, st.just("Ann  Author")),
+    }
+)
+
+# lists with deliberate duplication: sometimes repeat a prefix of records
+_records = st.lists(_record, min_size=0, max_size=8).flatmap(
+    lambda rs: st.integers(min_value=0, max_value=len(rs)).map(lambda k: rs + rs[:k])
+)
+
+
+def _load(spark, rows):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from yanwenxian_week3_data_pipeline_spark.schema import ARTICLE_SCHEMA, RECORD_ID, conform
+
+    # NB StructType.add mutates in place — build a fresh copy instead
+    schema = StructType(list(ARTICLE_SCHEMA.fields) + [StructField(RECORD_ID, LongType())])
+    base = spark.createDataFrame(
+        [
+            {**r, "published": None, "source": None, RECORD_ID: i}
+            for i, r in enumerate(rows)
+        ],
+        schema=schema,
+    )
+    return conform(base)
+
+
+@given(rows=_records)
+@settings(**SETTINGS)
+def test_funnel_invariants_and_valid_rows_satisfy_rules(spark, rows):
+    from yanwenxian_week3_data_pipeline_spark.domains.articles import article_rules
+    from yanwenxian_week3_data_pipeline_spark.operators.dedup import dedup_keep_first
+    from yanwenxian_week3_data_pipeline_spark.operators.incomplete import drop_incomplete
+    from yanwenxian_week3_data_pipeline_spark.operators.validate import with_validation
+    from yanwenxian_week3_data_pipeline_spark.pipeline import clean_articles
+    from yanwenxian_week3_data_pipeline_spark.schema import RECORD_ID
+
+    raw = _load(spark, rows)
+    cleaned = clean_articles(raw)
+    complete = drop_incomplete(cleaned)
+    deduped = dedup_keep_first(complete, key_cols=("title", "url"), order_col=RECORD_ID)
+    validated = with_validation(deduped, article_rules())
+    valid = [r.asDict() for r in validated.where(F.col("passed")).collect()]
+
+    n_load, n_complete, n_dedup = raw.count(), complete.count(), deduped.count()
+    assert n_load >= n_complete >= n_dedup >= len(valid)
+
+    for r in valid:
+        assert r["title"] and r["title"].strip() and len(r["title"]) <= 500
+        assert r["content"] and 120 <= len(r["content"]) <= 1_000_000
+        assert r["url"] and (r["url"].startswith("http://") or r["url"].startswith("https://"))
+        assert r["published_date"] and r["published_date"].strip()
+
+    # failed rows always carry a reason code + message
+    for r in validated.where(~F.col("passed")).collect():
+        assert r["reason"] and r["message"]
+
+
+@given(rows=_records)
+@settings(**SETTINGS)
+def test_dedup_idempotent_and_keeps_first(spark, rows):
+    from yanwenxian_week3_data_pipeline_spark.operators.dedup import dedup_keep_first
+    from yanwenxian_week3_data_pipeline_spark.pipeline import clean_articles
+    from yanwenxian_week3_data_pipeline_spark.schema import RECORD_ID
+
+    cleaned = clean_articles(_load(spark, rows))
+    once = dedup_keep_first(cleaned, key_cols=("title", "url"), order_col=RECORD_ID)
+    twice = dedup_keep_first(once, key_cols=("title", "url"), order_col=RECORD_ID)
+    ids_once = sorted(r[RECORD_ID] for r in once.select(RECORD_ID).collect())
+    ids_twice = sorted(r[RECORD_ID] for r in twice.select(RECORD_ID).collect())
+    assert ids_once == ids_twice
+
+    # keep-first: each survivor has the minimal record_id of its key group
+    kept = {
+        (r["title"], r["url"]): r[RECORD_ID]
+        for r in once.select("title", "url", RECORD_ID).collect()
+    }
+    for r in cleaned.select("title", "url", RECORD_ID).collect():
+        key = (r["title"], r["url"])
+        if key in kept:
+            assert kept[key] <= r[RECORD_ID]
+
+
+@given(texts=st.lists(st.one_of(_blankish, _entity_text, st.text(max_size=50)), max_size=10))
+@settings(**SETTINGS)
+def test_clean_text_idempotent(spark, texts):
+    from yanwenxian_week3_data_pipeline_spark.functions.text import clean_text_expr
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select(
+        clean_text_expr(F.col("t")).alias("once"),
+        clean_text_expr(clean_text_expr(F.col("t"))).alias("twice"),
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"]
+        # collapsed whitespace, no leading/trailing space
+        assert "  " not in r["once"] and r["once"] == r["once"].strip()
+
+
+@given(dates=st.lists(_date, max_size=12))
+@settings(**SETTINGS)
+def test_parse_iso_date_shape(spark, dates):
+    from yanwenxian_week3_data_pipeline_spark.functions.dates import parse_iso_date_expr
+
+    df = spark.createDataFrame([(d,) for d in dates], "d string")
+    for r in df.select(parse_iso_date_expr(F.col("d")).alias("iso")).collect():
+        assert r["iso"] is None or ISO_RE.match(r["iso"])
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
