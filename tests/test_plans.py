@@ -137,3 +137,44 @@ def test_incremental_dedup_never_joins_corpus_with_itself(spark, sf_dir):
     assert len(re.findall(r"% 10\)", plan)) >= 2, plan
     assert node_count(plan, "CartesianProduct") == 0
     assert node_count(plan, "BroadcastNestedLoopJoin") == 0
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Both sides bucketed by the join key into the same bucket count →
+    sort-merge join with ZERO Exchange nodes (bucket-local merge). The
+    100 TB fact-to-fact join strategy."""
+    import contextlib
+    import io
+
+    from yanwenxian_week3_data_pipeline_spark.operators.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(orders, "t_orders_b", ("o_custkey",), 4, path=str(tmp_path / "ob"))
+    write_bucketed(customer, "t_customer_b", ("c_custkey",), 4, path=str(tmp_path / "cb"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the exchange-free claim is about bucketing
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = colocated_join(
+            spark,
+            "t_orders_b",
+            "t_customer_b",
+            on=[spark.table("t_orders_b").o_custkey == spark.table("t_customer_b").c_custkey],
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # cross-check the result is still correct
+        expected = orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+        assert j.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")

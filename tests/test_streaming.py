@@ -32,7 +32,7 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, stream_src):
         tumbling_stream,
     )
 
-    got = run_available_now(tumbling_stream(spark, stream_src), "tumbling_test")
+    got = run_available_now(tumbling_stream(spark, stream_src), "tumbling_test", "complete")
     rows = {
         r.window_start.replace(tzinfo=None): (r.n_events, round(r.sum_value, 6))
         for r in got.collect()
@@ -88,3 +88,27 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, stream_src):
     }
     assert closed == expected
     assert len(closed) > 0
+
+
+def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
+    """Feed every event twice (at-least-once redelivery); the streaming
+    dedup must emit each event_id exactly once."""
+    from yanwenxian_week3_data_pipeline_spark.sources.tables import load_events
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import (
+        JSON_TS_FORMAT,
+        dedup_stream,
+        run_available_now,
+    )
+
+    d = str(tmp_path / "dup_events")
+    ev = load_events(spark, sf_dir).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    ev.unionAll(ev).coalesce(2).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(d)
+
+    got = run_available_now(dedup_stream(spark, d), "dedup_stream_test")
+    n_distinct = ev.select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct

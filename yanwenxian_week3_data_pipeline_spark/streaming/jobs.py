@@ -184,13 +184,28 @@ def sessionize_stateful(
     )
 
 
-def run_available_now(df: DataFrame, name: str) -> DataFrame:
+def dedup_stream(
+    spark: SparkSession, src_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup of an at-least-once event feed:
+    ``dropDuplicatesWithinWatermark`` on event_id keeps one copy of each
+    event while the watermark bounds the dedup state — rows older than the
+    watermark are evicted, so state is O(events per watermark window), not
+    O(stream). The streaming twin of batch ``dedup_exact``; at scale this
+    is the first stage in front of every downstream streaming aggregate."""
+    ev = read_event_stream(spark, src_dir)
+    return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drain the stream once (availableNow) into a memory sink; return the
-    materialized result as a batch DataFrame."""
+    materialized result as a batch DataFrame. ``output_mode``: "append" for
+    row streams / stateful append operators, "complete" for unwatermarked
+    re-emitting aggregations."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if "session" in name else "complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
