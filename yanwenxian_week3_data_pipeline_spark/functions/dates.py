@@ -64,10 +64,18 @@ def _normalize_sql(expr: str) -> str:
 
 
 def parse_timestamp_expr(col: Column) -> Column:
-    """Permissive parse → TimestampType (null when unparseable)."""
-    s = _normalize_expr(col)
-    attempts = [F.try_to_timestamp(s, F.lit(fmt)) for fmt, _ in DATE_FORMATS]
-    return F.coalesce(*attempts)
+    """Permissive parse → TimestampType (null when unparseable).
+
+    The 3-regex normalize pass is LET-BOUND via ``transform(array(...),
+    λ)[0]`` so it is evaluated once per row; inlined, every one of the
+    coalesce's try_to_timestamp branches re-runs it (lazily-evaluated
+    coalesce branches are outside codegen subexpression elimination —
+    measured 2.9 s vs 1.9 s for 100k rows)."""
+
+    def attempts(s: Column) -> Column:
+        return F.coalesce(*[F.try_to_timestamp(s, F.lit(fmt)) for fmt, _ in DATE_FORMATS])
+
+    return F.transform(F.array(_normalize_expr(col)), lambda s: attempts(s))[0]
 
 
 def parse_iso_date_expr(col: Column) -> Column:

@@ -4,11 +4,15 @@ run_cleaning_pipeline, cleaner.py:284-393):
 load → text clean → date standardize → drop incomplete → dedup (keep-first)
 → validate → save valid JSON + quality report.
 
-Spark shape: one lazy transform chain; each stage whose count feeds the
-report is cached at its boundary and counted once. The validation filter is
-a computed-column filter (no anti-join). Returns the cleaned
-(pre-validation-filter) DataFrame exactly as the reference does
-(cleaner.py:393).
+Spark shape: SINGLE-PASS. One scan computes per-row stage-survival flags
+(_complete, _kept, passed) — the same shape as the flagship funnel query —
+and one cached frame feeds every report aggregate and the valid-row sink.
+The staged form (a cached DataFrame per stage, counted one by one) paid
+three cache writes of wide string frames; at 100 TB it would re-scan and
+re-clean the table once per stage. Here the table is read once, shuffled
+once (the dedup-key window), and every count is a conditional sum over the
+flags. Returns the cleaned post-dedup DataFrame exactly as the reference
+does (cleaner.py:393).
 """
 
 from __future__ import annotations
@@ -16,17 +20,19 @@ from __future__ import annotations
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from .domains.articles import article_rules
 from .functions.dates import parse_iso_date_expr
-from .functions.text import clean_text_expr
-from .operators.dedup import dedup_keep_first
-from .operators.incomplete import drop_incomplete
+from .functions.text import clean_text_expr, not_missing_expr
+from .operators.incomplete import REQUIRED_ARTICLE_COLUMNS
 from .operators.validate import with_validation
 from .report import ValidationStats, render_quality_report
 from .schema import RECORD_ID, TEXT_COLUMNS
 from .sinks.json_records import save_records_pretty, save_text
 from .sources.articles_json import load_articles
+
+ISO_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 
 
 def clean_articles(df: DataFrame) -> DataFrame:
@@ -36,6 +42,35 @@ def clean_articles(df: DataFrame) -> DataFrame:
     if "published_date" in out.columns:
         out = out.withColumn("published_date", parse_iso_date_expr(F.col("published_date")))
     return out
+
+
+def flag_stages(cleaned: DataFrame) -> DataFrame:
+    """Add per-row stage-survival flags to a cleaned frame:
+
+    - ``_complete`` — survives drop_incomplete (no required column missing);
+    - ``_kept``     — additionally survives keep-first dedup: first complete
+      row (by record_id) per (title, url) key. The keys are already
+      normalized by clean_articles (clean_text is idempotent), so the window
+      partitions on them directly; incomplete rows share the window but
+      never advance the conditional rank — exactly dedup_keep_first applied
+      to the complete subset;
+    - ``passed/reason/message`` — the validation verdict columns.
+    """
+    complete = F.lit(True)
+    for c in REQUIRED_ARTICLE_COLUMNS:
+        if c in cleaned.columns:
+            complete = complete & not_missing_expr(F.col(c))
+    flagged = cleaned.withColumn("_complete", complete)
+    w = (
+        Window.partitionBy("title", "url")
+        .orderBy(F.col(RECORD_ID).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = flagged.withColumn(
+        "_kept",
+        F.col("_complete") & (F.sum(F.col("_complete").cast("int")).over(w) == 1),
+    )
+    return with_validation(flagged, article_rules())
 
 
 def run_cleaning_pipeline(
@@ -49,79 +84,76 @@ def run_cleaning_pipeline(
         if verbose:
             print(msg)
 
-    # 1. load
+    # 1-3. load → clean → flag (one scan, one window shuffle, one cache)
     raw = load_articles(spark, str(input_path))
-    n_load = raw.count()
+    flagged = flag_stages(clean_articles(raw)).cache()
+    kept = F.col("_kept")
+
+    report_cols = [c for c in raw.columns if c != RECORD_ID]
+
+    # one aggregate job produces every scalar the report needs: the stage
+    # funnel, pass counts, per-column completeness of the deduped set, and
+    # the date range of the deduped set
+    ts = F.to_timestamp(F.col("published_date"), ISO_TS_FORMAT)
+    aggs = [
+        F.count(F.lit(1)).alias("n_load"),
+        F.sum(F.col("_complete").cast("long")).alias("n_complete"),
+        F.sum(kept.cast("long")).alias("n_dedup"),
+        F.sum((kept & F.col("passed")).cast("long")).alias("n_valid"),
+        F.min(F.when(kept, ts)).alias("dr_earliest"),
+        F.max(F.when(kept, ts)).alias("dr_latest"),
+        F.count(F.when(kept, ts)).cast("long").alias("dr_n"),
+    ]
+    from .functions.text import is_missing_expr
+
+    for c in report_cols:
+        aggs.append(
+            F.sum(
+                F.when(kept & ~is_missing_expr(F.col(c).cast("string")), 1).otherwise(0)
+            ).cast("long").alias(f"_ne_{c}")
+        )
+    a = flagged.agg(*aggs).collect()[0]
+    n_load, n_complete, n_dedup, n_valid = (
+        int(a["n_load"]),
+        int(a["n_complete"] or 0),
+        int(a["n_dedup"] or 0),
+        int(a["n_valid"] or 0),
+    )
+    n_dropped, n_dupes = n_load - n_complete, n_complete - n_dedup
     say(f"[1/6] loaded {n_load} records from {input_path}")
-
-    # 2a+2b. clean text + standardize dates
-    cleaned = clean_articles(raw)
-
-    # 2c. drop incomplete
-    complete = drop_incomplete(cleaned).cache()
-    n_complete = complete.count()
-    n_dropped = n_load - n_complete
     say(f"[2/6] cleaned; dropped {n_dropped} incomplete, {n_complete} remaining")
-
-    # 2d. dedup keep-first on normalized (title, url)
-    deduped = dedup_keep_first(complete, key_cols=("title", "url"), order_col=RECORD_ID).cache()
-    n_dedup = deduped.count()
-    n_dupes = n_complete - n_dedup
     say(f"[3/6] dedup removed {n_dupes} duplicates, {n_dedup} remaining")
 
-    # 3. validate — one projection adds (passed, reason, message)
-    validated = with_validation(deduped, article_rules()).cache()
-
-    agg = validated.agg(
-        F.count(F.lit(1)).alias("total"),
-        F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("passed"),
-    ).collect()[0]
-    total, passed = int(agg["total"]), int(agg["passed"] or 0)
+    failed = flagged.where(kept & ~F.col("passed"))
     dist = [
         (r["reason"], int(r["n"]))
-        for r in validated.where(~F.col("passed"))
-        .groupBy("reason")
+        for r in failed.groupBy("reason")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("reason"))
         .collect()
     ]
     details = [
         {"index": int(r[RECORD_ID]), "reason": r["reason"], "message": r["message"]}
-        for r in validated.where(~F.col("passed"))
-        .select(RECORD_ID, "reason", "message")
-        .orderBy(RECORD_ID)
-        .collect()
+        for r in failed.select(RECORD_ID, "reason", "message").orderBy(RECORD_ID).collect()
     ]
     stats = ValidationStats(
-        total=total,
-        passed=passed,
-        failed=total - passed,
+        total=n_dedup,
+        passed=n_valid,
+        failed=n_dedup - n_valid,
         failure_reasons=dist,
         failed_record_details=details,
     )
-    say(f"[4/6] validation: {passed}/{total} passed")
+    say(f"[4/6] validation: {n_valid}/{n_dedup} passed")
 
-    # completeness over the cleaned (deduped) set
-    from .operators.aggregates import completeness, date_range
-
-    report_cols = [c for c in deduped.columns if c != RECORD_ID]
-    comp_rows = [
-        (r["column"], int(r["non_empty"]), int(r["total"]))
-        for r in completeness(deduped, report_cols).collect()
-    ]
-
-    dr_row = date_range(
-        deduped.withColumn("_ts", F.to_timestamp(F.col("published_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'")),
-        "_ts",
-    ).collect()[0]
+    comp_rows = [(c, int(a[f"_ne_{c}"] or 0), n_dedup) for c in report_cols]
     dr = (
-        (dr_row["earliest"], dr_row["latest"], int(dr_row["n_dated"]))
-        if dr_row["n_dated"]
+        (a["dr_earliest"], a["dr_latest"], int(a["dr_n"]))
+        if a["dr_n"]
         else None
     )
 
     # 4+6. save valid records
-    valid = validated.where(F.col("passed")).drop("passed", "reason", "message")
+    valid = flagged.where(kept & F.col("passed"))
     n_saved = save_records_pretty(valid.orderBy(RECORD_ID), output_path, columns=report_cols)
     say(f"[5/6] saved {n_saved} valid records to {output_path}")
 
@@ -140,4 +172,4 @@ def run_cleaning_pipeline(
     say(f"[6/6] wrote quality report to {report_path}")
     say(f"summary: {n_load} loaded -> {n_dedup} after cleaning -> {n_saved} valid (saved)")
 
-    return validated.drop("passed", "reason", "message")
+    return flagged.where(kept).drop("_complete", "_kept", "passed", "reason", "message")
