@@ -53,7 +53,11 @@ def dedup_keep_first(
     if any(c not in df.columns for c in key_cols):
         return df
     norm = [clean_text_expr(F.col(c)).alias(f"_norm_{c}") for c in key_cols]
-    w = Window.partitionBy(*[f"_norm_{c}" for c in key_cols]).orderBy(F.col(order_col).asc())
+    # xxhash64 prefix on the partition key: grouping is identical (the full
+    # keys still follow), but shuffle-sort comparisons short-circuit on one
+    # long instead of comparing multi-KB strings — material at 100 TB.
+    norm_cols = [F.col(f"_norm_{c}") for c in key_cols]
+    w = Window.partitionBy(F.xxhash64(*norm_cols), *norm_cols).orderBy(F.col(order_col).asc())
     out = (
         df.select("*", *norm)
         .withColumn("_rn", F.row_number().over(w))

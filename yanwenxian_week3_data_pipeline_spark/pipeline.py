@@ -61,8 +61,9 @@ def flag_stages(cleaned: DataFrame) -> DataFrame:
         if c in cleaned.columns:
             complete = complete & not_missing_expr(F.col(c))
     flagged = cleaned.withColumn("_complete", complete)
+    # hash prefix on the key: same grouping, long-first shuffle comparisons
     w = (
-        Window.partitionBy("title", "url")
+        Window.partitionBy(F.xxhash64("title", "url"), "title", "url")
         .orderBy(F.col(RECORD_ID).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

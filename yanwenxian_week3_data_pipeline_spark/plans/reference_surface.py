@@ -171,8 +171,10 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads it once and shuffles once (the dedup-key window)."""
     docs = _docs(spark, sf_dir)
     flagged = cleaned_documents(docs).withColumn("_complete", complete_predicate())
+    # hash prefix on the dedup key: identical grouping, but shuffle-sort
+    # comparisons short-circuit on a long instead of multi-KB text
     w = (
-        Window.partitionBy("text_clean")
+        Window.partitionBy(F.xxhash64("text_clean"), "text_clean")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
