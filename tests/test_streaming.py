@@ -112,3 +112,57 @@ def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
     n_distinct = ev.select("event_id").distinct().count()
     assert got.count() == n_distinct
     assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_minhash_candidates_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Slice the corpus into micro-batches arbitrarily; the accumulated
+    streaming candidate pairs must equal the batch band-self-join pairs
+    (per-band state makes the result slicing-invariant). Also checks the
+    per-row signature expression against the batch groupBy signatures."""
+    from yanwenxian_week3_data_pipeline_spark.operators.dedup import (
+        _minhash_sig_table,
+        doc_shingles,
+        minhash_band_keys,
+    )
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import run_available_now
+    from yanwenxian_week3_data_pipeline_spark.streaming.neardup import (
+        minhash_candidates_stream,
+        minhash_sig_row_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    # per-row signature expression == batch groupBy signature
+    sh = doc_shingles(docs, "text", "doc_id").where(F.size("shingles") > 0)
+    row_sigs = {
+        r["id"]: tuple(r["sig"])
+        for r in sh.select("id", minhash_sig_row_expr(F.col("shingles")).alias("sig")).collect()
+    }
+    batch_sigs = {r["id"]: tuple(r["sig"]) for r in _minhash_sig_table(sh).collect()}
+    assert row_sigs == batch_sigs
+
+    # stream the corpus in 3 slices
+    d = str(tmp_path / "docs_stream")
+    docs.repartition(3).write.mode("overwrite").json(d)
+    got = run_available_now(minhash_candidates_stream(spark, d), "minhash_cand_stream")
+    stream_pairs = {
+        (min(r.id_new, r.id_seen), max(r.id_new, r.id_seen))
+        for r in got.select("id_new", "id_seen").collect()
+    }
+
+    banded = minhash_band_keys(_minhash_sig_table(doc_shingles(docs, "text", "doc_id")))
+    a, b = banded.alias("a"), banded.alias("b")
+    batch_pairs = {
+        (r.x, r.y)
+        for r in a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("x"), F.col("b.id").alias("y"))
+        .distinct()
+        .collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert len(batch_pairs) > 0

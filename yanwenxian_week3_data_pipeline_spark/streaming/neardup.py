@@ -1,0 +1,158 @@
+"""Streaming MinHash-LSH near-duplicate candidates.
+
+The batch LSH dedup (operators/dedup.py) computes signatures with an
+explode + groupBy shuffle — the right shape when the whole corpus is on
+disk. A stream can't shuffle-aggregate per doc without unbounded state, so
+the streaming twin inverts the layout:
+
+1. **Per-row signatures, zero shuffle.** Each document's MinHash signature
+   is one expression over its own shingles (higher-order array functions —
+   interpreted, but per-row and stateless, which is the correct trade for a
+   stream: CPU scales with arrival rate, no state, no exchange). The md5
+   digest list is LET-BOUND (one md5 per shingle, split into the
+   Kirsch-Mitzenmacher (h1, h2) pair exactly like the batch/oracle recipe).
+2. **Band-keyed state.** Rows explode to (band_idx, band_key, id) and group
+   by the band key; ``applyInPandasWithState`` keeps the sorted id list per
+   band and emits a candidate pair (id_new, id_seen) the moment a new doc
+   lands in a band another doc already occupies.
+
+Invariant (asserted in tests/test_streaming.py): after draining any
+micro-batch slicing of a corpus, the distinct candidate pairs equal the
+batch band-self-join candidates — per-band state accumulates across
+batches, so slicing cannot lose or invent a pair.
+
+State is O(ids per band). In a long-running deployment the state would be
+TTL'd with an event-time timeout (stale bands evicted) — the drain-mode
+tests run timerless for the availableNow termination reason documented in
+streaming/jobs.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..constants import (
+    MINHASH_BANDS,
+    MINHASH_NUM_HASHES,
+    MINHASH_ROWS_PER_BAND,
+)
+from ..functions.hashing import km_hash_expr
+from ..operators.dedup import shingles_from_text_expr
+
+DOC_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+    ]
+)
+
+
+def minhash_sig_row_expr(shingles: Column, num: int = MINHASH_NUM_HASHES) -> Column:
+    """array<long>[num] MinHash signature as a single per-row expression.
+
+    Same hash recipe as the batch ``_minhash_sig_table`` (one md5 per
+    shingle, split into 60/56-bit halves), but folded with array_min per
+    hash index instead of a groupBy aggregate. The digest list is let-bound
+    so the ``num`` folds don't recompute the md5s."""
+
+    def h1(d: Column) -> Column:
+        return F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+
+    def h2(d: Column) -> Column:
+        return F.conv(F.substring(d, 16, 14), 16, 10).cast("long")
+
+    digests = F.transform(shingles, lambda s: F.md5(s))
+    return F.transform(
+        F.array(digests),
+        lambda ds: F.array(
+            *[
+                F.array_min(F.transform(ds, lambda d: km_hash_expr(h1(d), h2(d), i)))
+                for i in range(num)
+            ]
+        ),
+    )[0]
+
+
+def band_structs_expr(
+    sig: Column,
+    bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+) -> Column:
+    """array<struct<band_idx,band_key>> — md5 over each band's signature
+    slice, identical to the batch ``minhash_band_keys`` recipe."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[sig[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+CAND_OUT_SCHEMA = "band_idx int, band_key string, id_new long, id_seen long"
+CAND_STATE_SCHEMA = "ids array<long>"
+
+
+def _band_match_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-(band_idx, band_key) matcher: emit (new, seen) for every new doc
+    against every doc already in the band, then add the new docs."""
+    band_idx, band_key = key
+    if state.hasTimedOut:  # pragma: no cover - timerless in drain mode
+        state.remove()
+        return
+
+    (seen,) = state.get if state.exists else ([],)
+    seen = list(seen)
+    seen_set = set(seen)
+    out: list[tuple] = []
+    new_ids: list[int] = []
+    for pdf in pdfs:
+        new_ids.extend(int(i) for i in pdf["id"])
+    for i in sorted(set(new_ids)):
+        if i in seen_set:
+            continue  # redelivery of an already-indexed doc
+        for s in seen:
+            out.append((band_idx, band_key, i, s))
+        seen.append(i)
+        seen_set.add(i)
+
+    state.update((seen,))
+    if out:
+        yield pd.DataFrame(out, columns=["band_idx", "band_key", "id_new", "id_seen"])
+
+
+def read_document_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    return spark.readStream.schema(DOC_STREAM_SCHEMA).json(src_dir)
+
+
+def minhash_candidates_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """(band_idx, band_key, id_new, id_seen) candidate pairs, streamed."""
+    docs = read_document_stream(spark, src_dir)
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        shingles_from_text_expr(F.col("text")).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sigs = sh.select("id", minhash_sig_row_expr(F.col("shingles")).alias("sig"))
+    banded = sigs.select(
+        "id", F.explode(band_structs_expr(F.col("sig"))).alias("band")
+    ).select("id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+    return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
+        _band_match_fn,
+        outputStructType=CAND_OUT_SCHEMA,
+        stateStructType=CAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
