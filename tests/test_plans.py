@@ -178,3 +178,20 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark split is ~10% of docs — its gram set must broadcast so
+    the (huge) train gram stream is filtered map-side, never shuffled for
+    the join; sort-merge here would shuffle the whole exploded corpus."""
+    plan = plan_of(spark, "docs_decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_topk_is_partial_agg_plus_take_ordered(spark, sf_dir):
+    """Top-K over the gram table must be a TakeOrderedAndProject (heap of K
+    per partition), not a global Sort of the full gram vocabulary."""
+    plan = plan_of(spark, "text_ngram_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert node_count(plan, "Sort") == 0

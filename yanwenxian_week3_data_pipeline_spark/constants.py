@@ -140,3 +140,24 @@ EMB_COSINE_NEAR_DUP = 0.99
 EMB_COSINE_PAIRS_THRESHOLD = 0.4
 # vec_id offset for the LSH demo query's exact-copy union
 EMB_COPY_OFFSET = 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + corpus n-gram statistics
+# ---------------------------------------------------------------------------
+
+# Word-n-gram size for train-vs-benchmark overlap detection. Published
+# decontamination recipes use 8-13-gram spans on web-scale text; the synthetic
+# docs run 10-80 words, so 5 keeps every doc shingle-able while still being
+# long enough that cross-doc collisions imply shared provenance.
+DECON_NGRAM = 5
+# seed namespacing the decontamination gram hashes away from MinHash hashes
+DECON_HASH_SEED = 77
+# hash-split buckets (of 1000) — same recipe as docs_train_split: <800 train,
+# >=900 held-out benchmark ("test")
+DECON_TRAIN_MAX_BUCKET = 800
+DECON_BENCH_MIN_BUCKET = 900
+
+# corpus-level n-gram frequency: bigrams, top-50 by occurrence count
+NGRAM_TOPK_N = 2
+NGRAM_TOPK_K = 50

@@ -885,6 +885,120 @@ WHERE doc.doc_id % 10 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_decontaminate — benchmark decontamination: flag training-split docs
+# that share any word-5-gram with the held-out benchmark split (the standard
+# n-gram-overlap recipe for keeping eval sets out of training corpora). The
+# reference has no corpus-level ops at all (SURVEY.md §2.10); this is EXT.
+# Splits reuse the docs_train_split hash recipe (<800 of 1000 = train,
+# >=900 = benchmark) and gram hashes reuse the md5 hash60 family, so the
+# DuckDB oracle buckets and hashes bit-identically.
+# Scale shape: the benchmark gram set is a small fraction of the corpus ->
+# broadcast it; the train side then filters map-side with NO shuffle of the
+# (huge) exploded gram stream until the per-doc groupBy of surviving hits.
+# ---------------------------------------------------------------------------
+
+from ..constants import (  # noqa: E402
+    DECON_BENCH_MIN_BUCKET,
+    DECON_HASH_SEED,
+    DECON_NGRAM,
+    DECON_TRAIN_MAX_BUCKET,
+    NGRAM_TOPK_K,
+    NGRAM_TOPK_N,
+)
+from ..functions.hashing import hash60_expr  # noqa: E402
+from ..functions.textstats import tokens_expr  # noqa: E402
+
+
+def _word_grams(toks: F.Column, n: int, as_hash: bool) -> F.Column:
+    """Word n-grams of a token array: positions 1..len-n+1, each joined with
+    a single space; optionally hash60-hashed (decontamination compares
+    hashes, never gram text). Empty array when the doc is shorter than n."""
+    def gram(i: F.Column) -> F.Column:
+        g = F.concat_ws(" ", F.slice(toks, i, n))
+        return hash60_expr(g, seed=DECON_HASH_SEED) if as_hash else g
+
+    grams = F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)), gram)
+    empty = F.array().cast("array<long>" if as_hash else "array<string>")
+    return F.when(F.size(toks) >= n, grams).otherwise(empty)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _cleaned_docs(spark, sf_dir).select("doc_id", "c")
+    grams = F.array_distinct(_word_grams(tokens_expr(F.col("c")), DECON_NGRAM, as_hash=True))
+    bucket = hash60_expr(F.col("doc_id").cast("string")) % 1000
+    g = d.select("doc_id", bucket.alias("bkt"), F.explode(grams).alias("gh"))
+    bench = g.where(F.col("bkt") >= DECON_BENCH_MIN_BUCKET).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    train = g.where(F.col("bkt") < DECON_TRAIN_MAX_BUCKET)
+    return (
+        train.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gh").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def _grams_sql(n: int, hashed: bool) -> str:
+    gram = f"array_to_string(toks[i:i+{n - 1}], ' ')"
+    if hashed:
+        gram = hash60_sql(gram, seed=DECON_HASH_SEED)
+    return (
+        f"list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), i -> {gram})"
+    )
+
+
+_SQL_DECONTAMINATE = f"""
+WITH d AS ({_CLEANED}),
+t AS (SELECT doc_id, {tokens_sql('c')} AS toks FROM d),
+g AS (SELECT doc_id, ({hash60_sql('CAST(doc_id AS VARCHAR)')} % 1000) AS bkt,
+        unnest(list_distinct({_grams_sql(DECON_NGRAM, hashed=True)})) AS gh
+      FROM t)
+SELECT tr.doc_id, count(DISTINCT tr.gh) AS n_hit_grams,
+       count(DISTINCT be.doc_id) AS n_bench_docs
+FROM g tr JOIN g be ON be.gh = tr.gh AND be.bkt >= {DECON_BENCH_MIN_BUCKET}
+WHERE tr.bkt < {DECON_TRAIN_MAX_BUCKET}
+GROUP BY tr.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_topk — corpus-level top-K word bigrams with occurrence and
+# document frequencies. The groupBy gets map-side partial aggregation for
+# free (hash-agg over a bounded gram vocabulary), and the final top-K is a
+# TakeOrderedAndProject — no full sort of the gram table. Total order
+# (count desc, gram asc) makes the K-set deterministic across engines.
+# ---------------------------------------------------------------------------
+
+
+def _q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _cleaned_docs(spark, sf_dir).select("doc_id", "c")
+    grams = _word_grams(tokens_expr(F.col("c")), NGRAM_TOPK_N, as_hash=False)
+    return (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(NGRAM_TOPK_K)
+    )
+
+
+_SQL_NGRAM_TOPK = f"""
+WITH d AS ({_CLEANED}),
+t AS (SELECT doc_id, {tokens_sql('c')} AS toks FROM d),
+g AS (SELECT doc_id, unnest({_grams_sql(NGRAM_TOPK_N, hashed=False)}) AS gram FROM t)
+SELECT gram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+FROM g GROUP BY gram
+ORDER BY n_occurrences DESC, gram ASC LIMIT {NGRAM_TOPK_K}
+"""
+
+
 QUERIES = [
     QuerySpec("text_token_count", _q_token_count, _SQL_TOKEN_COUNT),
     QuerySpec("text_quality_score", _q_quality, _SQL_QUALITY, headline=True),
@@ -911,4 +1025,6 @@ QUERIES = [
     QuerySpec("docs_corpus_curation", _q_corpus_curation, _SQL_CORPUS_CURATION, headline=True),
     QuerySpec("dedup_incremental", _q_dedup_incremental, _SQL_DEDUP_INCREMENTAL),
     QuerySpec("text_tfidf_top_terms", _q_tfidf_top_terms, _SQL_TFIDF),
+    QuerySpec("docs_decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
+    QuerySpec("text_ngram_topk", _q_ngram_topk, _SQL_NGRAM_TOPK),
 ]
