@@ -182,3 +182,27 @@ def test_envelope_shapes(spark, tmp_path_factory):
     empty = d / "empty.json"
     empty.write_text("[]")
     assert load_articles(spark, str(empty)).count() == 0
+
+
+def test_cli_main(spark, fixture_path, tmp_path_factory, capsys):
+    """python -m yanwenxian_week3_data_pipeline_spark — the Spark twin of the
+    reference's `python cleaner.py` entry point (cleaner.py:396-397)."""
+    from yanwenxian_week3_data_pipeline_spark.__main__ import main
+
+    out_dir = tmp_path_factory.mktemp("cli")
+    out_json = out_dir / "cleaned_output.json"
+    out_report = out_dir / "quality_report.txt"
+
+    rc = main(
+        [str(fixture_path), "-o", str(out_json), "-r", str(out_report), "-q"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert len(json.loads(out_json.read_text())) == len(EXPECTED_VALID_IDS)
+    assert "End of report" in out_report.read_text()
+
+    rc = main([str(fixture_path), "--validate-only"], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Validation Report" in out
+    assert "Total records:  17" in out
