@@ -195,3 +195,21 @@ def test_ngram_topk_is_partial_agg_plus_take_ordered(spark, sf_dir):
     plan = plan_of(spark, "text_ngram_topk", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert node_count(plan, "Sort") == 0
+
+
+def test_sample_mixture_is_single_shuffle_scan_filter(spark, sf_dir):
+    """Mixture sampling must be a map-side hash filter + partial agg: the
+    only exchange is the tiny per-source rollup, and the scan reads just
+    the three referenced columns."""
+    plan = plan_of(spark, "docs_sample_mixture", sf_dir)
+    assert node_count(plan, "Exchange") == 1
+    assert "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>" in plan
+
+
+def test_pack_sequences_groupby_reuses_window_partitioning(spark, sf_dir):
+    """The per-bin rollup groups by (source, bin_id); rows are already
+    hash-partitioned by source for the running-sum window, which satisfies
+    the grouping's clustered distribution — a second exchange would mean
+    EnsureRequirements stopped recognizing the subset partitioning."""
+    plan = plan_of(spark, "docs_pack_sequences", sf_dir)
+    assert node_count(plan, "Exchange") == 1

@@ -161,3 +161,9 @@ DECON_BENCH_MIN_BUCKET = 900
 # corpus-level n-gram frequency: bigrams, top-50 by occurrence count
 NGRAM_TOPK_N = 2
 NGRAM_TOPK_K = 50
+
+# mixture sampling: doc_id-hash buckets and the seed namespacing them
+MIX_BUCKETS = 10_000
+MIX_HASH_SEED = 11
+# sequence packing: per-bin token budget
+PACK_TOKEN_BUDGET = 256

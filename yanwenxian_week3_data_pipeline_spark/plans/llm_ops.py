@@ -999,6 +999,85 @@ ORDER BY n_occurrences DESC, gram ASC LIMIT {NGRAM_TOPK_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_sample_mixture — corpus mixture sampling: each source stratum keeps a
+# deterministic hash-fraction of its docs (the data-mixing step that weights
+# sources in a pretraining corpus). Keep fractions derive from the source
+# number ((n % 4 + 1) x 25%), so the recipe is pure expression in both
+# engines — no per-stratum driver loop, no sampleBy RNG (seeded RNG is not
+# reproducible across engines; a doc_id hash is, and is also stable under
+# re-partitioning and incremental re-runs: a doc's keep/drop never changes
+# when the corpus around it grows).
+# Scale shape: a map-side filter + partial agg — no shuffle except the
+# final tiny per-source rollup.
+# ---------------------------------------------------------------------------
+
+from ..constants import MIX_BUCKETS, MIX_HASH_SEED, PACK_TOKEN_BUDGET  # noqa: E402
+
+
+def _q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    src_num = F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("long")
+    frac_bp = (src_num % 4 + 1) * (MIX_BUCKETS // 4)
+    h = hash60_expr(F.col("doc_id").cast("string"), seed=MIX_HASH_SEED) % MIX_BUCKETS
+    return (
+        d.where(h < frac_bp)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
+_SQL_SAMPLE_MIXTURE = f"""
+WITH s AS (SELECT source, n_chars,
+  ({hash60_sql('CAST(doc_id AS VARCHAR)', seed=MIX_HASH_SEED)} % {MIX_BUCKETS}) AS h,
+  ((CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1) * {MIX_BUCKETS // 4}) AS frac_bp
+  FROM documents)
+SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
+FROM s WHERE h < frac_bp GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_pack_sequences — sequence packing: assign docs to fixed-token-budget
+# bins (the batch-assembly step before pretraining). Packing is inherently
+# sequential, so it runs per source shard: a running token sum over
+# (source, doc_id order) and bin = floor(preceding_cum / budget). One
+# shuffle on source; at 100 TB the partition key becomes (source, shard) so
+# no single window partition exceeds an executor.
+# ---------------------------------------------------------------------------
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count_expr(clean_text_expr(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_tok").over(w))
+    bin_id = F.floor((F.col("cum") - F.col("n_tok")) / PACK_TOKEN_BUDGET)
+    return c.groupBy("source", bin_id.alias("bin_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
+
+
+_SQL_PACK_SEQUENCES = f"""
+WITH t AS (SELECT doc_id, source, {token_count_sql(CLEAN_SQL)} AS n_tok FROM documents),
+c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+SELECT source, CAST(floor((cum - n_tok) / {PACK_TOKEN_BUDGET}) AS BIGINT) AS bin_id,
+       count(*) AS n_docs, sum(n_tok) AS bin_tokens
+FROM c GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec("text_token_count", _q_token_count, _SQL_TOKEN_COUNT),
     QuerySpec("text_quality_score", _q_quality, _SQL_QUALITY, headline=True),
@@ -1027,4 +1106,6 @@ QUERIES = [
     QuerySpec("text_tfidf_top_terms", _q_tfidf_top_terms, _SQL_TFIDF),
     QuerySpec("docs_decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
     QuerySpec("text_ngram_topk", _q_ngram_topk, _SQL_NGRAM_TOPK),
+    QuerySpec("docs_sample_mixture", _q_sample_mixture, _SQL_SAMPLE_MIXTURE),
+    QuerySpec("docs_pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),
 ]
