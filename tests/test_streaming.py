@@ -4,6 +4,8 @@ operators."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -166,3 +168,47 @@ def test_minhash_candidates_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert stream_pairs == batch_pairs
     assert len(batch_pairs) > 0
+
+
+def test_clean_valid_stream_matches_batch_pipeline(spark, tmp_path):
+    """The full cleaning pipeline as an incremental stream: feed the golden
+    fixture in three arrival-ordered micro-batches (the duplicate-key rows
+    0/5/12 land in different slices so first-arrival == first-record_id)
+    and require the appended valid set to equal the batch pipeline's."""
+    import json as _json
+
+    from tests.test_pipeline_golden import _fixture_records
+    from yanwenxian_week3_data_pipeline_spark.pipeline import clean_articles, flag_stages
+    from yanwenxian_week3_data_pipeline_spark.schema import RECORD_ID
+    from yanwenxian_week3_data_pipeline_spark.sources.articles_json import load_articles
+    from yanwenxian_week3_data_pipeline_spark.streaming.articles import clean_valid_stream
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import run_available_now
+
+    records = _fixture_records()
+    fixture = tmp_path / "articles.json"
+    fixture.write_text(_json.dumps(records), encoding="utf-8")
+    batch = load_articles(spark, str(fixture)).cache()
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i, (lo, hi) in enumerate([(0, 5), (5, 12), (12, 17)]):
+        rows = batch.where((F.col(RECORD_ID) >= lo) & (F.col(RECORD_ID) < hi)).toPandas()
+        path = feed / f"slice_{i:03d}.json"
+        path.write_text(
+            "\n".join(rows.to_json(orient="records", lines=True).splitlines()),
+            encoding="utf-8",
+        )
+        # FileStreamSource orders by modification time: stamp slices so
+        # arrival order is the record order
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    got = run_available_now(clean_valid_stream(spark, str(feed)), "clean_stream_test")
+
+    flagged = flag_stages(clean_articles(batch))
+    expected = flagged.where(F.col("_kept") & F.col("passed"))
+
+    cols = ["title", "content", "url", "published_date"]
+    got_rows = {tuple(r[c] for c in cols) for r in got.select(*cols).collect()}
+    exp_rows = {tuple(r[c] for c in cols) for r in expected.select(*cols).collect()}
+    assert got_rows == exp_rows
+    assert len(got_rows) == 5
