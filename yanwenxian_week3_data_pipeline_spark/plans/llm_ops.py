@@ -407,6 +407,39 @@ FROM ranked WHERE rnk <= {SIM_K}
 """
 
 
+def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF index against brute-force ground truth — the
+    evaluation loop an ANN deployment needs before trading exactness for
+    scan pruning. Pure composition of the two top-k queries: both engines
+    join their own exact and approximate results, so the metric itself is
+    oracle-checked."""
+    exact = _q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = _q_cosine_topk_ivf(spark, sf_dir).select(
+        F.col("query_id").alias("_aq"), F.col("cand_id").alias("_ac")
+    )
+    j = exact.join(
+        approx,
+        (F.col("query_id") == F.col("_aq")) & (F.col("cand_id") == F.col("_ac")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("_ac").alias("n_hit"),
+        F.round(F.count("_ac") / F.lit(SIM_K), 6).alias("recall_at_k"),
+    )
+
+
+_SQL_IVF_RECALL = f"""
+WITH exact AS ({_SQL_COSINE_TOPK}),
+approx AS ({_SQL_COSINE_TOPK_IVF})
+SELECT e.query_id, count(*) AS n_exact, count(a.cand_id) AS n_hit,
+       round(count(a.cand_id) / {SIM_K}, 6) AS recall_at_k
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
 def _q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import norm_expr
 
@@ -1108,4 +1141,5 @@ QUERIES = [
     QuerySpec("text_ngram_topk", _q_ngram_topk, _SQL_NGRAM_TOPK),
     QuerySpec("docs_sample_mixture", _q_sample_mixture, _SQL_SAMPLE_MIXTURE),
     QuerySpec("docs_pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),
+    QuerySpec("sim_ivf_recall", _q_ivf_recall, _SQL_IVF_RECALL),
 ]
