@@ -57,3 +57,31 @@ def salted_agg(
             *[F.sum(f"_ps_{name}").alias(name) for name in sum_cols],
         )
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Equi-join where ``skewed``'s hot join keys would overload single
+    reducers: the skewed side gets a deterministic row-hash salt appended
+    to the key, the ``other`` side is replicated across all ``salt_buckets``
+    sub-keys (explode of a literal range — a narrow ``salt_buckets``-fold
+    blowup of the SMALL side only), and the join runs on (key, salt), so a
+    hot key's rows spread over ``salt_buckets`` reducers.
+
+    Trade-off ledger: pay |other| × salt_buckets replication to split the
+    skewed side's per-key reducer load by salt_buckets. Worth it only when
+    ``other`` is too big to broadcast yet small relative to the skewed
+    side, and AQE's skew-join split (which handles oversized PARTITIONS,
+    not single oversized KEYS in a partition) hasn't already solved it.
+    Results are exactly the plain join's — which is what the oracle twin
+    checks."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets))
+    left = skewed.withColumn("_salt", salt)
+    right = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return left.join(right, [on, "_salt"]).drop("_salt")

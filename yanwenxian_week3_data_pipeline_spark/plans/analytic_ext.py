@@ -501,6 +501,44 @@ FROM events GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
+# join_salted_user_nations — skewed-JOIN salting (operators/salt.py
+# salted_join): the fact side joins customer enrichment on (user_id, salt)
+# after replicating the dimension across salt buckets, so a hot user's
+# events spread over salt_buckets reducers instead of one. Here customer
+# would normally broadcast — the query deliberately exercises the salted
+# path for the regime where the enrichment side exceeds broadcast but a
+# single key dominates the fact side (AQE's skew split handles oversized
+# partitions, not one oversized key). Equality with the plain join is the
+# oracle check.
+# ---------------------------------------------------------------------------
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.salt import salted_join
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", F.col("value").cast(DEC6).alias("value"))
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    return (
+        salted_join(ev, dim, on="user_id", salt_buckets=8)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
+_SQL_SALTED_JOIN = f"""
+SELECT c_nationkey, count(*) AS n_events,
+  sum(CAST(value AS {DEC6})) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # agg_hll_partial_union — sketch REUSE: per-nation HLL sketches of the
 # customer set, merged upward to nations-total without rescanning the
 # table. The production pattern at 100 TB: persist the binary sketch per
@@ -535,5 +573,6 @@ QUERIES = [
     QuerySpec("join_full_outer_nation_activity", _q_full_outer, _SQL_FULL_OUTER),
     QuerySpec("join_range_views_before_purchase", _q_range_join, _SQL_RANGE_JOIN),
     QuerySpec("agg_salted_event_type", _q_salted_events, _SQL_SALTED_EVENTS),
+    QuerySpec("join_salted_user_nations", _q_salted_join, _SQL_SALTED_JOIN),
     QuerySpec("agg_hll_partial_union", _q_hll_union, None),
 ]
