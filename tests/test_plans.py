@@ -213,3 +213,11 @@ def test_pack_sequences_groupby_reuses_window_partitioning(spark, sf_dir):
     EnsureRequirements stopped recognizing the subset partitioning."""
     plan = plan_of(spark, "docs_pack_sequences", sf_dir)
     assert node_count(plan, "Exchange") == 1
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """The whole 11-column profile must come from ONE scan of the table
+    (the oracle's UNION ALL form re-reads it 11 times; the engine must
+    not). Exact multi-column countDistinct plans via a single Expand."""
+    plan = plan_of(spark, "profile_lineitem", sf_dir)
+    assert node_count(plan, "Scan parquet") == 1

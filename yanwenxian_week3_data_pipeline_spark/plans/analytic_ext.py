@@ -539,6 +539,40 @@ GROUP BY c_nationkey
 
 
 # ---------------------------------------------------------------------------
+# profile_lineitem — one-pass table profiler (operators/profile.py): per
+# column null count, distinct count, min/max, from a SINGLE scan of the
+# table (the reference's completeness report, cleaner.py:193-202,
+# generalized). Floating min/max go through DECIMAL(18,6) so both engines
+# render identically.
+# ---------------------------------------------------------------------------
+
+_PROFILE_FLOATS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+)
+
+
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "lineitem"), list(_PROFILE_COLS))
+
+
+def _profile_branch_sql(c: str) -> str:
+    s = f"CAST({c} AS DECIMAL(18,6))" if c in _PROFILE_FLOATS else c
+    return (
+        f"SELECT count(*) AS n_rows, '{c}' AS column_name, count({c}) AS n_nonnull, "
+        f"count(DISTINCT {c}) AS n_distinct, CAST(min({s}) AS VARCHAR) AS min_str, "
+        f"CAST(max({s}) AS VARCHAR) AS max_str FROM lineitem"
+    )
+
+
+_SQL_PROFILE = " UNION ALL ".join(_profile_branch_sql(c) for c in _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
 # agg_hll_partial_union — sketch REUSE: per-nation HLL sketches of the
 # customer set, merged upward to nations-total without rescanning the
 # table. The production pattern at 100 TB: persist the binary sketch per
@@ -574,5 +608,6 @@ QUERIES = [
     QuerySpec("join_range_views_before_purchase", _q_range_join, _SQL_RANGE_JOIN),
     QuerySpec("agg_salted_event_type", _q_salted_events, _SQL_SALTED_EVENTS),
     QuerySpec("join_salted_user_nations", _q_salted_join, _SQL_SALTED_JOIN),
+    QuerySpec("profile_lineitem", _q_profile, _SQL_PROFILE),
     QuerySpec("agg_hll_partial_union", _q_hll_union, None),
 ]
