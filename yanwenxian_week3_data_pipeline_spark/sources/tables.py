@@ -35,17 +35,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table carries TIMESTAMP(NANOS) parquet, which Spark's
-    reader rejects by default. Read nanos as long (legacy conf) and convert
-    to TIMESTAMP_NTZ (micros, truncating — matches DuckDB's read of the same
-    file). Session timezone is pinned to UTC for the LTZ→NTZ hop so the
-    result is timezone-independent."""
+    """Normalize ``events.ts`` to TIMESTAMP_NTZ regardless of how the parquet
+    stores it: TIMESTAMP(NANOS) (rejected by Spark's reader unless read as
+    long via the legacy conf, then converted truncating to micros — matches
+    DuckDB's read of the same file) or a plain micros timestamp. Session
+    timezone is pinned to UTC for any LTZ→NTZ hop so the result is
+    timezone-independent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return raw.withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-    )
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) surfaced as long
+        ts = F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+    else:
+        ts = F.col("ts").cast("timestamp_ntz")
+    return raw.withColumn("ts", ts)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
