@@ -24,10 +24,10 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import analytic_ext, llm_ops, reference_surface, relational, tpch_shapes
+    from . import analytic_ext, llm_ops, reference_surface, relational, tpch_depth, tpch_shapes
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (reference_surface, relational, tpch_shapes, analytic_ext, llm_ops):
+    for mod in (reference_surface, relational, tpch_shapes, tpch_depth, analytic_ext, llm_ops):
         for spec in mod.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name}")
