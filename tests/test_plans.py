@@ -221,3 +221,39 @@ def test_profile_is_single_scan(spark, sf_dir):
     not). Exact multi-column countDistinct plans via a single Expand."""
     plan = plan_of(spark, "profile_lineitem", sf_dir)
     assert node_count(plan, "Scan parquet") == 1
+
+
+def test_q19_disjuncts_push_to_both_scans(spark, sf_dir):
+    """The OR-of-ANDs predicate spans both join sides; Catalyst must derive
+    per-table disjunct filters and push them into BOTH parquet scans, and
+    prune every unused lineitem column — at 100 TB this is the difference
+    between scanning 4 columns of a filtered fact and the whole table."""
+    plan = plan_of(spark, "q19_disjunctive_revenue", sf_dir)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "Or(" in l]
+    assert len(pushed) == 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "l_shipdate" not in plan  # column pruning on the fact scan
+    assert node_count(plan, "Exchange") == 1  # only the final scalar agg
+
+
+def test_q21_aggregate_formulation_avoids_self_joins(spark, sf_dir):
+    """q21 is formulated as one per-order aggregate instead of the textbook
+    EXISTS + NOT EXISTS double self-join of lineitem: both count-distincts
+    share a single Expand, and no join ever pairs lineitem with itself."""
+    plan = plan_of(spark, "q21_waiting_suppliers", sf_dir)
+    assert node_count(plan, "Scan parquet") == 3  # lineitem, orders, supplier — once each
+    assert node_count(plan, "Expand") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert node_count(plan, "Exchange") <= 3
+
+
+def test_q17_threshold_joins_all_broadcast(spark, sf_dir):
+    """The per-part quantity-stats aggregate joins back to the probe side as
+    a broadcast (it is one row per part after aggregation), so the filtered
+    fact never shuffles."""
+    plan = plan_of(spark, "q17_small_quantity_revenue", sf_dir)
+    assert node_count(plan, "BroadcastHashJoin") == 3
+    assert node_count(plan, "SortMergeJoin") == 0
+    assert "l_returnflag" not in plan  # pruned
