@@ -387,3 +387,34 @@ def test_pii_scrub_patterns(spark):
     assert "jane" not in res[1].scrubbed
     assert res[2].n_ipv4 == 2 and res[2].n_email == 1
     assert res[3].scrubbed == "no pii here at all"
+
+
+def test_multimodal_frame_sample_exact_expansion(spark, sf_dir):
+    """frame_sample must emit exactly ceil(n_frames/stride) rows per media
+    item, with the deterministic per-frame crc recomputable locally."""
+    from yanwenxian_week3_data_pipeline_spark.operators.multimodal import (
+        _fake_decode,
+        documents_as_media,
+        frame_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = documents_as_media(docs)
+    stride = 7
+    got = frame_sample(media, stride=stride).collect()
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r.media_id, []).append(r)
+    local = {
+        r["media_id"]: _fake_decode(r["media_type"], r["payload"])
+        for r in (m.asDict() for m in media.collect())
+    }
+    assert set(by_media) == set(local)
+    for mid, (_w, _h, n_frames, crc) in local.items():
+        frames = sorted(by_media[mid], key=lambda r: r.frame_idx)
+        assert len(frames) == -(-n_frames // stride)
+        assert [f.frame_idx for f in frames] == list(range(0, n_frames, stride))
+        for f in frames:
+            assert f.frame_crc == (crc + f.frame_idx * 2654435761) % (1 << 31)
+    # images always contribute exactly one frame
+    assert all(len(by_media[r.media_id]) == 1 for r in got if r.media_type == "image")

@@ -288,3 +288,73 @@ def repetition_features_sql(clean: str) -> dict[str, str]:
         "top_token_frac": f"round(coalesce({top_cnt}, 0) / {nz}, 4)",
         "dup_2gram_ratio": f"round(({n2} - CAST(len(list_distinct({grams2})) AS BIGINT)) / {nz2}, 4)",
     }
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 — public paper). Thresholds adapted to the
+# driver corpus (10-99 tokens/doc) so each rule is non-trivial here while
+# keeping the published rule *forms*: token-count band, mean-word-length
+# band, symbol-to-word ratio, numeric-token fraction, stopword floor.
+# All integer/boolean arithmetic — bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 90
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_NUMERIC_FRAC = 0.2
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_rules_expr(clean: Column) -> dict[str, Column]:
+    toks = tokens_expr(clean)
+    n = F.size(toks).cast("long")
+    nz = F.greatest(n, F.lit(1))
+    char_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    mean_len = char_sum / nz  # double; same IEEE division both engines
+    n_symbols = (
+        F.size(F.split(clean, "#", -1)) - 1 + F.size(F.split(clean, r"\.\.\.", -1)) - 1
+    ).cast("long")
+    n_numeric = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).cast("long")
+    stop_hits = _stopword_hits_expr(toks, QUALITY_STOPWORDS)
+    rules = {
+        "r_token_count": (n >= GOPHER_MIN_TOKENS) & (n <= GOPHER_MAX_TOKENS),
+        "r_mean_word_len": (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "r_symbol_ratio": (n_symbols / nz) < GOPHER_MAX_SYMBOL_RATIO,
+        "r_numeric_frac": (n_numeric / nz) < GOPHER_MAX_NUMERIC_FRAC,
+        "r_stopwords": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return {**rules, "passes_gopher": passes}
+
+
+def gopher_rules_sql(clean: str) -> dict[str, str]:
+    toks = tokens_sql(clean)
+    n = f"CAST(len({toks}) AS BIGINT)"
+    nz = f"greatest({n}, 1)"
+    char_sum = f"CAST(coalesce(list_sum(list_transform({toks}, t -> length(t))), 0) AS BIGINT)"
+    mean_len = f"({char_sum} / {nz})"
+    n_symbols = (
+        f"CAST(len(str_split({clean}, '#')) - 1"
+        f" + len(regexp_split_to_array({clean}, '\\.\\.\\.')) - 1 AS BIGINT)"
+    )
+    n_numeric = f"CAST(len(list_filter({toks}, t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT)"
+    stop_hits = _stopword_hits_sql(toks, QUALITY_STOPWORDS)
+    rules = {
+        "r_token_count": f"({n} >= {GOPHER_MIN_TOKENS} AND {n} <= {GOPHER_MAX_TOKENS})",
+        "r_mean_word_len": (
+            f"({mean_len} >= {GOPHER_MIN_MEAN_WORD_LEN} AND {mean_len} <= {GOPHER_MAX_MEAN_WORD_LEN})"
+        ),
+        "r_symbol_ratio": f"(({n_symbols} / {nz}) < {GOPHER_MAX_SYMBOL_RATIO})",
+        "r_numeric_frac": f"(({n_numeric} / {nz}) < {GOPHER_MAX_NUMERIC_FRAC})",
+        "r_stopwords": f"({stop_hits} >= {GOPHER_MIN_STOPWORD_HITS})",
+    }
+    passes = " AND ".join(rules.values())
+    return {**rules, "passes_gopher": f"({passes})"}

@@ -112,3 +112,43 @@ def extract_features(media: DataFrame, real_decode: bool = False) -> DataFrame:
             yield out
 
     return media.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("frame_crc", LongType(), True),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, stride: int = 10, real_decode: bool = False) -> DataFrame:
+    """Stride-sample frames from video/audio payloads: one output row per
+    sampled frame (images contribute their single frame). Same
+    ``mapInPandas`` shape as ``extract_features`` — the expansion happens
+    inside the Arrow batch, so a 300-frame video never materializes as 300
+    JVM rows with a duplicated multi-MB payload; only the (small) per-frame
+    feature rows cross back. At scale, follow with ``repartition`` if
+    frame-level downstream work needs rebalancing."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if real_decode:
+                raise DecodeNotAvailable("media codecs not installed in this environment")
+            rows = []
+            for mid, mt, pl in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                _w, _h, n_frames, crc = _fake_decode(mt, pl)
+                for idx in range(0, n_frames, stride):
+                    rows.append((mid, mt, n_frames, idx, (crc + idx * 2654435761) % (1 << 31)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "n_frames", "frame_idx", "frame_crc"]
+            )
+
+    return media.mapInPandas(gen, FRAME_SCHEMA)

@@ -1143,3 +1143,86 @@ QUERIES = [
     QuerySpec("docs_pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),
     QuerySpec("sim_ivf_recall", _q_ivf_recall, _SQL_IVF_RECALL),
 ]
+
+
+# ---------------------------------------------------------------------------
+# docs_gopher_filter — Gopher-style rule filter (Rae et al. 2021 §A1.1
+# forms, thresholds adapted to this corpus; functions/textstats.py). Emits
+# per-rule booleans so downstream funnels can attribute drops per rule.
+# ---------------------------------------------------------------------------
+
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import gopher_rules_expr
+
+    d = _cleaned_docs(spark, sf_dir)
+    rules = gopher_rules_expr(F.col("c"))
+    return d.select("doc_id", *[v.alias(k) for k, v in rules.items()])
+
+
+def _gopher_sql() -> str:
+    from ..functions.textstats import gopher_rules_sql
+
+    rules = gopher_rules_sql("c")
+    cols = ", ".join(f"{v} AS {k}" for k, v in rules.items())
+    return f"WITH d AS ({_CLEANED}) SELECT doc_id, {cols} FROM d"
+
+
+# ---------------------------------------------------------------------------
+# docs_domain_stats — per-source corpus accounting (docs, langs, chars,
+# Gopher pass rate): the "what is in my 100 TB crawl" report, one shuffle
+# on the low-cardinality source key with map-side partial aggregation.
+# ---------------------------------------------------------------------------
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import gopher_rules_expr
+
+    d = _docs(spark, sf_dir).select(
+        "source",
+        "lang",
+        "n_chars",
+        gopher_rules_expr(clean_text_expr(F.col("text")))["passes_gopher"].alias("ok"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_pass_gopher"),
+        )
+        .orderBy("source")
+    )
+
+
+def _domain_stats_sql() -> str:
+    from ..functions.textstats import gopher_rules_sql
+
+    ok = gopher_rules_sql("c")["passes_gopher"]
+    return f"""
+WITH d AS (SELECT source, lang, n_chars, {CLEAN_SQL} AS c FROM documents)
+SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+  sum(n_chars) AS total_chars,
+  sum(CASE WHEN {ok} THEN 1 ELSE 0 END) AS n_pass_gopher
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# mm_frame_sample — stride-sampled frames from video/audio payloads via
+# mapInPandas (stubbed decode; rows-only check like mm_extract_features,
+# exact expansion asserted in tests/test_operators.py)
+# ---------------------------------------------------------------------------
+
+def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample
+
+    return frame_sample(documents_as_media(_docs(spark, sf_dir)), stride=10)
+
+
+QUERIES.extend(
+    [
+        QuerySpec("docs_gopher_filter", _q_gopher_filter, _gopher_sql()),
+        QuerySpec("docs_domain_stats", _q_domain_stats, _domain_stats_sql()),
+        QuerySpec("mm_frame_sample", _q_mm_frame_sample, None),
+    ]
+)
