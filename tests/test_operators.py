@@ -418,3 +418,25 @@ def test_multimodal_frame_sample_exact_expansion(spark, sf_dir):
             assert f.frame_crc == (crc + f.frame_idx * 2654435761) % (1 << 31)
     # images always contribute exactly one frame
     assert all(len(by_media[r.media_id]) == 1 for r in got if r.media_type == "image")
+
+
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    """resize_media: binary-in/binary-out through Arrow batches; resized
+    payload length matches the deterministic pixel-fraction recipe."""
+    from yanwenxian_week3_data_pipeline_spark.operators.multimodal import (
+        _fake_decode,
+        documents_as_media,
+        resize_media,
+    )
+
+    media = documents_as_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    got = {r.media_id: r for r in resize_media(media, 224, 224).collect()}
+    src = {r["media_id"]: r for r in (m.asDict() for m in media.collect())}
+    assert set(got) == set(src)
+    for mid, r in got.items():
+        payload = src[mid]["payload"]
+        w, h, _f, _c = _fake_decode(src[mid]["media_type"], payload)
+        assert (r.width, r.height) == (w, h)
+        frac = min(1.0, (224 * 224) / max(w * h, 1))
+        assert r.byte_len == max(1, int(len(payload) * frac))
+        assert bytes(r.payload) == bytes(payload)[: r.byte_len]

@@ -152,3 +152,62 @@ def frame_sample(media: DataFrame, stride: int = 10, real_decode: bool = False) 
             )
 
     return media.mapInPandas(gen, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("target_w", IntegerType(), True),
+        StructField("target_h", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("byte_len", LongType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, real_decode: bool = False
+) -> DataFrame:
+    """Resize image payloads to a fixed target (the standard
+    pre-training-vision shape). Decode is stubbed: the fake 'resized'
+    payload is a deterministic byte slice scaled to the target's pixel
+    fraction of the decoded dimensions, so the batch plumbing (binary in,
+    binary out, metadata columns preserved) is exercised end-to-end.
+    Replace the body of ``_resize_one`` with PIL/cv2 in a full environment.
+
+    Scale shape: binary columns never leave the executor; each Arrow batch
+    holds a bounded number of blobs (cap with
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` for multi-MB media)."""
+
+    def _resize_one(mt: str, payload: bytes) -> tuple[int, int, bytes]:
+        width, height, _f, _crc = _fake_decode(mt, payload)
+        if payload is None:
+            return (0, 0, b"")
+        frac = min(1.0, (target_w * target_h) / max(width * height, 1))
+        out_len = max(1, int(len(payload) * frac))
+        return (width, height, payload[:out_len])
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            if real_decode:
+                raise DecodeNotAvailable("media codecs not installed in this environment")
+            resized = [_resize_one(mt, pl) for mt, pl in zip(pdf["media_type"], pdf["payload"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [r[0] for r in resized],
+                    "height": [r[1] for r in resized],
+                    "target_w": target_w,
+                    "target_h": target_h,
+                    "payload": [r[2] for r in resized],
+                    "byte_len": [len(r[2]) for r in resized],
+                }
+            )
+
+    return media.mapInPandas(gen, RESIZE_SCHEMA)

@@ -1219,10 +1219,19 @@ def _q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(documents_as_media(_docs(spark, sf_dir)), stride=10)
 
 
+def _q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize over binary payloads (stubbed decode; rows-only
+    check like the other mm_ ops — SURVEY.md §2.10 multimodal row)."""
+    from ..operators.multimodal import resize_media
+
+    return resize_media(documents_as_media(_docs(spark, sf_dir))).drop("payload")
+
+
 QUERIES.extend(
     [
         QuerySpec("docs_gopher_filter", _q_gopher_filter, _gopher_sql()),
         QuerySpec("docs_domain_stats", _q_domain_stats, _domain_stats_sql()),
         QuerySpec("mm_frame_sample", _q_mm_frame_sample, None),
+        QuerySpec("mm_resize", _q_mm_resize, None),
     ]
 )
