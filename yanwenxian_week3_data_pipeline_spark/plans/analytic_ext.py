@@ -593,6 +593,115 @@ def _q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# events_retention_cohorts — cohort analysis: users grouped by first-seen
+# week, activity counted per weeks-since-cohort. Two shuffles: the per-user
+# first-seen aggregate (150 rows -> broadcast back) and the final cohort
+# groupBy. The fact table never shuffles on a wide key.
+# ---------------------------------------------------------------------------
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", F.to_date("ts").alias("d"))
+    first_seen = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            F.date_trunc("week", F.col("first_d")).cast("date").alias("cohort_week"),
+            # floor, not a bare int cast: Spark casts double->int by truncation
+            # while DuckDB rounds; floor() agrees everywhere
+            F.floor(F.datediff(F.col("d"), F.col("first_d")) / 7).cast("int").alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+_SQL_RETENTION = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+first_seen AS (SELECT user_id, min(d) AS first_d FROM ev GROUP BY user_id)
+SELECT CAST(date_trunc('week', first_d) AS DATE) AS cohort_week,
+  CAST(floor(date_diff('day', first_d, d) / 7) AS INT) AS weeks_since,
+  count(DISTINCT ev.user_id) AS n_active
+FROM ev JOIN first_seen ON ev.user_id = first_seen.user_id
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_conversion — ordered conversion funnel (signup -> view
+# strictly after -> purchase strictly after) computed with ONE shuffle of
+# the fact: running per-user window minima instead of three self-joins.
+# ---------------------------------------------------------------------------
+
+def _q_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.withColumn("signup_ts", first_signup).withColumn(
+        "conv_view",
+        (F.col("event_type") == "view") & (F.col("signup_ts") < F.col("ts")),
+    )
+    staged = staged.withColumn(
+        "conv_view_ts", F.min(F.when(F.col("conv_view"), F.col("ts"))).over(w)
+    ).withColumn(
+        "conv_purchase",
+        (F.col("event_type") == "purchase") & (F.col("conv_view_ts") < F.col("ts")),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "signup").alias("s1"),
+        F.max("conv_view").alias("s2"),
+        F.max("conv_purchase").alias("s3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s1").cast("long")).alias("n_signup"),
+        F.sum(F.col("s2").cast("long")).alias("n_view_after_signup"),
+        F.sum(F.col("s3").cast("long")).alias("n_purchase_after_view"),
+    )
+
+
+_SQL_CONVERSION = """
+WITH staged1 AS (
+  SELECT user_id, event_type, ts,
+    min(CASE WHEN event_type = 'signup' THEN ts END)
+      OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
+  FROM events),
+staged2 AS (
+  SELECT *, (event_type = 'view' AND signup_ts < ts) AS conv_view FROM staged1),
+staged3 AS (
+  SELECT *,
+    min(CASE WHEN conv_view THEN ts END)
+      OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_view_ts
+  FROM staged2),
+staged4 AS (
+  SELECT *, (event_type = 'purchase' AND conv_view_ts < ts) AS conv_purchase FROM staged3),
+per_user AS (
+  SELECT user_id,
+    max(event_type = 'signup') AS s1,
+    max(conv_view) AS s2,
+    max(conv_purchase) AS s3
+  FROM staged4 GROUP BY user_id)
+SELECT count(*) AS n_users,
+  sum(CAST(s1 AS BIGINT)) AS n_signup,
+  sum(CAST(s2 AS BIGINT)) AS n_view_after_signup,
+  sum(CAST(s3 AS BIGINT)) AS n_purchase_after_view
+FROM per_user
+"""
+
+
 QUERIES = [
     QuerySpec("groupby_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS),
     QuerySpec("agg_percentiles", _q_percentiles, _SQL_PERCENTILES),
@@ -610,4 +719,6 @@ QUERIES = [
     QuerySpec("join_salted_user_nations", _q_salted_join, _SQL_SALTED_JOIN),
     QuerySpec("profile_lineitem", _q_profile, _SQL_PROFILE),
     QuerySpec("agg_hll_partial_union", _q_hll_union, None),
+    QuerySpec("events_retention_cohorts", _q_retention, _SQL_RETENTION),
+    QuerySpec("events_funnel_conversion", _q_conversion, _SQL_CONVERSION),
 ]
