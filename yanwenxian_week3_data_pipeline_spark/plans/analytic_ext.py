@@ -702,6 +702,37 @@ FROM per_user
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_kll_quantile_merge — two-phase approximate quantiles: a KLL sketch per
+# order-priority group, merged into global p50/p90/p99. Same shape as the
+# HLL partial union: at 100 TB the per-partition/day sketches persist and
+# every rollup is a cheap sketch merge, never a re-scan. Sketch estimates
+# are engine-specific -> rows-only driver check; the exact-percentile twin
+# (agg_percentiles) is the oracle-checked counterpart.
+# ---------------------------------------------------------------------------
+
+def _q_kll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_group = orders.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_rows").alias("n_orders"),
+        F.kll_merge_agg_double("sk").alias("sk"),
+    )
+    def q(p):
+        return F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(p))
+    return merged.select(
+        "n_groups",
+        "n_orders",
+        F.round(q(0.5), 2).alias("p50"),
+        F.round(q(0.9), 2).alias("p90"),
+        F.round(q(0.99), 2).alias("p99"),
+    )
+
+
 QUERIES = [
     QuerySpec("groupby_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS),
     QuerySpec("agg_percentiles", _q_percentiles, _SQL_PERCENTILES),
@@ -719,6 +750,7 @@ QUERIES = [
     QuerySpec("join_salted_user_nations", _q_salted_join, _SQL_SALTED_JOIN),
     QuerySpec("profile_lineitem", _q_profile, _SQL_PROFILE),
     QuerySpec("agg_hll_partial_union", _q_hll_union, None),
+    QuerySpec("agg_kll_quantile_merge", _q_kll_merge, None),
     QuerySpec("events_retention_cohorts", _q_retention, _SQL_RETENTION),
     QuerySpec("events_funnel_conversion", _q_conversion, _SQL_CONVERSION),
 ]
