@@ -212,3 +212,40 @@ def test_clean_valid_stream_matches_batch_pipeline(spark, tmp_path):
     exp_rows = {tuple(r[c] for c in cols) for r in expected.select(*cols).collect()}
     assert got_rows == exp_rows
     assert len(got_rows) == 5
+
+
+def test_enrich_stream_matches_batch(spark, sf_dir, stream_src):
+    """Stream-static broadcast enrichment: drained stream result equals the
+    batch join+window aggregate over the same feed."""
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import (
+        enrich_stream,
+        run_available_now,
+    )
+
+    got = run_available_now(
+        enrich_stream(spark, stream_src, sf_dir), "enrich_stream_t", output_mode="append"
+    )
+    feed = spark.read.json(
+        stream_src,
+        schema="event_id long, ts timestamp, user_id long, value double",
+        timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select((F.col("c_custkey") - 1).alias("user_id"), "c_nationkey")
+    )
+    want = (
+        feed.join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("w_start"), "c_nationkey", "n_events", "total_value")
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    # append mode only emits windows the watermark has closed; every emitted
+    # window must match its batch twin exactly, and nearly all windows close
+    # under availableNow drain of a finite feed
+    assert len(got_rows) > 0
+    want_by_key = {(r[0], r[1]): r for r in want_rows}
+    for r in got_rows:
+        assert want_by_key[(r[0], r[1])] == r

@@ -452,6 +452,63 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 """
 
 
+def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's NEAREST view in either direction
+    (ties prefer the earlier-or-equal view) — the nearest-direction variant
+    of the as-of join, same one-shuffle union-tag-window shape with the
+    carry run both ways."""
+    from ..operators.asof import asof_join_nearest
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.col("value").alias("purchase_value")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    out = asof_join_nearest(purchases, views, on="ts", by="user_id")
+    return out.select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_id",
+        "purchase_value",
+        F.col("r_ts").alias("view_ts"),
+        F.col("r_view_id").alias("view_id"),
+    )
+
+
+_SQL_ASOF_NEAREST = """
+WITH u AS (
+  SELECT user_id, ts AS ord, 1 AS side, event_id AS purchase_id, value AS purchase_value,
+    CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS TIMESTAMP) AS v_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0, NULL, NULL, event_id, ts
+  FROM events WHERE event_type = 'view'),
+c AS (
+  SELECT *,
+    last_value(v_ts IGNORE NULLS) OVER wb AS b_ts,
+    last_value(view_id IGNORE NULLS) OVER wb AS b_id,
+    first_value(v_ts IGNORE NULLS) OVER wf AS f_ts,
+    first_value(view_id IGNORE NULLS) OVER wf AS f_id
+  FROM u
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY ord ASC, side ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY ord ASC, side ASC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, ord AS purchase_ts, purchase_id, purchase_value,
+  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+            OR epoch_us(ord) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ord))
+       THEN b_ts ELSE f_ts END AS view_ts,
+  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
+            OR epoch_us(ord) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ord))
+       THEN b_id ELSE f_id END AS view_id
+FROM c WHERE side = 1
+"""
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
 
@@ -495,6 +552,7 @@ QUERIES = [
     QuerySpec("agg_count_distinct", _q_count_distinct, _SQL_COUNT_DISTINCT),
     QuerySpec("agg_approx_count_distinct", _q_approx_distinct, None),
     QuerySpec("join_asof_purchase_view", _q_asof, _SQL_ASOF),
+    QuerySpec("join_asof_nearest_view", _q_asof_nearest, _SQL_ASOF_NEAREST),
     QuerySpec("events_tumbling_hourly", _q_tumbling, _SQL_TUMBLING, headline=True),
     QuerySpec("events_sliding_15m", _q_sliding, _SQL_SLIDING),
     QuerySpec("events_sessionize", _q_sessionize, _SQL_SESSIONIZE, headline=True),

@@ -211,3 +211,31 @@ def run_available_now(df: DataFrame, name: str, output_mode: str = "append") -> 
     )
     q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def enrich_stream(
+    spark: SparkSession, src_dir: str, sf_dir: str, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static broadcast enrichment: the event stream joins a static
+    dimension (customer -> nation, re-read per micro-batch) before a
+    watermarked windowed aggregate. The production pattern for attaching
+    slowly-changing reference data to a fact stream — the static side stays
+    a broadcast, so enrichment adds NO stateful shuffle; only the windowed
+    aggregate keeps state, bounded by the watermark."""
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select((F.col("c_custkey") - 1).alias("user_id"), "c_nationkey")
+    )
+    ev = read_event_stream(spark, src_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", window).alias("w"), "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "c_nationkey",
+            "n_events",
+            "total_value",
+        )
+    )
