@@ -59,3 +59,40 @@ def read_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -
         .option("header", str(header).lower())
         .csv(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Compact a small-files parquet directory in place: read, coalesce to
+    ``ceil(total_rows / target_rows_per_file)`` output files (optionally
+    re-sorted so min/max row-group stats stay selective), write to a
+    sibling temp dir, atomically swap. Returns the new file count.
+
+    The maintenance op every long-running ingest needs: streaming /
+    per-batch writers accrete thousands of KB-sized files, and at 100 TB
+    the NameNode/listing and per-file open costs dominate scans long before
+    the bytes do. Run per partition directory in production so the swap
+    stays partition-local."""
+    import math
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    df = spark.read.parquet(path)
+    total = df.count()
+    n_files = max(1, math.ceil(total / target_rows_per_file))
+    out = df.repartition(n_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    p, t = Path(path), Path(tmp)
+    bak = Path(f"{tmp}.old")
+    p.rename(bak)
+    t.rename(p)
+    shutil.rmtree(bak)
+    return len([f for f in p.glob("*.parquet")])

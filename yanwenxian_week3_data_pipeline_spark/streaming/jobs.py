@@ -239,3 +239,39 @@ def enrich_stream(
             "total_value",
         )
     )
+
+
+def write_stream_idempotent(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_col: str = "w_start",
+) -> "object":
+    """foreachBatch sink with replay-safe semantics: each micro-batch
+    dynamically overwrites ONLY the partitions it carries
+    (``partitionOverwriteMode=dynamic``), so re-processing a batch after a
+    failure rewrites the same partition directories instead of appending
+    duplicates. Combined with the checkpoint (which makes batch ids stable
+    across restarts) this gives effectively-once file output — the standard
+    Structured Streaming production sink when the target is a plain
+    parquet/lakehouse table. Returns the started StreamingQuery
+    (caller awaits termination)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.sparkSession.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+        )
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
