@@ -80,6 +80,13 @@ HASH64_HEX_CHARS = 15
 # MinHash configuration (dedup family).
 MINHASH_NUM_HASHES = 32
 MINHASH_BANDS = 8          # 8 bands x 4 rows
+
+# LSH buckets larger than this are skipped by the band self-joins: a bucket
+# of b members contributes b^2/2 candidate pairs, so one boilerplate/empty-
+# text mega-bucket turns the join quadratic at corpus scale. Members of a
+# skipped bucket still pair through their other bands. Mirrored verbatim in
+# the DuckDB oracle SQL; never binds at test scale (sf0.01 max bucket ~= 3).
+DEDUP_MAX_BUCKET = 1000
 MINHASH_ROWS_PER_BAND = MINHASH_NUM_HASHES // MINHASH_BANDS
 MINHASH_SHINGLE_K = 3      # token 3-gram shingles
 MINHASH_JACCARD_THRESHOLD = 0.5

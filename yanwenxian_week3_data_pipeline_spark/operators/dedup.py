@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from ..constants import (
+    DEDUP_MAX_BUCKET,
     MINHASH_BANDS,
     MINHASH_NUM_HASHES,
     MINHASH_ROWS_PER_BAND,
@@ -187,6 +188,7 @@ def dedup_minhash_lsh(
     threshold: float,
     bands: int = MINHASH_BANDS,
     rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    max_bucket_size: int = DEDUP_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) with exact-Jaccard verify
     over LSH band candidates.
@@ -207,6 +209,15 @@ def dedup_minhash_lsh(
     sigs.count()
 
     banded = minhash_band_keys(sigs, bands, rows_per_band)
+    # mega-bucket guard (see dedup_simhash): skip band buckets whose size
+    # would make the candidate join quadratic
+    ok_buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .count()
+        .where(F.col("count") <= max_bucket_size)
+        .drop("count")
+    )
+    banded = banded.join(ok_buckets, ["band_idx", "band_key"], "left_semi")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -292,6 +303,7 @@ def dedup_simhash(
     max_hamming: int,
     bits: int = SIMHASH_BITS,
     chunks: int = 4,
+    max_bucket_size: int = DEDUP_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -319,6 +331,18 @@ def dedup_simhash(
     chunked = sig.select("id", "simhash", F.explode(chunk_structs).alias("ch")).select(
         "id", "simhash", F.col("ch.chunk_idx").alias("chunk_idx"), F.col("ch.chunk_val").alias("chunk_val")
     )
+    # mega-bucket guard: a bucket of b members yields ~b^2/2 candidates, so
+    # one hot chunk value (near-identical boilerplate at corpus scale) turns
+    # the self-join quadratic. Skip oversized buckets; their members still
+    # meet through other chunks. Same partitioning key as the self-join, so
+    # the count piggybacks on the join's exchange.
+    ok_buckets = (
+        chunked.groupBy("chunk_idx", "chunk_val")
+        .count()
+        .where(F.col("count") <= max_bucket_size)
+        .drop("count")
+    )
+    chunked = chunked.join(ok_buckets, ["chunk_idx", "chunk_val"], "left_semi")
     a = chunked.alias("a")
     b = chunked.alias("b")
     pairs = (

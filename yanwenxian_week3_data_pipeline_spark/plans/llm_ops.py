@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..constants import (
+    DEDUP_MAX_BUCKET,
     MINHASH_BANDS,
     MINHASH_JACCARD_THRESHOLD,
     MINHASH_NUM_HASHES,
@@ -239,8 +240,12 @@ WITH d AS ({_CLEANED}),
 sh AS (SELECT doc_id, {_shingles_sql_inline('c')} AS shingles FROM d),
 hashed AS (SELECT doc_id, shingles, {_minhash_digests_sql('shingles')} AS ds FROM sh WHERE len(shingles) > 0),
 sigs AS (SELECT doc_id, shingles, {_minhash_sig_sql('ds')} AS sig FROM hashed),
-banded AS (SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
+banded_all AS (SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
            FROM sigs, UNNEST([{_band_structs}]) AS t(u)),
+ok_buckets AS (SELECT band_idx, band_key FROM banded_all
+               GROUP BY band_idx, band_key HAVING count(*) <= {DEDUP_MAX_BUCKET}),
+banded AS (SELECT banded_all.* FROM banded_all
+           SEMI JOIN ok_buckets USING (band_idx, band_key)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM banded a JOIN banded b
            ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
@@ -295,8 +300,12 @@ _chunk_structs = ", ".join(
 _SQL_DEDUP_SIMHASH = f"""
 WITH d AS ({_CLEANED}),
 sigs AS (SELECT doc_id, {_simhash_sql('c')} AS simhash FROM d),
-chunked AS (SELECT doc_id, simhash, u.chunk_idx AS chunk_idx, u.chunk_val AS chunk_val
+chunked_all AS (SELECT doc_id, simhash, u.chunk_idx AS chunk_idx, u.chunk_val AS chunk_val
             FROM sigs, UNNEST([{_chunk_structs}]) AS t(u)),
+ok_buckets AS (SELECT chunk_idx, chunk_val FROM chunked_all
+               GROUP BY chunk_idx, chunk_val HAVING count(*) <= {DEDUP_MAX_BUCKET}),
+chunked AS (SELECT chunked_all.* FROM chunked_all
+            SEMI JOIN ok_buckets USING (chunk_idx, chunk_val)),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sim_a, b.simhash AS sim_b
          FROM chunked a JOIN chunked b
            ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
