@@ -1,0 +1,83 @@
+"""Scale stress for the dedup family: generate a synthetic corpus N× the
+bench's documents table (default 100k docs, deliberately small vocabulary —
+the worst case for LSH bucket skew) and time the heavy operators on it.
+
+This is the harness behind the numbers in README "Scale notes"; the
+mega-bucket guard (constants.DEDUP_MAX_BUCKET) was added after this harness
+showed simhash's chunk join going quadratic on hot buckets.
+
+Usage: python tools/stress_dedup.py [n_docs] [out_dir]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+VOCAB = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "spark", "line", "sort", "window", "the", "a",
+    "join", "shuffle", "codegen", "filter", "push", "down", "broad", "cast",
+    "skew", "salt", "arrow", "pandas",
+]
+
+
+def generate(n_docs: int, out_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    random.seed(42)
+    texts = []
+    for i in range(n_docs):
+        n = random.randint(30, 90)
+        words = [VOCAB[random.randrange(len(VOCAB))] for _ in range(n)]
+        if i and random.random() < 0.2:  # 20% near-dups of the previous doc
+            words = texts[-1].split()
+            words[random.randrange(len(words))] = "mutated"
+        texts.append(" ".join(words))
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n_docs), pa.int64()),
+                "text": texts,
+                "lang": ["en"] * n_docs,
+                "source": ["syn"] * n_docs,
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        f"{out_dir}/documents.parquet",
+    )
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/syn_sf"
+    generate(n_docs, out_dir)
+    print(f"generated {n_docs} docs in {out_dir}")
+
+    from yanwenxian_week3_data_pipeline_spark.plans import all_queries
+    from yanwenxian_week3_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    for name in (
+        "agg_counts_funnel",
+        "dedup_exact",
+        "docs_gopher_filter",
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "docs_corpus_curation",
+    ):
+        t0 = time.time()
+        n = qs[name].build(spark, out_dir).count()
+        print(f"{name}: {time.time() - t0:.1f}s rows={n}")
+
+
+if __name__ == "__main__":
+    main()
