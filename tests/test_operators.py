@@ -440,3 +440,26 @@ def test_multimodal_resize_plumbing(spark, sf_dir):
         frac = min(1.0, (224 * 224) / max(w * h, 1))
         assert r.byte_len == max(1, int(len(payload) * frac))
         assert bytes(r.payload) == bytes(payload)[: r.byte_len]
+
+
+def test_write_training_shards_sized_and_deterministic(spark, sf_dir, tmp_path):
+    from yanwenxian_week3_data_pipeline_spark.sinks.columnar import write_training_shards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    out1 = str(tmp_path / "s1")
+    n_files = write_training_shards(docs, out1, records_per_shard=100, shuffle_seed=7)
+    assert n_files >= n // 100
+    back = spark.read.parquet(out1)
+    assert back.count() == n
+    # per-shard sizes respect the cap
+    import glob
+    import pyarrow.parquet as pq
+    sizes = sorted(pq.ParquetFile(f).metadata.num_rows for f in glob.glob(f"{out1}/*.parquet"))
+    assert max(sizes) <= 100
+    # seeded shuffle is reproducible: same seed -> same shard contents
+    out2 = str(tmp_path / "s2")
+    write_training_shards(docs, out2, records_per_shard=100, shuffle_seed=7)
+    ids1 = [r.doc_id for r in spark.read.parquet(out1).collect()]
+    ids2 = [r.doc_id for r in spark.read.parquet(out2).collect()]
+    assert sorted(ids1) == sorted(ids2)

@@ -402,6 +402,7 @@ def dedup_incremental(
     id_col: str,
     batch_pred,
     threshold: float,
+    max_bucket_size: int = DEDUP_MAX_BUCKET,
 ) -> DataFrame:
     """Incremental near-dup: which NEW-batch docs already exist (as near
     duplicates) in the corpus? The daily-ingest shape of dedup at scale:
@@ -425,6 +426,15 @@ def dedup_incremental(
     banded = minhash_band_keys(sigs)
     batch_bands = banded.where(batch_pred(F.col("id")))
     corpus_bands = banded.where(~batch_pred(F.col("id")))
+    # mega-bucket guard on the corpus side (see dedup_simhash): a hot corpus
+    # bucket multiplies every batch doc that lands in it
+    ok_buckets = (
+        corpus_bands.groupBy("band_idx", "band_key")
+        .count()
+        .where(F.col("count") <= max_bucket_size)
+        .drop("count")
+    )
+    corpus_bands = corpus_bands.join(ok_buckets, ["band_idx", "band_key"], "left_semi")
     cand = (
         batch_bands.alias("n")
         .join(

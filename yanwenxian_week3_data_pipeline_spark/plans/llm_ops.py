@@ -905,10 +905,14 @@ hashed AS (SELECT doc_id, shingles, {_minhash_digests_sql('shingles')} AS ds FRO
 sigs AS (SELECT doc_id, shingles, {_minhash_sig_sql('ds')} AS sig FROM hashed),
 banded AS (SELECT doc_id, u.band_idx AS band_idx, u.band_key AS band_key
            FROM sigs, UNNEST([{_band_structs}]) AS t(u)),
+corpus_ok AS (SELECT band_idx, band_key FROM banded WHERE doc_id % 10 <> 0
+              GROUP BY band_idx, band_key HAVING count(*) <= {DEDUP_MAX_BUCKET}),
+corpus_b AS (SELECT banded.* FROM banded SEMI JOIN corpus_ok USING (band_idx, band_key)
+             WHERE doc_id % 10 <> 0),
 cand AS (SELECT DISTINCT nb.doc_id AS batch_id, cb.doc_id AS corpus_id
-         FROM banded nb JOIN banded cb
+         FROM banded nb JOIN corpus_b cb
            ON nb.band_idx = cb.band_idx AND nb.band_key = cb.band_key
-          AND nb.doc_id % 10 = 0 AND cb.doc_id % 10 <> 0),
+          AND nb.doc_id % 10 = 0),
 verified AS (
   SELECT batch_id, corpus_id,
     round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)

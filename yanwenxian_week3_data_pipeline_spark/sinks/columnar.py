@@ -96,3 +96,34 @@ def compact_parquet(
     t.rename(p)
     shutil.rmtree(bak)
     return len([f for f in p.glob("*.parquet")])
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    records_per_shard: int,
+    shuffle_seed: int | None = None,
+) -> int:
+    """Write a training corpus as uniformly-sized parquet shards
+    (``maxRecordsPerFile``), optionally in a seeded deterministic shuffle
+    order (sort by a seeded hash — reproducible across runs, unlike a
+    random() sort). Returns the shard-file count.
+
+    The output shape data loaders want: shards of equal record count so a
+    1000-worker training job gets balanced file assignments, written
+    without a global sort — the hash sort is per-partition plus one range
+    exchange, and ``maxRecordsPerFile`` splits inside each task."""
+    out = df
+    if shuffle_seed is not None:
+        from pyspark.sql import functions as F
+
+        cols = [F.col(c).cast("string") for c in df.columns]
+        out = df.orderBy(F.xxhash64(F.lit(str(shuffle_seed)), *cols))
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", records_per_shard)
+        .parquet(path)
+    )
+    from pathlib import Path
+
+    return len(list(Path(path).glob("*.parquet")))
