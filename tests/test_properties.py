@@ -199,3 +199,61 @@ def test_parse_iso_date_shape(spark, dates):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# -- nearest as-of join vs brute force --------------------------------------
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # by key
+        st.integers(min_value=0, max_value=1000),  # ord value
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=_asof_rows, right=_asof_rows)
+@settings(**SETTINGS)
+def test_asof_nearest_matches_brute_force(spark, left, right):
+    """asof_join_nearest == argmin over |l.ord - r.ord| within the key,
+    backward (r.ord <= l.ord) winning ties — checked against a driver-side
+    brute force on random inputs, including empty sides and duplicate
+    ord values."""
+    from yanwenxian_week3_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    ldf = spark.createDataFrame(
+        [(k, float(v), i) for i, (k, v) in enumerate(left)], "k int, ord double, lid int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, float(v), 100 + i) for i, (k, v) in enumerate(right)], "k int, ord double, rid int"
+    )
+    got = {
+        r.lid: r.r_rid
+        for r in asof_join_nearest(ldf, rdf, on="ord", by="k").collect()
+    }
+    # brute force: nearest |diff|; backward (r <= l) wins ties; among equal
+    # (diff, direction) candidates the operator's carry picks a single
+    # deterministic winner only when ords are unique — so compare on the
+    # (diff, is_backward) pair, not the specific rid
+    def best(lk, lv):
+        cands = [(rk, rv, rid) for (rk, rv), rid in zip(right, range(100, 100 + len(right))) if rk == lk]
+        if not cands:
+            return None
+        def keyf(c):
+            _, rv, _ = c
+            return (abs(lv - rv), 0 if rv <= lv else 1)
+        return min(keyf(c) for c in cands)
+
+    for i, (lk, lv) in enumerate(left):
+        want = best(lk, lv)
+        if want is None:
+            assert got.get(i) is None
+        else:
+            assert got.get(i) is not None
+            matched = next(
+                (abs(lv - rv), 0 if rv <= lv else 1)
+                for (rk, rv), rid in zip(right, range(100, 100 + len(right)))
+                if rid == got[i]
+            )
+            assert matched == want, (i, lk, lv, got[i], matched, want)
