@@ -463,3 +463,22 @@ def test_write_training_shards_sized_and_deterministic(spark, sf_dir, tmp_path):
     ids1 = [r.doc_id for r in spark.read.parquet(out1).collect()]
     ids2 = [r.doc_id for r in spark.read.parquet(out2).collect()]
     assert sorted(ids1) == sorted(ids2)
+
+
+def test_sql_surface_over_temp_views(spark, sf_dir):
+    """register_views exposes every driver table as a temp view; a Spark-SQL
+    query over the views matches the DataFrame-API result."""
+    from yanwenxian_week3_data_pipeline_spark.sources.tables import TABLES, register_views
+
+    register_views(spark, sf_dir)
+    for t in TABLES:
+        assert spark.catalog.tableExists(t)
+    sql_rows = spark.sql(
+        "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+    ).collect()
+    df_rows = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority").count().withColumnRenamed("count", "n")
+        .orderBy("o_orderpriority").collect()
+    )
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]

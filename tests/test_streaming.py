@@ -18,7 +18,7 @@ def stream_src(spark, sf_dir, tmp_path_factory):
 
     d = str(tmp_path_factory.mktemp("events_stream"))
     ev = load_events(spark, sf_dir).select(
-        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
     )
     from yanwenxian_week3_data_pipeline_spark.streaming.jobs import JSON_TS_FORMAT
 
@@ -104,7 +104,7 @@ def test_dedup_stream_drops_redelivered_events(spark, sf_dir, tmp_path):
 
     d = str(tmp_path / "dup_events")
     ev = load_events(spark, sf_dir).select(
-        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "value"
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
     )
     ev.unionAll(ev).coalesce(2).write.mode("overwrite").option(
         "timestampFormat", JSON_TS_FORMAT
@@ -292,3 +292,33 @@ def test_compact_parquet_preserves_rows(spark, sf_dir, tmp_path):
     assert n_files <= 8
     after = spark.read.parquet(scattered)
     assert sorted(map(tuple, after.select("o_orderkey").collect())) == before_rows
+
+
+def test_stateful_funnel_matches_batch(spark, sf_dir, stream_src):
+    """Single-batch drain of the stateful streaming funnel reproduces the
+    batch events_funnel_conversion totals exactly (in-batch fold is
+    event-time ordered)."""
+    from yanwenxian_week3_data_pipeline_spark.plans import all_queries
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import (
+        funnel_stateful,
+        run_available_now,
+    )
+
+    got = run_available_now(
+        funnel_stateful(spark, stream_src), "funnel_state_t", output_mode="update"
+    )
+    # update mode may emit a user several times across batches; keep the last
+    per_user = {}
+    for r in got.collect():
+        per_user[r.user_id] = r
+    n_users = len(per_user)
+    n_signup = sum(1 for r in per_user.values() if r.did_signup)
+    n_view = sum(1 for r in per_user.values() if r.did_view_after_signup)
+    n_purchase = sum(1 for r in per_user.values() if r.did_purchase_after_view)
+    batch = all_queries()["events_funnel_conversion"].build(spark, sf_dir).collect()[0]
+    assert (n_users, n_signup, n_view, n_purchase) == (
+        batch.n_users,
+        batch.n_signup,
+        batch.n_view_after_signup,
+        batch.n_purchase_after_view,
+    )

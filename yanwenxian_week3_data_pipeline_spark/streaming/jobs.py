@@ -27,8 +27,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -39,6 +41,7 @@ EVENT_STREAM_SCHEMA = StructType(
         StructField("event_id", LongType(), True),
         StructField("ts", TimestampType(), True),
         StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
         StructField("value", DoubleType(), True),
     ]
 )
@@ -274,4 +277,72 @@ def write_stream_idempotent(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("did_signup", BooleanType(), True),
+        StructField("did_view_after_signup", BooleanType(), True),
+        StructField("did_purchase_after_view", BooleanType(), True),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("signup_us", LongType(), True),
+        StructField("view_us", LongType(), True),
+        StructField("purchased", LongType(), True),
+    ]
+)
+
+
+def _funnel_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user ordered-conversion state: (min signup ts, min qualifying
+    view ts, purchased flag). Each batch folds its events in event-time
+    order, so a single-batch drain reproduces the batch window semantics
+    exactly; across batches, conversions follow arrival order (a signup
+    arriving later than an already-seen view does not retroactively qualify
+    it — standard streaming-funnel semantics)."""
+    (user_id,) = key
+    events: list[tuple[int, str]] = []
+    for pdf in pdfs:
+        for ts, et in zip(pd.to_datetime(pdf["ts"]), pdf["event_type"]):
+            events.append((int(ts.value // 1000), et))
+    events.sort()
+
+    s, v, p = state.get if state.exists else (0, 0, 0)
+    for us, et in events:
+        if et == "signup" and (s == 0 or us < s):
+            s = us
+        elif et == "view" and s != 0 and us > s and (v == 0 or us < v):
+            v = us
+        elif et == "purchase" and v != 0 and us > v:
+            p = 1
+    state.update((s, v, p))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "did_signup": [s != 0],
+            "did_view_after_signup": [v != 0],
+            "did_purchase_after_view": [p == 1],
+        }
+    )
+
+
+def funnel_stateful(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Streaming twin of the batch ``events_funnel_conversion``: per-user
+    signup -> view -> purchase ordering tracked in
+    ``applyInPandasWithState``; emits each user's current funnel flags every
+    batch (update mode)."""
+    ev = read_event_stream(spark, src_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
