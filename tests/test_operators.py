@@ -457,12 +457,18 @@ def test_write_training_shards_sized_and_deterministic(spark, sf_dir, tmp_path):
     import pyarrow.parquet as pq
     sizes = sorted(pq.ParquetFile(f).metadata.num_rows for f in glob.glob(f"{out1}/*.parquet"))
     assert max(sizes) <= 100
-    # seeded shuffle is reproducible: same seed -> same shard contents
+    # seeded shuffle is reproducible: same seed -> the SAME rows land in the
+    # same shard position (compare per-file id sequences in part order —
+    # a set-level compare would pass for any ordering)
     out2 = str(tmp_path / "s2")
     write_training_shards(docs, out2, records_per_shard=100, shuffle_seed=7)
-    ids1 = [r.doc_id for r in spark.read.parquet(out1).collect()]
-    ids2 = [r.doc_id for r in spark.read.parquet(out2).collect()]
-    assert sorted(ids1) == sorted(ids2)
+
+    def shards(d):
+        import pyarrow.parquet as pq
+        files = sorted(glob.glob(f"{d}/part-*.parquet"))
+        return [pq.read_table(f, columns=["doc_id"]).column(0).to_pylist() for f in files]
+
+    assert shards(out1) == shards(out2)
 
 
 def test_sql_surface_over_temp_views(spark, sf_dir):
@@ -482,3 +488,29 @@ def test_sql_surface_over_temp_views(spark, sf_dir):
         .orderBy("o_orderpriority").collect()
     )
     assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
+
+
+def test_asof_join_carries_whole_rows_not_stitched_fields(spark):
+    """A right row with a NULL payload field must not inherit that field
+    from an older right row, and null-ordinal rows must not match."""
+    from yanwenxian_week3_data_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "p1"), (1, None, "p_null")], "k int, ts double, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5.0, "v7"), (1, 9.0, None), (1, None, "v_null_ts")],
+        "k int, ts double, vid string",
+    )
+    back = {r.pid: (r.r_ts, r.r_vid) for r in asof_join(left, right, on="ts", by="k").collect()}
+    # nearest backward right row is ts=9.0 whose vid IS null — must stay null
+    assert back["p1"] == (9.0, None)
+    # null-ordinal left row: no match
+    assert back["p_null"] == (None, None)
+
+    near = {r.pid: (r.r_ts, r.r_vid) for r in asof_join_nearest(left, right, on="ts", by="k").collect()}
+    assert near["p1"] == (9.0, None)
+    assert near["p_null"] == (None, None)

@@ -40,7 +40,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     out = Path(out_dir)
-    if not (out / "lineitem.parquet").exists():
+    src_li_rows = spark.read.parquet(f"{SRC}/lineitem.parquet").count()
+    cached_ok = (
+        (out / "lineitem.parquet").exists()
+        and spark.read.parquet(f"{out_dir}/lineitem.parquet").count() == k * src_li_rows
+    )
+    if not cached_ok:
         out.mkdir(parents=True, exist_ok=True)
         orders = spark.read.parquet(f"{SRC}/orders.parquet")
         li = spark.read.parquet(f"{SRC}/lineitem.parquet")

@@ -480,32 +480,34 @@ def _q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ASOF_NEAREST = """
 WITH u AS (
-  SELECT user_id, ts AS ord, 1 AS side, event_id AS purchase_id, value AS purchase_value,
-    CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS TIMESTAMP) AS v_ts
+  SELECT user_id, ts AS ord, 1 AS side,
+    event_id AS purchase_id, value AS purchase_value,
+    CAST(NULL AS STRUCT(v_ts TIMESTAMP, view_id BIGINT)) AS r
   FROM events WHERE event_type = 'purchase'
   UNION ALL
-  SELECT user_id, ts, 0, NULL, NULL, event_id, ts
-  FROM events WHERE event_type = 'view'),
+  SELECT user_id, ts, 0, NULL, NULL,
+    struct_pack(v_ts := ts, view_id := event_id)
+  FROM events WHERE event_type = 'view' AND ts IS NOT NULL),
 c AS (
   SELECT *,
-    last_value(v_ts IGNORE NULLS) OVER wb AS b_ts,
-    last_value(view_id IGNORE NULLS) OVER wb AS b_id,
-    first_value(v_ts IGNORE NULLS) OVER wf AS f_ts,
-    first_value(view_id IGNORE NULLS) OVER wf AS f_id
+    last_value(r IGNORE NULLS) OVER wb AS b,
+    first_value(r IGNORE NULLS) OVER wf AS f
   FROM u
   WINDOW
     wb AS (PARTITION BY user_id ORDER BY ord ASC, side ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
     wf AS (PARTITION BY user_id ORDER BY ord ASC, side ASC
-           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+picked AS (
+  SELECT *, CASE
+      WHEN ord IS NULL THEN CAST(NULL AS STRUCT(v_ts TIMESTAMP, view_id BIGINT))
+      WHEN b.v_ts IS NOT NULL AND (f.v_ts IS NULL
+           OR epoch_us(ord) - epoch_us(b.v_ts) <= epoch_us(f.v_ts) - epoch_us(ord))
+      THEN b ELSE f END AS ch
+  FROM c WHERE side = 1)
 SELECT user_id, ord AS purchase_ts, purchase_id, purchase_value,
-  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
-            OR epoch_us(ord) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ord))
-       THEN b_ts ELSE f_ts END AS view_ts,
-  CASE WHEN b_ts IS NOT NULL AND (f_ts IS NULL
-            OR epoch_us(ord) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(ord))
-       THEN b_id ELSE f_id END AS view_id
-FROM c WHERE side = 1
+  ch.v_ts AS view_ts, ch.view_id AS view_id
+FROM picked
 """
 
 

@@ -70,7 +70,15 @@ def compact_parquet(
     """Compact a small-files parquet directory in place: read, coalesce to
     ``ceil(total_rows / target_rows_per_file)`` output files (optionally
     re-sorted so min/max row-group stats stay selective), write to a
-    sibling temp dir, atomically swap. Returns the new file count.
+    sibling temp dir, then swap via two renames. Returns the new file count.
+
+    The two-rename swap is NOT crash-atomic (POSIX cannot atomically
+    replace a non-empty directory): a crash between the renames leaves the
+    data in ``<path>__compact_<hex>.old``, and concurrent readers can
+    observe a missing path during the window. Production systems do this
+    compaction under a table format's metadata commit (Iceberg/Delta) or a
+    metastore partition swap — this operator is the file-level kernel of
+    that pattern.
 
     The maintenance op every long-running ingest needs: streaming /
     per-batch writers accrete thousands of KB-sized files, and at 100 TB
@@ -104,15 +112,16 @@ def write_training_shards(
     records_per_shard: int,
     shuffle_seed: int | None = None,
 ) -> int:
-    """Write a training corpus as uniformly-sized parquet shards
-    (``maxRecordsPerFile``), optionally in a seeded deterministic shuffle
-    order (sort by a seeded hash — reproducible across runs, unlike a
-    random() sort). Returns the shard-file count.
+    """Write a training corpus as bounded-size parquet shards
+    (``maxRecordsPerFile`` caps each file at ``records_per_shard`` rows;
+    range-partition remainders may be smaller), optionally in a seeded
+    deterministic shuffle order (sort by a seeded hash — reproducible
+    across runs, unlike a random() sort). Returns the shard-file count.
 
-    The output shape data loaders want: shards of equal record count so a
-    1000-worker training job gets balanced file assignments, written
-    without a global sort — the hash sort is per-partition plus one range
-    exchange, and ``maxRecordsPerFile`` splits inside each task."""
+    The seeded ``orderBy`` is a total sort (sample + range exchange + sort);
+    at 100 TB prefer ``repartitionByRange`` on the hash followed by
+    ``sortWithinPartitions`` if the global order across shard boundaries
+    doesn't matter — same determinism, no final merge."""
     out = df
     if shuffle_seed is not None:
         from pyspark.sql import functions as F

@@ -261,13 +261,12 @@ def write_stream_idempotent(
     (caller awaits termination)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.sparkSession.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-        )
+        # writer-local option, NOT a session conf set — a session-wide
+        # dynamic mode would silently change overwrite semantics for every
+        # other write on the shared session
         (
             batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(path)
         )
@@ -311,23 +310,25 @@ def _funnel_fn(
     events: list[tuple[int, str]] = []
     for pdf in pdfs:
         for ts, et in zip(pd.to_datetime(pdf["ts"]), pdf["event_type"]):
+            if pd.isna(ts):  # null event times can never order a funnel
+                continue
             events.append((int(ts.value // 1000), et))
     events.sort()
 
-    s, v, p = state.get if state.exists else (0, 0, 0)
+    s, v, p = state.get if state.exists else (None, None, 0)
     for us, et in events:
-        if et == "signup" and (s == 0 or us < s):
+        if et == "signup" and (s is None or us < s):
             s = us
-        elif et == "view" and s != 0 and us > s and (v == 0 or us < v):
+        elif et == "view" and s is not None and us > s and (v is None or us < v):
             v = us
-        elif et == "purchase" and v != 0 and us > v:
+        elif et == "purchase" and v is not None and us > v:
             p = 1
     state.update((s, v, p))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
-            "did_signup": [s != 0],
-            "did_view_after_signup": [v != 0],
+            "did_signup": [s is not None],
+            "did_view_after_signup": [v is not None],
             "did_purchase_after_view": [p == 1],
         }
     )
