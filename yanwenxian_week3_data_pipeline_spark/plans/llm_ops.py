@@ -1124,6 +1124,43 @@ FROM c GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_lsh_recall — recall of the random-hyperplane LSH near-dup pass
+# against its construction's ground truth: the LSH demo corpus is
+# originals ∪ exact copies (vec_id + EMB_COPY_OFFSET), so every original
+# must pair with its copy (cosine 1.0). Recall = found copy-pairs / n_vecs
+# — the acceptance metric for trading the O(n^2) exact pass for bucketed
+# candidates. Composition of registered queries, so oracle-checked.
+# ---------------------------------------------------------------------------
+
+def _q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(EMB_COPY_OFFSET)).alias("id_b"),
+    )
+    approx = _q_dedup_emb_lsh(spark, sf_dir).select(
+        F.col("id_a").alias("_la"), F.col("id_b").alias("_lb")
+    )
+    j = truth.join(
+        approx, (F.col("id_a") == F.col("_la")) & (F.col("id_b") == F.col("_lb")), "left"
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("_la").alias("n_lsh_hits"),
+        F.round(F.count("_la") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6).alias("recall"),
+    )
+
+
+_SQL_LSH_RECALL = f"""
+WITH truth AS (
+  SELECT vec_id AS id_a, vec_id + {EMB_COPY_OFFSET} AS id_b FROM embeddings),
+approx AS ({_SQL_DEDUP_EMB_LSH})
+SELECT count(*) AS n_true_pairs, count(a.id_a) AS n_lsh_hits,
+       round(count(a.id_a) / greatest(count(*), 1), 6) AS recall
+FROM truth e LEFT JOIN approx a ON a.id_a = e.id_a AND a.id_b = e.id_b
+"""
+
+
 QUERIES = [
     QuerySpec("text_token_count", _q_token_count, _SQL_TOKEN_COUNT),
     QuerySpec("text_quality_score", _q_quality, _SQL_QUALITY, headline=True),
@@ -1155,6 +1192,7 @@ QUERIES = [
     QuerySpec("docs_sample_mixture", _q_sample_mixture, _SQL_SAMPLE_MIXTURE),
     QuerySpec("docs_pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),
     QuerySpec("sim_ivf_recall", _q_ivf_recall, _SQL_IVF_RECALL),
+    QuerySpec("dedup_lsh_recall", _q_lsh_recall, _SQL_LSH_RECALL),
 ]
 
 
