@@ -322,3 +322,30 @@ def test_stateful_funnel_matches_batch(spark, sf_dir, stream_src):
         batch.n_view_after_signup,
         batch.n_purchase_after_view,
     )
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, stream_src):
+    """Complete-mode drain of the sliding stream equals the batch sliding
+    window aggregate over the same feed (count per window; sums compared
+    rounded — double accumulation order differs between the two runs)."""
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        sliding_stream,
+    )
+
+    got = run_available_now(
+        sliding_stream(spark, stream_src), "sliding_stream_t", output_mode="complete"
+    )
+    feed = spark.read.json(
+        stream_src,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double",
+        timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    )
+    want = (
+        feed.groupBy(F.window("ts", "15 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    g = {(r.window_start, r.n_events): round(r.sum_value, 6) for r in got.collect()}
+    w = {(r.window_start, r.n_events): round(r.sum_value, 6) for r in want.collect()}
+    assert g == w

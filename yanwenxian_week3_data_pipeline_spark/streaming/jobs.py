@@ -347,3 +347,22 @@ def funnel_stateful(spark: SparkSession, src_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sliding_stream(
+    spark: SparkSession,
+    src_dir: str,
+    duration: str = "15 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding-window aggregate — the streaming twin of the
+    batch ``events_sliding_15m``. Each event lands in duration/slide
+    windows; state per open window is bounded by the watermark."""
+    ev = read_event_stream(spark, src_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
