@@ -199,14 +199,14 @@ def dedup_minhash_lsh(
     intersection/union sizes.
     """
     sh = doc_shingles(df, text_col, id_col)
-    # ONLY the (id, sig) table is persisted — num_hashes longs per doc, a
-    # ~1 MB cache write at sf0.1, read by both sides of the band self-join.
-    # Eager count: with a lazy persist both join subtrees race ahead of
-    # cache population and each recomputes the signature aggregation.
-    # The shingle arrays are NOT cached: the verify joins recompute them
+    # No persist: both band-join sides derive from the IDENTICAL signature
+    # subtree, and Spark's exchange-reuse (ReuseExchangeAndSubquery / AQE
+    # stage reuse) computes the aggregation once — measured faster than an
+    # eagerly-populated cache (2.05 s vs 2.43 s warm at sf0.1) and leak-free
+    # (the persist was never unpersisted across repeated builds). The
+    # shingle arrays are also NOT cached: the verify joins recompute them
     # let-bound (~0.4 s/side) — caching 260k shingle strings cost 3.0 s.
-    sigs = _minhash_sig_table(sh).persist()
-    sigs.count()
+    sigs = _minhash_sig_table(sh)
 
     banded = minhash_band_keys(sigs, bands, rows_per_band)
     # mega-bucket guard (see dedup_simhash): skip band buckets whose size
@@ -313,10 +313,9 @@ def dedup_simhash(
     value) — no cross join.
     """
     assert max_hamming < chunks, "pigeonhole guarantee requires max_hamming < chunks"
-    # both sides of the chunk self-join read the signatures; materialize
-    # eagerly (see dedup_minhash_lsh)
-    sig = simhash_signatures(df, text_col, id_col).persist()
-    sig.count()
+    # both sides of the chunk self-join read the identical signature
+    # subtree — exchange reuse computes it once (see dedup_minhash_lsh)
+    sig = simhash_signatures(df, text_col, id_col)
     width = bits // chunks
     mask = (1 << width) - 1
     chunk_structs = F.array(
@@ -421,8 +420,7 @@ def dedup_incremental(
     keyed by (band_idx, band_key); each new batch only shuffles ITS bands.
     """
     sh = doc_shingles(df, text_col, id_col)
-    sigs = _minhash_sig_table(sh).persist()  # small (id, sig); see dedup_minhash_lsh
-    sigs.count()
+    sigs = _minhash_sig_table(sh)  # exchange reuse; see dedup_minhash_lsh
     banded = minhash_band_keys(sigs)
     batch_bands = banded.where(batch_pred(F.col("id")))
     corpus_bands = banded.where(~batch_pred(F.col("id")))

@@ -227,8 +227,9 @@ def dedup_embedding_lsh(
 
     banded = base.select(
         "id", F.posexplode(_band_vals(F.col("vec"))).alias("band_idx", "band_val")
-    ).persist()
-    banded.count()  # barrier: both sides of the self-join read the cache
+    )
+    # no persist: both self-join sides are the identical banded subtree, so
+    # exchange reuse runs the Arrow matmul stage once (see dedup_minhash_lsh)
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
