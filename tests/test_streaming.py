@@ -349,3 +349,69 @@ def test_sliding_stream_matches_batch(spark, sf_dir, stream_src):
     g = {(r.window_start, r.n_events): round(r.sum_value, 6) for r in got.collect()}
     w = {(r.window_start, r.n_events): round(r.sum_value, 6) for r in want.collect()}
     assert g == w
+
+
+def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
+    """Two availableNow drains sharing a checkpoint: a row older than the
+    checkpointed watermark is DROPPED from its (already finalized) window,
+    while a row inside the watermark still lands in its open window."""
+    import json as _json
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def write_file(name, rows):
+        with open(feed / name, "w") as f:
+            for eid, ts, uid, val in rows:
+                f.write(_json.dumps({
+                    "event_id": eid, "ts": ts, "user_id": uid,
+                    "event_type": "view", "value": val}) + "\n")
+
+    def drain():
+        from yanwenxian_week3_data_pipeline_spark.streaming.jobs import (
+            read_event_stream,
+        )
+        ev = read_event_stream(spark, str(feed))
+        agg = (
+            ev.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("w_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.w_start: r.n for r in spark.read.parquet(out).collect()}
+
+    iso = "2024-01-01T{}:00.000000Z"
+    # run 1: 3 events in hour 10, 2 in hour 11; max ts 12:00 -> watermark 11:30
+    write_file("a.json", [
+        (1, iso.format("10:00"), 1, 1.0),
+        (2, iso.format("10:10"), 1, 1.0),
+        (3, iso.format("10:20"), 1, 1.0),
+        (4, iso.format("11:05"), 1, 1.0),
+        (5, iso.format("12:00"), 1, 1.0),
+    ])
+    first = drain()
+    assert first.get("2024-01-01 10:00:00") == 3  # hour-10 window finalized
+
+    # run 2: one LATE row (10:05 < watermark 11:30 -> dropped) and one
+    # in-watermark row (11:45) plus a watermark-advancer (12:31)
+    write_file("b.json", [
+        (6, iso.format("10:05"), 1, 1.0),
+        (7, iso.format("11:45"), 1, 1.0),
+        (8, iso.format("12:31"), 1, 1.0),
+    ])
+    second = drain()
+    assert second.get("2024-01-01 10:00:00") == 3  # late row NOT re-counted
+    # hour-11 window closed with the in-watermark 11:45 row included:
+    # {11:05 from run 1, 11:45 from run 2} — the 12:00 row is hour-12
+    assert second.get("2024-01-01 11:00:00") == 2
