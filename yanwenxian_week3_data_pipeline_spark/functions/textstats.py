@@ -188,6 +188,31 @@ def fingerprint_hash60_sql(clean: str) -> str:
     return hash60_sql(clean)
 
 
+ROLLING_BASE = 131
+ROLLING_MOD = 2_147_483_647  # 2^31 - 1; acc*131 + 0x10FFFF < 2^39, int64-safe
+
+
+def fingerprint_rolling_expr(clean: Column) -> Column:
+    """Rabin-Karp rolling polynomial hash over characters:
+    h = fold(h*B + codepoint) mod P — the incremental-update fingerprint a
+    sliding-window duplicate scan uses; here the whole-document value."""
+    chars = F.split(clean, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + F.ascii(c)) % ROLLING_MOD,
+    )
+
+
+def fingerprint_rolling_sql(clean: str) -> str:
+    chars = f"string_split_regex({clean}, '')"
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({chars}, c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {ROLLING_BASE} + b) % {ROLLING_MOD})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing: redact emails / phone numbers / IPv4 addresses.
 # Patterns are RE2-and-Java-compatible (no backrefs, no lookaround) so the

@@ -147,18 +147,28 @@ _SQL_LANG_ID = (
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import fingerprint_rolling_expr
+
     d = _cleaned_docs(spark, sf_dir)
     return d.select(
         "doc_id",
         fingerprint_md5_expr(F.col("c")).alias("fp_md5"),
         fingerprint_shape_expr(F.col("c")).alias("fp_shape"),
+        fingerprint_rolling_expr(F.col("c")).alias("fp_rolling"),
     )
 
 
-_SQL_FINGERPRINT = (
-    f"WITH d AS ({_CLEANED}) SELECT doc_id, {fingerprint_md5_sql('c')} AS fp_md5, "
-    f"{fingerprint_shape_sql('c')} AS fp_shape FROM d"
-)
+def _fingerprint_sql() -> str:
+    from ..functions.textstats import fingerprint_rolling_sql
+
+    return (
+        f"WITH d AS ({_CLEANED}) SELECT doc_id, {fingerprint_md5_sql('c')} AS fp_md5, "
+        f"{fingerprint_shape_sql('c')} AS fp_shape, "
+        f"{fingerprint_rolling_sql('c')} AS fp_rolling FROM d"
+    )
+
+
+_SQL_FINGERPRINT = _fingerprint_sql()
 
 
 # ---------------------------------------------------------------------------
