@@ -34,7 +34,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                    help="suppress per-stage progress prints")
     p.add_argument("--validate-only", action="store_true",
                    help="run batch validation only and print the validation report")
+    p.add_argument("--query", metavar="NAME",
+                   help="run a registered analytics query instead of the cleaning "
+                        "pipeline (see --list-queries); prints up to --limit rows")
+    p.add_argument("--list-queries", action="store_true",
+                   help="list every registered query name and exit")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="table directory for --query (parquet star schema)")
+    p.add_argument("--limit", type=int, default=20,
+                   help="max rows to print for --query")
     args = p.parse_args(argv)
+
+    if args.list_queries:
+        from .plans import all_queries
+
+        for name, spec in sorted(all_queries().items()):
+            kind = "oracle" if spec.oracle else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
 
     owns_session = spark is None
     if owns_session:
@@ -43,6 +60,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         spark = get_spark("yanwenxian-week3-cli")
         spark.sparkContext.setLogLevel("ERROR")
     try:
+        if args.query:
+            from .plans import all_queries
+
+            specs = all_queries()
+            if args.query not in specs:
+                print(f"unknown query {args.query!r}; see --list-queries", file=sys.stderr)
+                return 2
+            df = specs[args.query].build(spark, args.sf_dir)
+            df.show(args.limit, truncate=False)
+            return 0
+
         if args.validate_only:
             from pyspark.sql import functions as F
 
