@@ -511,6 +511,82 @@ FROM picked
 """
 
 
+# ---------------------------------------------------------------------------
+# events_session_conversion — composite: gap-sessionize, then the ordered
+# view→purchase funnel WITHIN each session. Plan: one shuffle on user_id
+# for the session-id windows, one on (user_id, session_seq) for the
+# in-session carry (Spark does not exploit that it sub-partitions the
+# first — a hash partitioning on a prefix is not reused for a wider key),
+# then the per-session aggregate reuses the second partitioning and a
+# final scalar rollup. 4 exchanges total over the fact, each on a narrow
+# projected row.
+# ---------------------------------------------------------------------------
+
+def _q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap = F.expr("INTERVAL 30 MINUTES")
+    with_ids = ev.withColumn(
+        "_new_session",
+        F.when(F.col("ts") - F.lag("ts").over(w_user) > gap, 1).otherwise(0),
+    ).withColumn("session_seq", F.sum("_new_session").over(w_user).cast("long"))
+    w_sess = (
+        Window.partitionBy("user_id", "session_seq")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w_sess)
+    staged = with_ids.withColumn("view_ts", first_view).withColumn(
+        "conv_purchase",
+        (F.col("event_type") == "purchase") & (F.col("view_ts") < F.col("ts")),
+    )
+    per_session = staged.groupBy("user_id", "session_seq").agg(
+        F.max(F.col("event_type") == "view").alias("has_view"),
+        F.max("conv_purchase").alias("converted"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("has_view").cast("long")).alias("n_with_view"),
+        F.sum(F.col("converted").cast("long")).alias("n_converted"),
+        F.round(
+            F.sum(F.col("converted").cast("long"))
+            / F.greatest(F.sum(F.col("has_view").cast("long")), F.lit(1)),
+            6,
+        ).alias("conversion_rate"),
+    )
+
+
+_SQL_SESSION_CONVERSION = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events),
+ids AS (
+  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged),
+staged AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+      OVER (PARTITION BY user_id, session_seq ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_ts
+  FROM ids),
+per_session AS (
+  SELECT user_id, session_seq,
+    max(event_type = 'view') AS has_view,
+    max(event_type = 'purchase' AND view_ts < ts) AS converted
+  FROM staged GROUP BY user_id, session_seq)
+SELECT count(*) AS n_sessions,
+  sum(CAST(has_view AS BIGINT)) AS n_with_view,
+  sum(CAST(converted AS BIGINT)) AS n_converted,
+  round(sum(CAST(converted AS BIGINT)) / greatest(sum(CAST(has_view AS BIGINT)), 1), 6)
+    AS conversion_rate
+FROM per_session
+"""
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
 
@@ -558,5 +634,6 @@ QUERIES = [
     QuerySpec("events_tumbling_hourly", _q_tumbling, _SQL_TUMBLING, headline=True),
     QuerySpec("events_sliding_15m", _q_sliding, _SQL_SLIDING),
     QuerySpec("events_sessionize", _q_sessionize, _SQL_SESSIONIZE, headline=True),
+    QuerySpec("events_session_conversion", _q_session_conversion, _SQL_SESSION_CONVERSION),
     QuerySpec("events_json_props", _q_json_props, _SQL_JSON_PROPS),
 ]
