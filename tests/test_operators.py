@@ -514,3 +514,34 @@ def test_asof_join_carries_whole_rows_not_stitched_fields(spark):
     near = {r.pid: (r.r_ts, r.r_vid) for r in asof_join_nearest(left, right, on="ts", by="k").collect()}
     assert near["p1"] == (9.0, None)
     assert near["p_null"] == (None, None)
+
+
+def test_cli_query_modes(spark, sf_dir, capsys):
+    from yanwenxian_week3_data_pipeline_spark.__main__ import main
+
+    assert main(["--list-queries"]) == 0
+    listed = capsys.readouterr().out
+    assert "q1_pricing_summary\toracle" in listed
+    assert "mm_resize\trows-only" in listed
+
+    assert main(["--query", "q6_forecast_revenue", "--sf-dir", sf_dir], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "revenue" in out and "n_rows" in out
+
+    assert main(["--query", "nope_not_real"], spark=spark) == 2
+
+
+def test_operator_error_paths(spark, sf_dir):
+    import pytest as _pt
+
+    from yanwenxian_week3_data_pipeline_spark.operators.multimodal import (
+        documents_as_media,
+        frame_sample,
+    )
+    from yanwenxian_week3_data_pipeline_spark.sources.tables import load_table
+
+    with _pt.raises(KeyError):
+        load_table(spark, sf_dir, "not_a_table")
+    media = documents_as_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    with _pt.raises(ValueError):
+        frame_sample(media, stride=0)
