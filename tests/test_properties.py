@@ -257,3 +257,35 @@ def test_asof_nearest_matches_brute_force(spark, left, right):
                 if rid == got[i]
             )
             assert matched == want, (i, lk, lv, got[i], matched, want)
+
+
+# -- salted aggregation == naive aggregation --------------------------------
+
+_salt_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=-100, max_value=100)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=_salt_rows)
+@settings(**SETTINGS)
+def test_salted_agg_equals_naive(spark, rows):
+    """salted_agg must be exactly the plain groupBy for decomposable
+    aggregates, on any input including empty frames and hot keys."""
+    from yanwenxian_week3_data_pipeline_spark.operators.salt import salted_agg
+
+    df = spark.createDataFrame(
+        [(k, float(v), i) for i, (k, v) in enumerate(rows)], "k int, v double, rid int"
+    )
+    got = {
+        r.k: (r.n_rows, r.sv)
+        for r in salted_agg(df, ["k"], {"sv": F.col("v").cast("decimal(18,3)")}, salt_buckets=4).collect()
+    }
+    want = {
+        r.k: (r.n_rows, r.sv)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum(F.col("v").cast("decimal(18,3)")).alias("sv"))
+        .collect()
+    }
+    assert got == want
