@@ -257,3 +257,25 @@ def test_q17_threshold_joins_all_broadcast(spark, sf_dir):
     assert node_count(plan, "BroadcastHashJoin") == 3
     assert node_count(plan, "SortMergeJoin") == 0
     assert "l_returnflag" not in plan  # pruned
+
+
+def test_q13_histogram_aggregates_before_second_shuffle(spark, sf_dir):
+    """q13: the per-customer count collapses the join output BEFORE the
+    histogram groupBy, so the second shuffle moves one row per customer,
+    never one per order; the dimension join broadcasts."""
+    plan = plan_of(spark, "q13_customer_distribution", sf_dir)
+    assert node_count(plan, "BroadcastHashJoin") == 1
+    assert node_count(plan, "SortMergeJoin") == 0
+    # two aggregates (per-customer, histogram), each with a partial phase
+    assert node_count(plan, "HashAggregate") == 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_correlated_min_all_broadcast(spark, sf_dir):
+    """q2 shape: the per-part min-balance aggregate joins back as a
+    broadcast; no join in the chain degrades to sort-merge or cartesian."""
+    plan = plan_of(spark, "q2_min_acctbal_supplier", sf_dir)
+    assert node_count(plan, "BroadcastHashJoin") == 5
+    assert node_count(plan, "SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
