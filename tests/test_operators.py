@@ -545,3 +545,51 @@ def test_operator_error_paths(spark, sf_dir):
     media = documents_as_media(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     with _pt.raises(ValueError):
         frame_sample(media, stride=0)
+
+
+def test_zorder_layout_bounds_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered files must carry tighter per-file min/max spans on the
+    SECOND column than a single-column sort (where the second column's
+    span per file is ~the full domain), while preserving every row —
+    the property parquet row-group pruning actually exploits."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from yanwenxian_week3_data_pipeline_spark.sinks.columnar import write_zordered_parquet
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered_parquet(li, zdir, "l_partkey", "l_suppkey", n_files=8)
+    # baseline: classic single-column sort layout
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite").parquet(sdir)
+    )
+
+    def spans(d, col):
+        total = 0.0
+        files = glob.glob(f"{d}/part-*.parquet")
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            lo = min(md.row_group(i).column(
+                [c.name for c in pq.read_schema(f)].index(col)).statistics.min
+                for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(
+                [c.name for c in pq.read_schema(f)].index(col)).statistics.max
+                for i in range(md.num_row_groups))
+            total += hi - lo
+        return total / max(len(files), 1)
+
+    # fidelity
+    assert sorted(r.l_orderkey for r in spark.read.parquet(zdir).collect()) == sorted(
+        r.l_orderkey for r in li.collect()
+    )
+    # suppkey spans: z-order must beat the partkey-sorted baseline clearly
+    assert spans(zdir, "l_suppkey") < 0.8 * spans(sdir, "l_suppkey")
+    # and partkey spans must stay far below the full domain (locality kept)
+    full_span = li.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
+    assert spans(zdir, "l_partkey") < 0.8 * full_span
