@@ -253,3 +253,71 @@ def dedup_embedding_lsh(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def cosine_topk_ivf_kmeans(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF top-k with REAL k-means centroids (pyspark.ml, seeded k-means||)
+    instead of the lowest-id heuristic — same probe/assign plan shape, so
+    only the centroid table changes. Training cost is one MLlib job over
+    the (small relative to the corpus) sampled vectors; at 100 TB the
+    centroids are trained on a sample and broadcast, exactly as here.
+    Not SQL-expressible (k-means training) -> rows-only driver check; the
+    recall evaluation against exact brute force is the quality gate."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = embeddings.sparkSession
+    feats = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
+    cents = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    centroids = spark.createDataFrame(cents, "cell int, cell_vec array<float>")
+
+    base = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    assign_w = Window.partitionBy("cand_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    assigned = (
+        base.join(F.broadcast(centroids))
+        .withColumn("cell_cos", cosine_expr(F.col("cand_vec"), F.col("cell_vec")))
+        .withColumn("_rn", F.row_number().over(assign_w))
+        .where(F.col("_rn") == 1)
+        .select("cand_id", "cand_vec", "cell")
+    )
+    queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .withColumn("cell_cos", cosine_expr(F.col("query_vec"), F.col("cell_vec")))
+        .withColumn("_rn", F.row_number().over(probe_w))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "query_vec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr(F.col("query_vec"), F.col("cand_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

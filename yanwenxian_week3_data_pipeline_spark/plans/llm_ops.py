@@ -1171,6 +1171,39 @@ FROM truth e LEFT JOIN approx a ON a.id_a = e.id_a AND a.id_b = e.id_b
 """
 
 
+def _q_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means-trained IVF top-k (pyspark.ml, seeded) — rows-only: k-means
+    training is not SQL-expressible; quality is gated by
+    sim_ivf_kmeans_recall instead."""
+    from ..operators.similarity import cosine_topk_ivf_kmeans
+
+    return cosine_topk_ivf_kmeans(_emb(spark, sf_dir), SIM_QUERY_IDS, k=SIM_K)
+
+
+def _q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the k-means IVF against brute-force ground truth (the
+    trained-centroid counterpart of sim_ivf_recall). Honest note: on the
+    driver's near-random embeddings (no cluster structure; max pairwise
+    cosine ~0.5) trained centroids measure 0.4-0.7 recall vs the seeded
+    heuristic's 0.7-1.0 — IVF only pays off when the data actually
+    clusters, which is precisely what this per-query gate surfaces before
+    anyone trades exactness for pruning at 100 TB."""
+    exact = _q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
+    approx = _q_cosine_topk_ivf_kmeans(spark, sf_dir).select(
+        F.col("query_id").alias("_aq"), F.col("cand_id").alias("_ac")
+    )
+    j = exact.join(
+        approx,
+        (F.col("query_id") == F.col("_aq")) & (F.col("cand_id") == F.col("_ac")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("_ac").alias("n_hit"),
+        F.round(F.count("_ac") / F.lit(SIM_K), 6).alias("recall_at_k"),
+    )
+
+
 QUERIES = [
     QuerySpec("text_token_count", _q_token_count, _SQL_TOKEN_COUNT),
     QuerySpec("text_quality_score", _q_quality, _SQL_QUALITY, headline=True),
@@ -1203,6 +1236,8 @@ QUERIES = [
     QuerySpec("docs_pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),
     QuerySpec("sim_ivf_recall", _q_ivf_recall, _SQL_IVF_RECALL),
     QuerySpec("dedup_lsh_recall", _q_lsh_recall, _SQL_LSH_RECALL),
+    QuerySpec("sim_cosine_topk_ivf_kmeans", _q_cosine_topk_ivf_kmeans, None),
+    QuerySpec("sim_ivf_kmeans_recall", _q_ivf_kmeans_recall, None),
 ]
 
 
