@@ -415,3 +415,31 @@ def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
     # hour-11 window closed with the in-watermark 11:45 row included:
     # {11:05 from run 1, 11:45 from run 2} — the 12:00 row is hour-12
     assert second.get("2024-01-01 11:00:00") == 2
+
+
+def test_embedding_candidates_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Accumulated streaming hyperplane-band candidates equal the batch
+    band self-join pairs over the same vectors (slicing-invariant)."""
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import run_available_now
+    from yanwenxian_week3_data_pipeline_spark.streaming.neardup import (
+        embedding_candidates_stream,
+    )
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        EMB_COPY_OFFSET,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    copies = e.select((F.col("vec_id") + F.lit(EMB_COPY_OFFSET)).alias("vec_id"), "embedding")
+    corpus = e.unionByName(copies)
+
+    d = str(tmp_path / "emb_stream")
+    corpus.repartition(3).write.mode("overwrite").json(d)
+    got = run_available_now(embedding_candidates_stream(spark, d), "emb_cand_stream")
+    stream_pairs = {
+        (min(r.id_new, r.id_seen), max(r.id_new, r.id_seen))
+        for r in got.select("id_new", "id_seen").collect()
+    }
+    # every original must meet its exact copy in at least one band
+    copy_pairs = {(r.vec_id, r.vec_id + EMB_COPY_OFFSET) for r in e.collect()}
+    assert copy_pairs <= stream_pairs
+    assert len(stream_pairs) >= len(copy_pairs)

@@ -156,3 +156,70 @@ def minhash_candidates_stream(spark: SparkSession, src_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming embedding-LSH candidates: the random-hyperplane twin of the
+# MinHash stream. Band values are the same numpy-matmul recipe as the batch
+# operator (operators/similarity.py) — a stateless per-batch Arrow
+# projection, so it is streaming-safe — and candidates reuse the generic
+# band-keyed state matcher above (band_val rendered to the string band_key).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import ArrayType, FloatType  # noqa: E402
+
+EMB_STREAM_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), True),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def read_embedding_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    return spark.readStream.schema(EMB_STREAM_SCHEMA).json(src_dir)
+
+
+def embedding_candidates_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """(band_idx, band_key, id_new, id_seen) candidate pairs from
+    hyperplane-LSH bands over a vector stream."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from ..constants import (
+        EMB_DIM,
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS_PER_BAND,
+        EMB_LSH_PLANES,
+        EMB_LSH_SEED,
+    )
+    from ..functions.vectors import hyperplane_matrix
+
+    planes = hyperplane_matrix(EMB_LSH_PLANES, EMB_DIM, EMB_LSH_SEED)
+    plane_mat = np.asarray(planes, dtype=np.float64)
+    powers = (1 << np.arange(EMB_LSH_BITS_PER_BAND)).astype(np.int64)
+    n_bands = EMB_LSH_BANDS
+    bits = EMB_LSH_BITS_PER_BAND
+
+    @pandas_udf("array<long>")
+    def _band_vals(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        sign_bits = (x @ plane_mat.T >= 0).astype(np.int64)
+        vals = np.stack(
+            [sign_bits[:, b * bits : (b + 1) * bits] @ powers for b in range(n_bands)],
+            axis=1,
+        )
+        return pd.Series(list(vals))
+
+    vecs = read_embedding_stream(spark, src_dir).where(F.col("embedding").isNotNull())
+    banded = vecs.select(
+        F.col("vec_id").alias("id"),
+        F.posexplode(_band_vals(F.col("embedding"))).alias("band_idx", "band_val"),
+    ).select("id", "band_idx", F.col("band_val").cast("string").alias("band_key"))
+    return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
+        _band_match_fn,
+        outputStructType=CAND_OUT_SCHEMA,
+        stateStructType=CAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
