@@ -593,3 +593,70 @@ def test_zorder_layout_bounds_both_columns(spark, sf_dir, tmp_path):
     # and partkey spans must stay far below the full domain (locality kept)
     full_span = li.agg(F.max("l_partkey") - F.min("l_partkey")).collect()[0][0]
     assert spans(zdir, "l_partkey") < 0.8 * full_span
+
+
+def test_vector_helpers_edge_cases(spark):
+    """dot/norm/cosine on hand-computable vectors, including the
+    zero-vector guard (cosine must be null/0-safe, never NaN/error)."""
+    import math
+
+    from yanwenxian_week3_data_pipeline_spark.functions.vectors import (
+        cosine_expr,
+        dot_expr,
+        hyperplane_matrix,
+        norm_expr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0], [3.0, 4.0]),
+            (2, [1.0, 0.0], [0.0, 1.0]),
+            (3, [1.0, 2.0], [2.0, 4.0]),
+        ],
+        "id int, a array<float>, b array<float>",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            dot_expr(F.col("a"), F.col("b")).alias("d"),
+            norm_expr(F.col("a")).alias("n"),
+            cosine_expr(F.col("a"), F.col("b")).alias("c"),
+        ).collect()
+    }
+    assert rows[1].d == 25.0 and abs(rows[1].n - 5.0) < 1e-9 and abs(rows[1].c - 1.0) < 1e-9
+    assert rows[2].d == 0.0 and abs(rows[2].c) < 1e-9
+    assert abs(rows[3].c - 1.0) < 1e-9  # parallel vectors
+    assert not math.isnan(rows[2].c)
+
+    # hyperplane matrix: deterministic for a seed, ±1 entries, right shape
+    m1 = hyperplane_matrix(8, 16, 7)
+    m2 = hyperplane_matrix(8, 16, 7)
+    m3 = hyperplane_matrix(8, 16, 8)
+    assert m1 == m2 and m1 != m3
+    assert len(m1) == 8 and all(len(p) == 16 for p in m1)
+    assert all(v in (-1, 1) for p in m1 for v in p)
+
+
+def test_date_parse_edge_cases(spark):
+    """parse_iso_date_expr: every fixture format parses, impossible dates
+    and none/null/nan literals are null, and 15/03/2025 resolves day-first
+    (month 15 is impossible) — SURVEY.md §2.3 fn_parse_iso_date."""
+    from yanwenxian_week3_data_pipeline_spark.functions.dates import parse_iso_date_expr
+
+    cases = [
+        ("2025-01-15T10:30:00Z", "2025-01-15T10:30:00Z"),
+        ("Jan 15, 2025", "2025-01-15T00:00:00Z"),
+        ("July 1st, 2025", "2025-07-01T00:00:00Z"),
+        ("15/03/2025", "2025-03-15T00:00:00Z"),
+        ("2025-13-99", None),
+        ("none", None),
+        ("NULL", None),
+        ("nan", None),
+        (None, None),
+        ("", None),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)], "i int, s string")
+    got = {r.i: r.d for r in df.select("i", parse_iso_date_expr(F.col("s")).alias("d")).collect()}
+    for i, (s, want) in enumerate(cases):
+        assert got[i] == want, (s, got[i], want)
