@@ -587,6 +587,58 @@ FROM per_session
 """
 
 
+def _q_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberate CROSS JOIN: the 5x5 region x order-priority grid with
+    actual order counts left-joined on (zero-filled) — the dense-grid
+    reporting shape. Both cross sides are tiny dimensions; the fact joins
+    by broadcast. (The plan tests elsewhere assert no query falls into a
+    cartesian ACCIDENTALLY — this one is the intentional counterpart.)"""
+    region = _t(spark, sf_dir, "region").select("r_name")
+    prio = _t(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    grid = region.crossJoin(prio)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").select("r_regionkey", F.col("r_name").alias("rr_name"))
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("rr_name"), F.col("o_orderpriority").alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(
+            counts,
+            (grid.r_name == counts.rr_name) & (grid.o_orderpriority == F.col("prio")),
+            "left",
+        )
+        .select(
+            "r_name",
+            "o_orderpriority",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("r_name", "o_orderpriority")
+    )
+
+
+_SQL_CROSS_GRID = """
+WITH grid AS (
+  SELECT r_name, o_orderpriority
+  FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)),
+counts AS (
+  SELECT r_name AS rr_name, o_orderpriority AS prio, count(*) AS n
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY rr_name, prio)
+SELECT g.r_name, g.o_orderpriority, coalesce(c.n, 0) AS n_orders
+FROM grid g LEFT JOIN counts c ON c.rr_name = g.r_name AND c.prio = g.o_orderpriority
+ORDER BY g.r_name, g.o_orderpriority
+"""
+
+
 def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
 
@@ -617,6 +669,7 @@ QUERIES = [
     QuerySpec("q1_pricing_summary", _q1, _SQL_Q1, headline=True),
     QuerySpec("join_region_revenue", _q_region_revenue, _SQL_REGION_REVENUE, headline=True),
     QuerySpec("join_semi_urgent_customers", _q_semi, _SQL_SEMI),
+    QuerySpec("join_cross_grid_coverage", _q_cross_grid, _SQL_CROSS_GRID),
     QuerySpec("join_anti_unordered_parts", _q_anti, _SQL_ANTI),
     QuerySpec("groupby_rollup_orders", _q_rollup, _SQL_ROLLUP),
     QuerySpec("groupby_cube_lineitem", _q_cube, _SQL_CUBE),
