@@ -389,7 +389,12 @@ def test_watermark_drops_late_events_across_restarts(spark, tmp_path):
             .start()
         )
         q.awaitTermination()
-        return {r.w_start: r.n for r in spark.read.parquet(out).collect()}
+        rows = spark.read.parquet(out).collect()
+        starts = [r.w_start for r in rows]
+        # a finalized window must never be re-emitted — duplicates would
+        # silently collapse in the dict below and hide the regression
+        assert len(starts) == len(set(starts)), sorted(starts)
+        return {r.w_start: r.n for r in rows}
 
     iso = "2024-01-01T{}:00.000000Z"
     # run 1: 3 events in hour 10, 2 in hour 11; max ts 12:00 -> watermark 11:30

@@ -2,10 +2,11 @@
 (the shape AQE's partition-split can't fully fix when a single key exceeds
 a partition) and time the salted operators against their naive twins.
 
-The numbers in README "Scale notes" come from this harness. collect_list
-is the aggregate used for the groupBy comparison because plain count/sum
-group-bys get map-side partial aggregation for free — per-group STATE is
-where a hot key actually hurts.
+The numbers in README "Scale notes" come from this harness. The groupBy
+comparison runs the SAME count+sum aggregate both ways (naive vs salted)
+— plain count/sum group-bys get map-side partial aggregation for free, so
+expect parity there; the join comparison is run twice, with AQE's skew
+split active and disabled, because that switch is where salting matters.
 
 Usage: python tools/stress_skew.py [n_rows] [out_dir]   (default 5M rows)
 """
@@ -53,30 +54,38 @@ def main() -> None:
         n = fn()
         print(f"{label}: {time.time() - t0:.1f}s rows={n}")
 
-    # --- aggregation with per-group state (collect_list-class) ------------
+    # --- aggregation: IDENTICAL count+sum computed naive vs salted --------
     timed(
-        "naive two-level count_distinct-ish (groupBy k -> collect)",
-        lambda: fact.groupBy("k").agg(F.count_distinct("v").alias("d")).count(),
+        "naive groupBy count+sum",
+        lambda: fact.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(18,3)")).alias("sv"),
+        ).count(),
     )
     timed(
         "salted_agg count+sum",
         lambda: salted_agg(fact, ["k"], {"sv": F.col("v").cast("decimal(18,3)")}).count(),
     )
 
-    # --- skewed join, AQE on (default) vs salted --------------------------
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # --- skewed join: plain vs salted, with AQE skew-split on AND off -----
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
     try:
-        timed(
-            "plain shuffle join on skewed key (AQE skew-split active)",
-            lambda: fact.join(dim, "k").groupBy().count().collect()[0][0],
-        )
-        timed(
-            "salted_join (8 buckets)",
-            lambda: salted_join(fact, dim, "k").groupBy().count().collect()[0][0],
-        )
+        for aqe in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            label = "AQE skew-split active" if aqe == "true" else "AQE OFF"
+            timed(
+                f"plain shuffle join on skewed key ({label})",
+                lambda: fact.join(dim, "k").groupBy().count().collect()[0][0],
+            )
+            timed(
+                f"salted_join 8 buckets ({label})",
+                lambda: salted_join(fact, dim, "k").groupBy().count().collect()[0][0],
+            )
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 if __name__ == "__main__":

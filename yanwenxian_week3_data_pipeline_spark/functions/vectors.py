@@ -9,6 +9,7 @@ DuckDB ``list_reduce``), so dot products and norms are bit-identical.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.Series' hints here
 from pyspark.sql import Column, functions as F
 
 
@@ -89,3 +90,28 @@ def band_value_sql(vec: str, planes: list[list[int]]) -> str:
         f"({signed_projection_sql(vec, plane)} * {1 << j})" for j, plane in enumerate(planes)
     )
     return f"CAST({terms} AS BIGINT)"
+
+
+def embedding_band_vals_udf(planes: list[list[int]], bands: int, bits: int):
+    """Arrow-batched hyperplane band values: n x dim matmul against the
+    plane matrix, sign bits packed per band. ONE shared implementation for
+    the batch LSH operator and its streaming twin — their equivalence test
+    is structural, not copy-paste. Ties at projection exactly 0 count as
+    bit 1 (>= 0), matching signed_projection_expr/sql."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    plane_mat = np.asarray(planes, dtype=np.float64)
+    powers = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _band_vals(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        sign_bits = (x @ plane_mat.T >= 0).astype(np.int64)
+        vals = np.stack(
+            [sign_bits[:, b * bits : (b + 1) * bits] @ powers for b in range(bands)],
+            axis=1,
+        )
+        return pd.Series(list(vals))
+
+    return _band_vals

@@ -65,6 +65,7 @@ def cosine_topk_ivf(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k.
 
@@ -76,10 +77,11 @@ def cosine_topk_ivf(
     ``cell`` so probes prune partitions at the scan.
     """
     base = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
-    centroids = (
-        embeddings.orderBy(F.asc(id_col)).limit(n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cell_vec"))
-    )
+    if centroids is None:
+        centroids = (
+            embeddings.orderBy(F.asc(id_col)).limit(n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cell_vec"))
+        )
     # assign every vector to its nearest centroid
     assign_w = Window.partitionBy("cand_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
     assigned = (
@@ -211,19 +213,9 @@ def dedup_embedding_lsh(
     # decides membership, so a flipped bit can only add/remove a CANDIDATE
     # pair whose true cosine sits exactly at the LSH boundary — vanishingly
     # rare and checked continuously by the sf0.01 oracle gate.
-    plane_mat = np.asarray(planes, dtype=np.float64)  # n_planes × dim
-    powers = (1 << np.arange(bits)).astype(np.int64)
-    n_bands = bands
+    from ..functions.vectors import embedding_band_vals_udf
 
-    @pandas_udf("array<long>")
-    def _band_vals(vecs: pd.Series) -> pd.Series:
-        x = np.asarray(vecs.tolist(), dtype=np.float64)  # n × dim
-        sign_bits = (x @ plane_mat.T >= 0).astype(np.int64)  # n × n_planes
-        vals = np.stack(
-            [sign_bits[:, b * bits : (b + 1) * bits] @ powers for b in range(n_bands)],
-            axis=1,
-        )
-        return pd.Series(list(vals))
+    _band_vals = embedding_band_vals_udf(planes, bands, bits)
 
     banded = base.select(
         "id", F.posexplode(_band_vals(F.col("vec"))).alias("band_idx", "band_val")
@@ -266,12 +258,13 @@ def cosine_topk_ivf_kmeans(
     seed: int = 42,
 ) -> DataFrame:
     """IVF top-k with REAL k-means centroids (pyspark.ml, seeded k-means||)
-    instead of the lowest-id heuristic — same probe/assign plan shape, so
-    only the centroid table changes. Training cost is one MLlib job over
-    the (small relative to the corpus) sampled vectors; at 100 TB the
-    centroids are trained on a sample and broadcast, exactly as here.
-    Not SQL-expressible (k-means training) -> rows-only driver check; the
-    recall evaluation against exact brute force is the quality gate."""
+    instead of the lowest-id heuristic — delegates to ``cosine_topk_ivf``
+    with a trained centroid table, so the probe/assign plan is shared by
+    construction. Training is one MLlib job over the (small relative to the
+    corpus) vectors; at 100 TB the centroids are trained on a sample and
+    broadcast, exactly as here. Not SQL-expressible (k-means training) ->
+    rows-only driver check; the recall evaluation against exact brute force
+    is the quality gate."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -284,40 +277,13 @@ def cosine_topk_ivf_kmeans(
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
     centroids = spark.createDataFrame(cents, "cell int, cell_vec array<float>")
-
-    base = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
-    assign_w = Window.partitionBy("cand_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
-    assigned = (
-        base.join(F.broadcast(centroids))
-        .withColumn("cell_cos", cosine_expr(F.col("cand_vec"), F.col("cell_vec")))
-        .withColumn("_rn", F.row_number().over(assign_w))
-        .where(F.col("_rn") == 1)
-        .select("cand_id", "cand_vec", "cell")
-    )
-    queries = embeddings.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(F.desc("cell_cos"), F.asc("cell"))
-    probes = (
-        queries.join(F.broadcast(centroids))
-        .withColumn("cell_cos", cosine_expr(F.col("query_vec"), F.col("cell_vec")))
-        .withColumn("_rn", F.row_number().over(probe_w))
-        .where(F.col("_rn") <= nprobe)
-        .select("query_id", "query_vec", "cell")
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), on="cell")
-        .where(F.col("cand_id") != F.col("query_id"))
-        .withColumn("cosine", cosine_expr(F.col("query_vec"), F.col("cand_vec")))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "cand_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+    return cosine_topk_ivf(
+        embeddings,
+        query_ids,
+        k=k,
+        n_cells=n_cells,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=centroids,
     )

@@ -31,6 +31,8 @@ from ..functions.textstats import (
     bpe_piece_count_sql,
     fingerprint_md5_expr,
     fingerprint_md5_sql,
+    fingerprint_rolling_expr,
+    fingerprint_rolling_sql,
     fingerprint_shape_expr,
     fingerprint_shape_sql,
     lang_id_expr,
@@ -147,8 +149,6 @@ _SQL_LANG_ID = (
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.textstats import fingerprint_rolling_expr
-
     d = _cleaned_docs(spark, sf_dir)
     return d.select(
         "doc_id",
@@ -158,17 +158,11 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fingerprint_sql() -> str:
-    from ..functions.textstats import fingerprint_rolling_sql
-
-    return (
-        f"WITH d AS ({_CLEANED}) SELECT doc_id, {fingerprint_md5_sql('c')} AS fp_md5, "
-        f"{fingerprint_shape_sql('c')} AS fp_shape, "
-        f"{fingerprint_rolling_sql('c')} AS fp_rolling FROM d"
-    )
-
-
-_SQL_FINGERPRINT = _fingerprint_sql()
+_SQL_FINGERPRINT = (
+    f"WITH d AS ({_CLEANED}) SELECT doc_id, {fingerprint_md5_sql('c')} AS fp_md5, "
+    f"{fingerprint_shape_sql('c')} AS fp_shape, "
+    f"{fingerprint_rolling_sql('c')} AS fp_rolling FROM d"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -426,14 +420,12 @@ FROM ranked WHERE rnk <= {SIM_K}
 """
 
 
-def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of the IVF index against brute-force ground truth — the
-    evaluation loop an ANN deployment needs before trading exactness for
-    scan pruning. Pure composition of the two top-k queries: both engines
-    join their own exact and approximate results, so the metric itself is
-    oracle-checked."""
+def _recall_vs_exact(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of an approximate top-k against the brute-force
+    ground truth — shared by every ANN variant so all recall gates compute
+    the identical metric by construction."""
     exact = _q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
-    approx = _q_cosine_topk_ivf(spark, sf_dir).select(
+    approx = approx.select(
         F.col("query_id").alias("_aq"), F.col("cand_id").alias("_ac")
     )
     j = exact.join(
@@ -446,6 +438,15 @@ def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("_ac").alias("n_hit"),
         F.round(F.count("_ac") / F.lit(SIM_K), 6).alias("recall_at_k"),
     )
+
+
+def _q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF index against brute-force ground truth — the
+    evaluation loop an ANN deployment needs before trading exactness for
+    scan pruning. Pure composition of registered queries: both engines
+    join their own exact and approximate results, so the metric itself is
+    oracle-checked."""
+    return _recall_vs_exact(spark, sf_dir, _q_cosine_topk_ivf(spark, sf_dir))
 
 
 _SQL_IVF_RECALL = f"""
@@ -1188,20 +1189,7 @@ def _q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     heuristic's 0.7-1.0 — IVF only pays off when the data actually
     clusters, which is precisely what this per-query gate surfaces before
     anyone trades exactness for pruning at 100 TB."""
-    exact = _q_cosine_topk(spark, sf_dir).select("query_id", "cand_id")
-    approx = _q_cosine_topk_ivf_kmeans(spark, sf_dir).select(
-        F.col("query_id").alias("_aq"), F.col("cand_id").alias("_ac")
-    )
-    j = exact.join(
-        approx,
-        (F.col("query_id") == F.col("_aq")) & (F.col("cand_id") == F.col("_ac")),
-        "left",
-    )
-    return j.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.count("_ac").alias("n_hit"),
-        F.round(F.count("_ac") / F.lit(SIM_K), 6).alias("recall_at_k"),
-    )
+    return _recall_vs_exact(spark, sf_dir, _q_cosine_topk_ivf_kmeans(spark, sf_dir))
 
 
 QUERIES = [

@@ -176,6 +176,9 @@ def write_zordered_parquet(
         F.min(col_x).alias("xmin"), F.max(col_x).alias("xmax"),
         F.min(col_y).alias("ymin"), F.max(col_y).alias("ymax"),
     ).collect()[0]
+    if stats.xmin is None:  # empty input: write the empty dataset and stop
+        df.write.mode("overwrite").parquet(path)
+        return
     span = (1 << bits) - 1
 
     def bucket(c, lo, hi):

@@ -183,9 +183,6 @@ def read_embedding_stream(spark: SparkSession, src_dir: str) -> DataFrame:
 def embedding_candidates_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """(band_idx, band_key, id_new, id_seen) candidate pairs from
     hyperplane-LSH bands over a vector stream."""
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
     from ..constants import (
         EMB_DIM,
         EMB_LSH_BANDS,
@@ -193,23 +190,10 @@ def embedding_candidates_stream(spark: SparkSession, src_dir: str) -> DataFrame:
         EMB_LSH_PLANES,
         EMB_LSH_SEED,
     )
-    from ..functions.vectors import hyperplane_matrix
+    from ..functions.vectors import embedding_band_vals_udf, hyperplane_matrix
 
     planes = hyperplane_matrix(EMB_LSH_PLANES, EMB_DIM, EMB_LSH_SEED)
-    plane_mat = np.asarray(planes, dtype=np.float64)
-    powers = (1 << np.arange(EMB_LSH_BITS_PER_BAND)).astype(np.int64)
-    n_bands = EMB_LSH_BANDS
-    bits = EMB_LSH_BITS_PER_BAND
-
-    @pandas_udf("array<long>")
-    def _band_vals(vecs: pd.Series) -> pd.Series:
-        x = np.asarray(vecs.tolist(), dtype=np.float64)
-        sign_bits = (x @ plane_mat.T >= 0).astype(np.int64)
-        vals = np.stack(
-            [sign_bits[:, b * bits : (b + 1) * bits] @ powers for b in range(n_bands)],
-            axis=1,
-        )
-        return pd.Series(list(vals))
+    _band_vals = embedding_band_vals_udf(planes, EMB_LSH_BANDS, EMB_LSH_BITS_PER_BAND)
 
     vecs = read_embedding_stream(spark, src_dir).where(F.col("embedding").isNotNull())
     banded = vecs.select(
