@@ -49,8 +49,11 @@ def _canon(v: Any) -> str:
             return "nan"
         return repr(v)
     if isinstance(v, decimal.Decimal):
-        # scale-insensitive: 1.50 == 1.5
-        return repr(v.normalize())
+        # numeric-insensitive: registered queries canonicalize decimal
+        # outputs to double (plans/__init__.py), so a DuckDB DECIMAL must
+        # compare equal to the Spark double it converts to — the same
+        # criterion the driver's pandas normalization applies
+        return repr(float(v))
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, dt.date):

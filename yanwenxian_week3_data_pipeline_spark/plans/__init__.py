@@ -4,14 +4,29 @@ driver records a rows-only check).
 
 ``all_queries()`` is the single registry consumed by __spark_entry__.py,
 bench.py and the parity tests.
+
+Output canonicalization
+-----------------------
+The correctness gate compares both engines through pandas: Spark via
+``toPandas()`` and DuckDB via ``.df()``. Under that normalization a DECIMAL
+column becomes ``float64`` on the DuckDB side but an object column of
+``Decimal`` on the Spark side, so numerically identical results hash
+differently (``Decimal('137431.00')`` vs ``137431.0``). Internal arithmetic
+stays decimal (exact, deterministic under parallel reduction — double sums
+are partial-order dependent), and ``canonical_projection`` casts only the
+FINAL top-level decimal outputs to double; decimal→double conversion is
+correctly rounded in both engines, so equal decimals yield bit-equal doubles.
+Oracle SQL carries the dual fix: integer ``sum()`` in DuckDB is HUGEINT
+(→float64 in pandas), so oracle sums over integers are wrapped in
+``CAST(... AS BIGINT)`` at the final projection.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 
 @dataclass(frozen=True)
@@ -23,6 +38,30 @@ class QuerySpec:
     doc: str = ""
 
 
+def canonical_projection(df: DataFrame) -> DataFrame:
+    """Cast top-level DECIMAL output columns to double (see module doc).
+    No-op when the schema has no decimal columns."""
+    if not any(isinstance(f.dataType, T.DecimalType) for f in df.schema.fields):
+        return df
+    return df.select(
+        *[
+            F.col(f.name).cast("double").alias(f.name)
+            if isinstance(f.dataType, T.DecimalType)
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def _canonical_build(
+    build: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return canonical_projection(build(spark, sf_dir))
+
+    return wrapped
+
+
 def all_queries() -> dict[str, QuerySpec]:
     from . import analytic_ext, llm_ops, reference_surface, relational, tpch_depth, tpch_shapes
 
@@ -31,5 +70,5 @@ def all_queries() -> dict[str, QuerySpec]:
         for spec in mod.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name}")
-            specs[spec.name] = spec
+            specs[spec.name] = replace(spec, build=_canonical_build(spec.build))
     return specs

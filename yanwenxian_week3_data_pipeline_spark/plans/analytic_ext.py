@@ -608,7 +608,11 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.join(F.broadcast(first_seen), "user_id")
         .select(
-            F.date_trunc("week", F.col("first_d")).cast("date").alias("cohort_week"),
+            # timestamp_ntz, not DATE: a DATE column leaves Spark's toPandas
+            # as datetime.date ('2024-01-01') but DuckDB's .df() as
+            # datetime64 ('2024-01-01 00:00:00') — the pandas-normalized
+            # hash can only agree on timestamps
+            F.date_trunc("week", F.col("first_d")).cast("timestamp_ntz").alias("cohort_week"),
             # floor, not a bare int cast: Spark casts double->int by truncation
             # while DuckDB rounds; floor() agrees everywhere
             F.floor(F.datediff(F.col("d"), F.col("first_d")) / 7).cast("int").alias("weeks_since"),
@@ -623,7 +627,7 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_RETENTION = """
 WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
 first_seen AS (SELECT user_id, min(d) AS first_d FROM ev GROUP BY user_id)
-SELECT CAST(date_trunc('week', first_d) AS DATE) AS cohort_week,
+SELECT CAST(date_trunc('week', first_d) AS TIMESTAMP) AS cohort_week,
   CAST(floor(date_diff('day', first_d, d) / 7) AS INT) AS weeks_since,
   count(DISTINCT ev.user_id) AS n_active
 FROM ev JOIN first_seen ON ev.user_id = first_seen.user_id
@@ -695,9 +699,9 @@ per_user AS (
     max(conv_purchase) AS s3
   FROM staged4 GROUP BY user_id)
 SELECT count(*) AS n_users,
-  sum(CAST(s1 AS BIGINT)) AS n_signup,
-  sum(CAST(s2 AS BIGINT)) AS n_view_after_signup,
-  sum(CAST(s3 AS BIGINT)) AS n_purchase_after_view
+  CAST(sum(CAST(s1 AS BIGINT)) AS BIGINT) AS n_signup,
+  CAST(sum(CAST(s2 AS BIGINT)) AS BIGINT) AS n_view_after_signup,
+  CAST(sum(CAST(s3 AS BIGINT)) AS BIGINT) AS n_purchase_after_view
 FROM per_user
 """
 

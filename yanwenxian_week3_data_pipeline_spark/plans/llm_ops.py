@@ -694,7 +694,7 @@ def _q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TRAIN_SPLIT = f"""
 SELECT CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val' ELSE 'test' END AS split,
-  count(*) AS n_docs, sum(n_chars) AS total_chars,
+  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
   min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM (SELECT *, ({hash60_sql("CAST(doc_id AS VARCHAR)")} % 1000) AS b FROM documents)
 GROUP BY 1
@@ -1092,7 +1092,7 @@ WITH s AS (SELECT source, n_chars,
   ({hash60_sql('CAST(doc_id AS VARCHAR)', seed=MIX_HASH_SEED)} % {MIX_BUCKETS}) AS h,
   ((CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1) * {MIX_BUCKETS // 4}) AS frac_bp
   FROM documents)
-SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
 FROM s WHERE h < frac_bp GROUP BY source
 """
 
@@ -1130,7 +1130,7 @@ _SQL_PACK_SEQUENCES = f"""
 WITH t AS (SELECT doc_id, source, {token_count_sql(CLEAN_SQL)} AS n_tok FROM documents),
 c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
 SELECT source, CAST(floor((cum - n_tok) / {PACK_TOKEN_BUDGET}) AS BIGINT) AS bin_id,
-       count(*) AS n_docs, sum(n_tok) AS bin_tokens
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
 FROM c GROUP BY 1, 2
 """
 
@@ -1285,8 +1285,8 @@ def _domain_stats_sql() -> str:
     return f"""
 WITH d AS (SELECT source, lang, n_chars, {CLEAN_SQL} AS c FROM documents)
 SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
-  sum(n_chars) AS total_chars,
-  sum(CASE WHEN {ok} THEN 1 ELSE 0 END) AS n_pass_gopher
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(CASE WHEN {ok} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gopher
 FROM d GROUP BY source ORDER BY source
 """
 

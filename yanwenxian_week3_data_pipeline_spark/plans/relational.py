@@ -579,8 +579,8 @@ per_session AS (
     max(event_type = 'purchase' AND view_ts < ts) AS converted
   FROM staged GROUP BY user_id, session_seq)
 SELECT count(*) AS n_sessions,
-  sum(CAST(has_view AS BIGINT)) AS n_with_view,
-  sum(CAST(converted AS BIGINT)) AS n_converted,
+  CAST(sum(CAST(has_view AS BIGINT)) AS BIGINT) AS n_with_view,
+  CAST(sum(CAST(converted AS BIGINT)) AS BIGINT) AS n_converted,
   round(sum(CAST(converted AS BIGINT)) / greatest(sum(CAST(has_view AS BIGINT)), 1), 6)
     AS conversion_rate
 FROM per_session
@@ -658,7 +658,7 @@ def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_JSON_PROPS = """
 SELECT event_type, count(*) AS n,
-  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
