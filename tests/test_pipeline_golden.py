@@ -6,7 +6,7 @@ uppercase-scheme quirk, mixed/invalid date formats, over-long titles,
 missing published dates.
 
 Expected outcomes are derived by hand from the operator semantics:
-funnel 17 -> 13 (‑4 incomplete) -> 11 (‑2 duplicates) -> 5 valid.
+funnel 17 -> 13 (‑4 incomplete) -> 11 (‑2 duplicates) -> 4 valid.
 """
 
 from __future__ import annotations
@@ -53,7 +53,9 @@ def _fixture_records() -> list[dict]:
         {"title": "Bad scheme", "content": LONG_CONTENT, "url": "ftp://example.org/7", "published": "2025-03-02"},
         # 8: schemeless -> invalid_url
         {"title": "No scheme", "content": LONG_CONTENT, "url": "example.org/8", "published": "2025-03-03"},
-        # 9: impossible date (parses to null; raw 'published' survives -> passes)
+        # 9: impossible date -> parses to null -> missing_published (golden
+        # semantics: the check reads the PARSED date only; the raw string
+        # never rescues — see domains/articles.py module doc)
         {"title": "Odd date", "content": LONG_CONTENT, "url": base_url + "/9", "published": "2025-13-99"},
         # 10: uppercase scheme -> invalid_url (case-sensitive startswith quirk)
         {"title": "Loud scheme", "content": LONG_CONTENT, "url": "HTTP://example.org/10", "published": "2025-03-05"},
@@ -82,11 +84,12 @@ def _fixture_records() -> list[dict]:
     ]
 
 
-EXPECTED_VALID_IDS = {0, 9, 11, 13, 15}
+EXPECTED_VALID_IDS = {0, 11, 13, 15}
 EXPECTED_REASONS = {
     6: "short_content",
     7: "invalid_url",
     8: "invalid_url",
+    9: "missing_published",
     10: "invalid_url",
     14: "title_too_long",
     16: "missing_published",
@@ -159,8 +162,8 @@ def test_full_pipeline_files(spark, fixture_path, tmp_path_factory):
     report = out_report.read_text()
     assert "Total records processed:   17" in report
     assert "Cleaned record count:      11" in report
-    assert "  Total validation passed:   5" in report
-    assert "  Total validation failed:   6" in report
+    assert "  Total validation passed:   4" in report
+    assert "  Total validation failed:   7" in report
     assert "     3  URL must start with http:// or https:// and have valid format." in report
     assert "End of report" in report
 

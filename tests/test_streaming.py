@@ -211,7 +211,7 @@ def test_clean_valid_stream_matches_batch_pipeline(spark, tmp_path):
     got_rows = {tuple(r[c] for c in cols) for r in got.select(*cols).collect()}
     exp_rows = {tuple(r[c] for c in cols) for r in expected.select(*cols).collect()}
     assert got_rows == exp_rows
-    assert len(got_rows) == 5
+    assert len(got_rows) == 4
 
 
 def test_enrich_stream_matches_batch(spark, sf_dir, stream_src):

@@ -10,9 +10,15 @@ Parity map (validator.py:48-96):
 - the url scheme check is case-SENSITIVE ``startswith`` while the format
   regex is case-insensitive (validator.py:79 vs validator.py:17) — an
   uppercase ``HTTP://`` url fails the scheme check; replicated exactly;
-- published falls back ``published_date`` → ``published`` with Python
-  ``or`` falsy semantics (validator.py:87): blank/null published_date falls
-  through to published.
+- published: the check applies to the PARSED ``published_date`` only — a
+  set-but-unparseable date counts as missing. The reference source reads
+  ``published_date or published`` (validator.py:87), but its committed
+  golden (quality_report.txt:64, the invalid-url record whose raw
+  ``published`` is the non-empty string ``2025-13-99``) carries
+  "Published date is missing or empty.", which only the parsed-date
+  semantics produce — the parse-failure NaN is truthy, so the raw fallback
+  never rescues a row in the reference pipeline either. Goldens are the
+  spec (SURVEY.md §1.4).
 """
 
 from __future__ import annotations
@@ -33,13 +39,11 @@ def article_rules(
     content: Column | None = None,
     url: Column | None = None,
     published_date: Column | None = None,
-    published: Column | None = None,
 ) -> list[Rule]:
     title = _safe(title if title is not None else F.col("title"))
     content = _safe(content if content is not None else F.col("content"))
     url = _safe(url if url is not None else F.col("url"))
     pd_ = published_date if published_date is not None else F.col("published_date")
-    pub = published if published is not None else F.col("published")
 
     rules: list[Rule] = []
 
@@ -112,10 +116,10 @@ def article_rules(
         )
     )
 
-    # --- Published date (validator.py:87-89) ---
+    # --- Published date (validator.py:87-89; golden semantics — see module
+    # doc: parsed date only, unparseable counts as missing) ---
     pd_safe = _safe(pd_)
-    pub_safe = _safe(pub)
-    p_missing = (pd_safe == "") & (pub_safe == "")
+    p_missing = pd_safe == ""
     rules.append(failure_rule("missing_published", p_missing, "Published date is missing or empty."))
 
     return rules

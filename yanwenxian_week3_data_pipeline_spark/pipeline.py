@@ -17,6 +17,7 @@ does (cleaner.py:393).
 
 from __future__ import annotations
 
+from datetime import timezone
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -90,11 +91,16 @@ def run_cleaning_pipeline(
     flagged = flag_stages(clean_articles(raw)).cache()
     kept = F.col("_kept")
 
-    report_cols = [c for c in raw.columns if c != RECORD_ID]
+    # report column set mirrors the reference's pandas frame: only columns
+    # the input actually carried (a schema-padding column that is all-null
+    # never existed in the source JSON), in schema order, with the derived
+    # published_date appended LAST (cleaner.py:311-312 appends it to the
+    # frame). Presence is decided by the same single aggregate pass below.
+    candidate_cols = [c for c in raw.columns if c not in (RECORD_ID, "published_date")]
 
     # one aggregate job produces every scalar the report needs: the stage
-    # funnel, pass counts, per-column completeness of the deduped set, and
-    # the date range of the deduped set
+    # funnel, pass counts, column presence, per-column completeness of the
+    # deduped set, and the date range of the deduped set
     ts = F.to_timestamp(F.col("published_date"), ISO_TS_FORMAT)
     aggs = [
         F.count(F.lit(1)).alias("n_load"),
@@ -105,13 +111,24 @@ def run_cleaning_pipeline(
         F.max(F.when(kept, ts)).alias("dr_latest"),
         F.count(F.when(kept, ts)).cast("long").alias("dr_n"),
     ]
-    from .functions.text import is_missing_expr
-
-    for c in report_cols:
+    # presence is tested on the CLEANED values, where clean_text has already
+    # coalesced absent columns to "" — so "ever non-blank" is the signal
+    # that the input carried the column (an input column holding only blank
+    # strings is indistinguishable post-clean; documented edge)
+    for c in candidate_cols:
         aggs.append(
-            F.sum(
-                F.when(kept & ~is_missing_expr(F.col(c).cast("string")), 1).otherwise(0)
-            ).cast("long").alias(f"_ne_{c}")
+            F.max(F.col(c).isNotNull() & (F.trim(F.col(c).cast("string")) != "")).alias(f"_has_{c}")
+        )
+    # completeness replicates the golden's counting (cleaner.py:199-200
+    # astype(str) rendering): a value is missing only when it is a non-null
+    # string that trims to "" — a null renders as 'None'/'NaN' and counts as
+    # present. quality_report.txt:26 (published_date 100.0% with one null
+    # parsed date) pins this; the funnel's drop-incomplete stage keeps the
+    # intended null=missing semantics (SURVEY.md §1.4).
+    for c in candidate_cols + ["published_date"]:
+        blank = F.col(c).isNotNull() & (F.trim(F.col(c).cast("string")) == "")
+        aggs.append(
+            F.sum(F.when(kept & ~blank, 1).otherwise(0)).cast("long").alias(f"_ne_{c}")
         )
     a = flagged.agg(*aggs).collect()[0]
     n_load, n_complete, n_dedup, n_valid = (
@@ -120,22 +137,36 @@ def run_cleaning_pipeline(
         int(a["n_dedup"] or 0),
         int(a["n_valid"] or 0),
     )
+    report_cols = (
+        [c for c in candidate_cols if a[f"_has_{c}"]] + ["published_date"]
+        if n_load
+        else []
+    )
     n_dropped, n_dupes = n_load - n_complete, n_complete - n_dedup
     say(f"[1/6] loaded {n_load} records from {input_path}")
     say(f"[2/6] cleaned; dropped {n_dropped} incomplete, {n_complete} remaining")
     say(f"[3/6] dedup removed {n_dupes} duplicates, {n_dedup} remaining")
 
-    failed = flagged.where(kept & ~F.col("passed"))
+    # failed-record details carry the reference's index: the 0-based position
+    # in the POST-DEDUP frame (cleaner.py reset_index after dedup), not the
+    # ingest record_id. The unpartitioned row_number window is confined to
+    # this report-detail path (which enumerates every failed record anyway —
+    # inherently driver-bound); the funnel aggregates above stay parallel.
+    w_pos = Window.orderBy(F.col(RECORD_ID).asc())
+    kept_pos = flagged.where(kept).withColumn("_cleaned_idx", F.row_number().over(w_pos) - 1)
+    failed = kept_pos.where(~F.col("passed"))
+    # distribution order = Counter.most_common: count desc, ties by first
+    # occurrence (validator.py:155 insertion order == cleaned-index order)
     dist = [
         (r["reason"], int(r["n"]))
         for r in failed.groupBy("reason")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("reason"))
+        .agg(F.count(F.lit(1)).alias("n"), F.min(RECORD_ID).alias("first_at"))
+        .orderBy(F.desc("n"), F.asc("first_at"))
         .collect()
     ]
     details = [
-        {"index": int(r[RECORD_ID]), "reason": r["reason"], "message": r["message"]}
-        for r in failed.select(RECORD_ID, "reason", "message").orderBy(RECORD_ID).collect()
+        {"index": int(r["_cleaned_idx"]), "reason": r["reason"], "message": r["message"]}
+        for r in failed.select("_cleaned_idx", "reason", "message").orderBy("_cleaned_idx").collect()
     ]
     stats = ValidationStats(
         total=n_dedup,
@@ -147,8 +178,14 @@ def run_cleaning_pipeline(
     say(f"[4/6] validation: {n_valid}/{n_dedup} passed")
 
     comp_rows = [(c, int(a[f"_ne_{c}"] or 0), n_dedup) for c in report_cols]
+    # published_date strings are ISO-with-Z (UTC); the reference renders the
+    # range as tz-aware pandas Timestamps ('... 00:00:00+00:00')
     dr = (
-        (a["dr_earliest"], a["dr_latest"], int(a["dr_n"]))
+        (
+            a["dr_earliest"].replace(tzinfo=timezone.utc),
+            a["dr_latest"].replace(tzinfo=timezone.utc),
+            int(a["dr_n"]),
+        )
         if a["dr_n"]
         else None
     )
