@@ -660,3 +660,26 @@ def test_date_parse_edge_cases(spark):
     got = {r.i: r.d for r in df.select("i", parse_iso_date_expr(F.col("s")).alias("d")).collect()}
     for i, (s, want) in enumerate(cases):
         assert got[i] == want, (s, got[i], want)
+
+
+def test_asof_nearest_integral_ordinals_above_2p53(spark):
+    """Epoch-nano-scale bigint ordinals: |delta| must be computed in exact
+    long math. Under double math both candidates collapse to the same
+    rounded value and the farther (backward) row can win (ADVICE r1)."""
+    from yanwenxian_week3_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    base = 1 << 60
+    left = spark.createDataFrame([(1, base, "L")], "k long, ts long, l_tag string")
+    right = spark.createDataFrame(
+        [(1, base - 3, "far_back"), (1, base + 1, "near_fwd")],
+        "k long, ts long, r_tag string",
+    )
+    (row,) = asof_join_nearest(left, right, on="ts", by="k").collect()
+    assert row.r_r_tag == "near_fwd"
+    # and exact backward ties still prefer backward
+    right2 = spark.createDataFrame(
+        [(1, base - 2, "back"), (1, base + 2, "fwd")],
+        "k long, ts long, r_tag string",
+    )
+    (row2,) = asof_join_nearest(left, right2, on="ts", by="k").collect()
+    assert row2.r_r_tag == "back"

@@ -1,0 +1,61 @@
+"""Loader contracts: side-effect-free table loads and conf-independent
+event timestamps (VERDICT r1 item 4)."""
+
+from __future__ import annotations
+
+import datetime
+
+
+def test_load_events_does_not_mutate_session_conf(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.sources.tables import load_events
+
+    probes = [
+        "spark.sql.session.timeZone",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+        "spark.sql.legacy.parquet.nanosAsLong",
+    ]
+
+    def snapshot():
+        out = {}
+        for k in probes:
+            try:
+                out[k] = spark.conf.get(k)
+            except Exception:
+                out[k] = "<unset>"
+        return out
+
+    before = snapshot()
+    df = load_events(spark, sf_dir)
+    assert df.count() > 0
+    assert snapshot() == before
+
+
+def test_load_events_ntz_regardless_of_infer_conf(spark, sf_dir):
+    """The explicit read schema must force TIMESTAMP_NTZ even in a session
+    where parquet NTZ inference is disabled (a driver-like default session
+    could have it off); values must be identical either way."""
+    from yanwenxian_week3_data_pipeline_spark.sources.tables import load_events
+
+    key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    original = spark.conf.get(key)
+    base = load_events(spark, sf_dir).orderBy("event_id").limit(5).collect()
+    try:
+        spark.conf.set(key, "false")
+        df = load_events(spark, sf_dir)
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        got = df.orderBy("event_id").limit(5).collect()
+    finally:
+        spark.conf.set(key, original)
+    assert [r.ts for r in got] == [r.ts for r in base]
+    assert all(isinstance(r.ts, datetime.datetime) for r in got)
+
+
+def test_two_loaders_interleaved_share_session_safely(spark, sf_dir):
+    """Interleaving an events load between two reads of another table must
+    not change the second read (loaders hold no session-level state)."""
+    from yanwenxian_week3_data_pipeline_spark.sources.tables import load_events, load_table
+
+    first = load_table(spark, sf_dir, "orders").orderBy("o_orderkey").limit(3).collect()
+    load_events(spark, sf_dir).count()
+    second = load_table(spark, sf_dir, "orders").orderBy("o_orderkey").limit(3).collect()
+    assert first == second

@@ -116,6 +116,10 @@ def asof_join_nearest(
             return F.unix_micros(col.cast("timestamp"))
         if isinstance(on_dtype, T.DateType):
             return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
+        if isinstance(on_dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            # keep integral ordinals exact: casting e.g. epoch-nanos bigints
+            # to double loses precision above 2^53 and can invert |delta|
+            return col.cast("long")
         if isinstance(on_dtype, T.NumericType):
             return col.cast("double")
         raise TypeError(f"asof_join_nearest: unsupported ordinal type {on_dtype}")

@@ -183,9 +183,11 @@ def resize_media(
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` for multi-MB media)."""
 
     def _resize_one(mt: str, payload: bytes) -> tuple[int, int, bytes]:
-        width, height, _f, _crc = _fake_decode(mt, payload)
         if payload is None:
+            # early-return BEFORE decode so the None contract survives
+            # swapping in a real decoder that rejects null payloads
             return (0, 0, b"")
+        width, height, _f, _crc = _fake_decode(mt, payload)
         frac = min(1.0, (target_w * target_h) / max(width * height, 1))
         out_len = max(1, int(len(payload) * frac))
         return (width, height, payload[:out_len])

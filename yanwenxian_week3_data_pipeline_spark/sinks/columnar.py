@@ -127,7 +127,11 @@ def write_training_shards(
         from pyspark.sql import functions as F
 
         cols = [F.col(c).cast("string") for c in df.columns]
-        out = df.orderBy(F.xxhash64(F.lit(str(shuffle_seed)), *cols))
+        # secondary sort on the values themselves: a deterministic total
+        # order even when distinct rows collide on the hash. Fully duplicate
+        # rows still tie, but they are interchangeable — any arrangement of
+        # identical rows yields identical shard contents.
+        out = df.orderBy(F.xxhash64(F.lit(str(shuffle_seed)), *cols), *cols)
     (
         out.write.mode("overwrite")
         .option("maxRecordsPerFile", records_per_shard)

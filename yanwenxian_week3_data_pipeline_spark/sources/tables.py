@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
     "region",
@@ -35,21 +35,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalize ``events.ts`` to TIMESTAMP_NTZ regardless of how the parquet
-    stores it: TIMESTAMP(NANOS) (rejected by Spark's reader unless read as
-    long via the legacy conf, then converted truncating to micros — matches
-    DuckDB's read of the same file) or a plain micros timestamp. Session
-    timezone is pinned to UTC for any LTZ→NTZ hop so the result is
-    timezone-independent."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ts_type = dict(raw.dtypes)["ts"]
-    if ts_type == "bigint":  # TIMESTAMP(NANOS) surfaced as long
-        ts = F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-    else:
-        ts = F.col("ts").cast("timestamp_ntz")
-    return raw.withColumn("ts", ts)
+    """Load events with ``ts`` as TIMESTAMP_NTZ, independent of session
+    configuration. The driver parquet stores ``ts`` as TIMESTAMP(MICROS,
+    isAdjustedToUTC=false); an explicit read schema forces NTZ even in a
+    session where ``spark.sql.parquet.inferTimestampNTZ.enabled`` is off
+    (which would otherwise surface it as LTZ in the session timezone). No
+    session conf is mutated here — loaders must be side-effect free so
+    concurrent queries sharing one session never race on reader behavior."""
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    return spark.read.schema(schema).parquet(os.path.join(sf_dir, "events.parquet"))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
