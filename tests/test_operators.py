@@ -683,3 +683,46 @@ def test_asof_nearest_integral_ordinals_above_2p53(spark):
     )
     (row2,) = asof_join_nearest(left, right2, on="ts", by="k").collect()
     assert row2.r_r_tag == "back"
+
+
+def test_auto_skew_join_decision_and_equality(spark):
+    """Guarded skew path: hot-key frames take the salted branch, uniform
+    frames the plain branch; both produce the plain join's exact result."""
+    from pyspark.sql import functions as F
+
+    from yanwenxian_week3_data_pipeline_spark.operators.salt import (
+        auto_skew_join,
+        estimate_top_key_share,
+    )
+
+    n = 20_000
+    base = spark.range(n)
+    skewed = base.select(
+        F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 100).alias("v"),
+    )
+    uniform = base.select(F.col("id").alias("k"), (F.col("id") % 100).alias("v"))
+    dim = spark.range(n).select(F.col("id").alias("k"), (F.col("id") % 7).alias("grp"))
+
+    # sampled share: ~0.5 for the folded frame, ~1/sample-size for uniform
+    assert estimate_top_key_share(skewed, "k", sample_fraction=0.05) > 0.3
+    assert estimate_top_key_share(uniform, "k", sample_fraction=0.05) < 0.01
+
+    for fact in (skewed, uniform):
+        expect = sorted(
+            fact.join(dim, "k").groupBy("grp").agg(F.count("*").alias("n")).collect()
+        )
+        got = sorted(
+            auto_skew_join(fact, dim, on="k", salt_buckets=4)
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+        assert got == expect
+
+    # branch choice is visible in the physical plan: only the salted branch
+    # replicates the dim side (explode of the salt-bucket array)
+    salted_plan = auto_skew_join(skewed, dim, on="k")._jdf.queryExecution().toString()
+    plain_plan = auto_skew_join(uniform, dim, on="k")._jdf.queryExecution().toString()
+    assert "explode" in salted_plan.lower()
+    assert "explode" not in plain_plan.lower()

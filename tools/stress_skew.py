@@ -26,7 +26,12 @@ def main() -> None:
 
     from pyspark.sql import functions as F
 
-    from yanwenxian_week3_data_pipeline_spark.operators.salt import salted_agg, salted_join
+    from yanwenxian_week3_data_pipeline_spark.operators.salt import (
+        auto_skew_join,
+        estimate_top_key_share,
+        salted_agg,
+        salted_join,
+    )
     from yanwenxian_week3_data_pipeline_spark.session import get_spark
 
     spark = get_spark("stress-skew")
@@ -83,6 +88,12 @@ def main() -> None:
                 f"salted_join 8 buckets ({label})",
                 lambda: salted_join(fact, dim, "k").groupBy().count().collect()[0][0],
             )
+            timed(
+                f"auto_skew_join guarded ({label})",
+                lambda: auto_skew_join(fact, dim, "k").groupBy().count().collect()[0][0],
+            )
+        share = estimate_top_key_share(fact, "k")
+        print(f"sampled top-key share: {share:.3f} (threshold 0.2 -> salted branch)")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)

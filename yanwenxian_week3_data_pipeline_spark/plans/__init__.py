@@ -23,6 +23,7 @@ Oracle SQL carries the dual fix: integer ``sum()`` in DuckDB is HUGEINT
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, replace
 
@@ -56,6 +57,7 @@ def canonical_projection(df: DataFrame) -> DataFrame:
 def _canonical_build(
     build: Callable[[SparkSession, str], DataFrame],
 ) -> Callable[[SparkSession, str], DataFrame]:
+    @functools.wraps(build)  # keep __module__/__doc__ for docs/QUERIES.md
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         return canonical_projection(build(spark, sf_dir))
 

@@ -539,6 +539,51 @@ GROUP BY c_nationkey
 
 
 # ---------------------------------------------------------------------------
+# join_auto_skew_hot_orders — the GUARDED skew path (operators/salt.py
+# auto_skew_join): a seeded key-histogram sample decides between the plain
+# join and salted_join. The fact side folds every even orderkey onto key 0
+# (≈50% hot — well past the 20% threshold, so the salted branch is chosen
+# automatically); the dim side is the distinct folded keys. Equality with
+# the plain-join SQL is the oracle check, which holds on either branch.
+# ---------------------------------------------------------------------------
+
+def _q_auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.salt import auto_skew_join
+
+    hot = F.when(F.col("l_orderkey") % 2 == 0, F.lit(0)).otherwise(F.col("l_orderkey"))
+    fact = _t(spark, sf_dir, "lineitem").select(
+        hot.alias("jk"), F.col("l_extendedprice").cast(DEC6).alias("price")
+    )
+    dim_key = F.when(F.col("o_orderkey") % 2 == 0, F.lit(0)).otherwise(F.col("o_orderkey"))
+    dim = (
+        _t(spark, sf_dir, "orders")
+        .select(dim_key.alias("jk"))
+        .distinct()
+        .withColumn("bucket", F.pmod(F.col("jk"), F.lit(10)))
+    )
+    return (
+        auto_skew_join(fact, dim, on="jk", salt_buckets=8)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("price").alias("total_price"))
+    )
+
+
+_SQL_AUTO_SKEW_JOIN = f"""
+WITH fact AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0 ELSE l_orderkey END AS jk,
+         CAST(l_extendedprice AS {DEC6}) AS price
+  FROM lineitem
+), dim AS (
+  SELECT DISTINCT CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE o_orderkey END AS jk
+  FROM orders
+)
+SELECT jk % 10 AS bucket, count(*) AS n_rows, sum(price) AS total_price
+FROM fact JOIN dim USING (jk)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # profile_lineitem — one-pass table profiler (operators/profile.py): per
 # column null count, distinct count, min/max, from a SINGLE scan of the
 # table (the reference's completeness report, cleaner.py:193-202,
@@ -576,8 +621,10 @@ _SQL_PROFILE = " UNION ALL ".join(_profile_branch_sql(c) for c in _PROFILE_COLS)
 # agg_hll_partial_union — sketch REUSE: per-nation HLL sketches of the
 # customer set, merged upward to nations-total without rescanning the
 # table. The production pattern at 100 TB: persist the binary sketch per
-# partition/day, answer rollups by unioning sketches. Estimates are
-# engine-specific (Apache DataSketches here) → rows-only driver check.
+# partition/day, answer rollups by unioning sketches. The estimate itself
+# is engine-specific (Apache DataSketches here), so the checked output is
+# the exact distinct count plus a boolean asserting the merged estimate
+# landed within bound — the oracle returns the exact count and literal true.
 # ---------------------------------------------------------------------------
 
 def _q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,10 +633,22 @@ def _q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("c_custkey").alias("sk"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    return per_nation.agg(
+    merged = per_nation.agg(
         F.count(F.lit(1)).alias("n_nations"),
         F.sum("n_rows").alias("n_customers"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_distinct_custkeys"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = cust.agg(F.countDistinct("c_custkey").alias("exact_distinct_custkeys"))
+    err = F.abs(F.col("est") - F.col("exact_distinct_custkeys")) / F.col(
+        "exact_distinct_custkeys"
+    )
+    return merged.crossJoin(exact).select(
+        "n_nations",
+        "n_customers",
+        "exact_distinct_custkeys",
+        # lgK=12 → rsd ≈ 1.6%; ±5% is ~3 sigma, a deterministic pass for a
+        # correct union of sketches — which makes the merge oracle-checkable
+        (err <= F.lit(0.05)).alias("hll_within_bound"),
     )
 
 
@@ -711,8 +770,9 @@ FROM per_user
 # order-priority group, merged into global p50/p90/p99. Same shape as the
 # HLL partial union: at 100 TB the per-partition/day sketches persist and
 # every rollup is a cheap sketch merge, never a re-scan. Sketch estimates
-# are engine-specific -> rows-only driver check; the exact-percentile twin
-# (agg_percentiles) is the oracle-checked counterpart.
+# are engine-specific, so the checked output is the exact percentiles plus
+# per-quantile booleans asserting the sketch landed within a value
+# tolerance — the oracle computes the exact quantiles and literal true.
 # ---------------------------------------------------------------------------
 
 def _q_kll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,13 +788,52 @@ def _q_kll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     def q(p):
         return F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(p))
-    return merged.select(
+
+    exact = orders.agg(
+        *[
+            F.round(F.percentile("o_totalprice", F.lit(p)), 2).alias(f"exact_p{int(p*100)}")
+            for p in (0.5, 0.9, 0.99)
+        ]
+    )
+
+    def ok(p):
+        # k=200 → ~1.65% rank error; on this smooth price distribution a
+        # ±10% VALUE tolerance is many sigmas — deterministic pass for a
+        # correct sketch merge, which is what makes the query checkable
+        # (the sketch estimate itself is engine-specific)
+        e = F.col(f"exact_p{int(p*100)}")
+        return (F.abs(q(p) - e) / e <= F.lit(0.10)).alias(f"kll_p{int(p*100)}_ok")
+
+    return merged.crossJoin(exact).select(
         "n_groups",
         "n_orders",
-        F.round(q(0.5), 2).alias("p50"),
-        F.round(q(0.9), 2).alias("p90"),
-        F.round(q(0.99), 2).alias("p99"),
+        "exact_p50",
+        "exact_p90",
+        "exact_p99",
+        ok(0.5),
+        ok(0.9),
+        ok(0.99),
     )
+
+
+_SQL_HLL_UNION = """
+SELECT count(DISTINCT c_nationkey) AS n_nations,
+  CAST(count(*) AS BIGINT) AS n_customers,
+  count(DISTINCT c_custkey) AS exact_distinct_custkeys,
+  true AS hll_within_bound
+FROM customer
+"""
+
+
+_SQL_KLL_MERGE = """
+SELECT count(DISTINCT o_orderpriority) AS n_groups,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+  round(quantile_cont(o_totalprice, 0.9), 2) AS exact_p90,
+  round(quantile_cont(o_totalprice, 0.99), 2) AS exact_p99,
+  true AS kll_p50_ok, true AS kll_p90_ok, true AS kll_p99_ok
+FROM orders
+"""
 
 
 QUERIES = [
@@ -752,9 +851,10 @@ QUERIES = [
     QuerySpec("join_range_views_before_purchase", _q_range_join, _SQL_RANGE_JOIN),
     QuerySpec("agg_salted_event_type", _q_salted_events, _SQL_SALTED_EVENTS),
     QuerySpec("join_salted_user_nations", _q_salted_join, _SQL_SALTED_JOIN),
+    QuerySpec("join_auto_skew_hot_orders", _q_auto_skew_join, _SQL_AUTO_SKEW_JOIN),
     QuerySpec("profile_lineitem", _q_profile, _SQL_PROFILE),
-    QuerySpec("agg_hll_partial_union", _q_hll_union, None),
-    QuerySpec("agg_kll_quantile_merge", _q_kll_merge, None),
+    QuerySpec("agg_hll_partial_union", _q_hll_union, _SQL_HLL_UNION),
+    QuerySpec("agg_kll_quantile_merge", _q_kll_merge, _SQL_KLL_MERGE),
     QuerySpec("events_retention_cohorts", _q_retention, _SQL_RETENTION),
     QuerySpec("events_funnel_conversion", _q_conversion, _SQL_CONVERSION),
 ]

@@ -341,13 +341,23 @@ _SQL_COUNT_DISTINCT = (
 
 
 def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). No oracle: sketch estimates are
-    engine-specific by construction; tests assert relative error vs exact."""
+    """approx_count_distinct (HLL++), made oracle-checkable: the sketch
+    estimate itself is engine-specific by construction, so the checked
+    output is the exact count plus a boolean asserting the estimate landed
+    within 5×rsd (rsd=0.02 → ±10%, ~5 sigma — deterministic pass for a
+    correct HLL++). The oracle computes the exact count and literal true."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    agg = li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col("exact_parts")
+    return agg.select("exact_parts", (err <= F.lit(0.10)).alias("within_bound"))
+
+
+_SQL_APPROX_DISTINCT = (
+    "SELECT count(DISTINCT l_partkey) AS exact_parts, true AS within_bound FROM lineitem"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -681,7 +691,7 @@ QUERIES = [
     QuerySpec("set_except_all_open_orders", _q_set_except_all, _SQL_SET_EXCEPT_ALL),
     QuerySpec("topk_orders", _q_topk_orders, _SQL_TOPK_ORDERS),
     QuerySpec("agg_count_distinct", _q_count_distinct, _SQL_COUNT_DISTINCT),
-    QuerySpec("agg_approx_count_distinct", _q_approx_distinct, None),
+    QuerySpec("agg_approx_count_distinct", _q_approx_distinct, _SQL_APPROX_DISTINCT),
     QuerySpec("join_asof_purchase_view", _q_asof, _SQL_ASOF),
     QuerySpec("join_asof_nearest_view", _q_asof_nearest, _SQL_ASOF_NEAREST),
     QuerySpec("events_tumbling_hourly", _q_tumbling, _SQL_TUMBLING, headline=True),
