@@ -289,3 +289,74 @@ def test_salted_agg_equals_naive(spark, rows):
         .collect()
     }
     assert got == want
+
+
+# -- as-of join vs brute-force reference ------------------------------------
+
+_asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),              # by-key
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),  # ordinal
+    ),
+    min_size=0,
+    max_size=14,
+)
+
+
+def _brute_asof(left_rows, right_rows, nearest: bool):
+    """Reference semantics, spelled out row-by-row: backward = greatest
+    right ordinal <= left's; nearest = smallest |delta|, backward wins
+    ties. Null left ordinals never match; null right ordinals can't be
+    matched. Right-side ties (same key+ordinal) are broken by tag order
+    to mirror the operator's deterministic last-in-sort carry."""
+    out = {}
+    for li, (lk, lo) in enumerate(left_rows):
+        best = None
+        if lo is not None:
+            for ri, (rk, ro) in enumerate(right_rows):
+                if rk != lk or ro is None:
+                    continue
+                if nearest:
+                    key = (abs(ro - lo), 0 if ro <= lo else 1, -ro, -ri)
+                else:
+                    if ro > lo:
+                        continue
+                    key = (-ro, -ri)
+                if best is None or key < best[0]:
+                    best = (key, ri)
+        out[li] = best[1] if best else None
+    return out
+
+
+@pytest.mark.parametrize("nearest", [False, True])
+@given(left=_asof_rows, right=_asof_rows)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, nearest, left, right):
+    from yanwenxian_week3_data_pipeline_spark.operators.asof import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    ldf = spark.createDataFrame(
+        [(i, k, o) for i, (k, o) in enumerate(left)], "lid long, k long, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, o) for i, (k, o) in enumerate(right)], "rid long, k long, ts long"
+    )
+    fn = asof_join_nearest if nearest else asof_join
+    got_rows = fn(ldf, rdf, on="ts", by="k").collect()
+    assert len(got_rows) == len(left)  # left-join: every left row survives
+    got = {r.lid: r.r_rid for r in got_rows}
+    want = _brute_asof(left, right, nearest)
+    # compare by matched ordinal value, not row id: equal (key, ordinal)
+    # right rows are interchangeable for the join result's visible columns
+    def ord_of(rows, i):
+        return None if i is None else rows[i][1]
+
+    for li in want:
+        assert ord_of(right, got.get(li)) == ord_of(right, want[li]), (
+            nearest,
+            left,
+            right,
+            li,
+        )
