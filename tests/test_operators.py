@@ -726,3 +726,36 @@ def test_auto_skew_join_decision_and_equality(spark):
     plain_plan = auto_skew_join(uniform, dim, on="k")._jdf.queryExecution().toString()
     assert "explode" in salted_plan.lower()
     assert "explode" not in plain_plan.lower()
+
+
+def test_repeated_spans_hand_corpus(spark):
+    """Substring-level dedup signal: only the docs sharing an 8-token span
+    are marked, and the marked fraction counts span occurrences."""
+    from pyspark.sql import functions as F
+
+    from yanwenxian_week3_data_pipeline_spark.functions.textstats import tokens_expr
+    from yanwenxian_week3_data_pipeline_spark.plans.llm_ops import _word_grams
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    rows = [
+        (1, f"{shared} tail a"),       # 3 spans, first is the shared one
+        (2, f"head {shared}"),         # 2 spans, last is the shared one
+        (3, "totally different words with no overlap at all here now"),  # 10 tokens
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, c string")
+    spans = d.select(
+        "doc_id", F.explode(_word_grams(tokens_expr(F.col("c")), 8, as_hash=True)).alias("gh")
+    )
+    cross = (
+        spans.groupBy("gh").agg(F.countDistinct("doc_id").alias("nd")).where("nd >= 2")
+    )
+    per_doc = (
+        spans.join(cross, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("nd").isNotNull(), 1).otherwise(0)).alias("n_rep"),
+        )
+    )
+    got = {r.doc_id: (r.n_spans, r.n_rep) for r in per_doc.collect()}
+    assert got == {1: (3, 1), 2: (2, 1), 3: (3, 0)}

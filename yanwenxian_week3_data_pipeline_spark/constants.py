@@ -169,6 +169,12 @@ DECON_BENCH_MIN_BUCKET = 900
 NGRAM_TOPK_N = 2
 NGRAM_TOPK_K = 50
 
+# substring-level dedup: fixed-length token spans tested for cross-document
+# repetition (the scalable span-grain stand-in for suffix-array substring
+# dedup), and the per-doc report size
+REPEATED_SPAN_N = 8
+REPEATED_SPAN_TOPK = 20
+
 # mixture sampling: doc_id-hash buckets and the seed namespacing them
 MIX_BUCKETS = 10_000
 MIX_HASH_SEED = 11

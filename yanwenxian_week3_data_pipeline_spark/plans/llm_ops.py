@@ -962,6 +962,8 @@ from ..constants import (  # noqa: E402
     DECON_TRAIN_MAX_BUCKET,
     NGRAM_TOPK_K,
     NGRAM_TOPK_N,
+    REPEATED_SPAN_N,
+    REPEATED_SPAN_TOPK,
 )
 from ..functions.hashing import hash60_expr  # noqa: E402
 from ..functions.textstats import tokens_expr  # noqa: E402
@@ -1053,6 +1055,62 @@ g AS (SELECT doc_id, unnest({_grams_sql(NGRAM_TOPK_N, hashed=False)}) AS gram FR
 SELECT gram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
 FROM g GROUP BY gram
 ORDER BY n_occurrences DESC, gram ASC LIMIT {NGRAM_TOPK_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_repeated_spans — substring-level dedup signal (the span-grain,
+# shuffle-friendly stand-in for suffix-array substring dedup à la
+# "Deduplicating Training Data Makes Language Models Better"): every
+# REPEATED_SPAN_N-token span is hashed; a span hash seen in ≥2 distinct
+# docs marks all its occurrences as cross-document repeats, and each doc
+# reports the fraction of its spans so marked — the drop/trim signal.
+# Scale shape: the exploded span stream is linear in corpus tokens (never
+# pairwise), the cross-doc test is one hash-partitioned groupBy, and the
+# mark-back is an equi-join on the span hash; per-doc rollup shuffles on
+# doc_id. No stage is quadratic in docs or spans.
+# ---------------------------------------------------------------------------
+
+
+def _q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _cleaned_docs(spark, sf_dir).select("doc_id", "c")
+    grams = _word_grams(tokens_expr(F.col("c")), REPEATED_SPAN_N, as_hash=True)
+    spans = d.select("doc_id", F.explode(grams).alias("gh"))
+    cross = (
+        spans.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+        .withColumn("is_rep", F.lit(1))
+    )
+    per_doc = (
+        spans.join(cross, "gh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.coalesce(F.sum("is_rep"), F.lit(0)).cast("long").alias("n_repeated"),
+        )
+        .withColumn(
+            "repeated_frac",
+            F.round(F.col("n_repeated").cast("double") / F.col("n_spans"), 6),
+        )
+    )
+    return per_doc.orderBy(
+        F.desc("repeated_frac"), F.asc("doc_id")
+    ).limit(REPEATED_SPAN_TOPK)
+
+
+_SQL_REPEATED_SPANS = f"""
+WITH d AS ({_CLEANED}),
+t AS (SELECT doc_id, {tokens_sql('c')} AS toks FROM d),
+g AS (SELECT doc_id, unnest({_grams_sql(REPEATED_SPAN_N, hashed=True)}) AS gh FROM t),
+x AS (SELECT gh, 1 AS is_rep FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2)
+SELECT g.doc_id, count(*) AS n_spans,
+  CAST(coalesce(sum(x.is_rep), 0) AS BIGINT) AS n_repeated,
+  round(CAST(coalesce(sum(x.is_rep), 0) AS DOUBLE) / count(*), 6) AS repeated_frac
+FROM g LEFT JOIN x ON g.gh = x.gh
+GROUP BY g.doc_id
+ORDER BY repeated_frac DESC, g.doc_id ASC LIMIT {REPEATED_SPAN_TOPK}
 """
 
 
@@ -1203,6 +1261,7 @@ QUERIES = [
     QuerySpec("text_simhash", _q_simhash, _SQL_SIMHASH),
     QuerySpec("dedup_simhash_pairs", _q_dedup_simhash, _SQL_DEDUP_SIMHASH),
     QuerySpec("dedup_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    QuerySpec("dedup_repeated_spans", _q_repeated_spans, _SQL_REPEATED_SPANS),
     QuerySpec("sim_cosine_topk", _q_cosine_topk, _SQL_COSINE_TOPK, headline=True),
     QuerySpec("sim_cosine_topk_ivf", _q_cosine_topk_ivf, _SQL_COSINE_TOPK_IVF),
     QuerySpec("dedup_embedding_cosine", _q_emb_cosine_pairs, _SQL_EMB_COSINE_PAIRS),
