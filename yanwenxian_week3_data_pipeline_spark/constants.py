@@ -180,3 +180,31 @@ MIX_BUCKETS = 10_000
 MIX_HASH_SEED = 11
 # sequence packing: per-bin token budget
 PACK_TOKEN_BUDGET = 256
+
+
+# ---------------------------------------------------------------------------
+# Curation extensions (round 2): winnowing, corpus histograms, Bloom filter
+# ---------------------------------------------------------------------------
+
+# Winnowing (Schleimer et al. 2003, MOSS): token k-grams hashed, then the
+# minimum hash of every w-window of consecutive gram hashes is selected as a
+# fingerprint. Guarantees any shared run of >= k + w - 1 tokens yields at
+# least one shared fingerprint, at ~1/w the storage of full gram sets.
+WINNOW_GRAM_K = 4
+WINNOW_WINDOW = 5
+# seed namespacing winnowing hashes away from MinHash/decontamination hashes
+WINNOW_HASH_SEED = 91
+# report only pairs sharing at least this many winnowed fingerprints
+WINNOW_MIN_SHARED = 2
+
+# corpus length-distribution histogram: fixed-width char buckets (portable
+# arithmetic bucketing; the top bucket is open-ended)
+HIST_BUCKET_WIDTH = 50
+HIST_NUM_BUCKETS = 12
+
+# broadcast Bloom filter for decontamination pre-filtering: m bits as
+# m/64-long bitset words, k probe positions sliced directly from the 60-bit
+# gram hash (3 disjoint 16-bit slices -> m = 2^16)
+BLOOM_BITS = 65536
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_PROBES = 3

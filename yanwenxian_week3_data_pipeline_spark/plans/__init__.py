@@ -65,10 +65,26 @@ def _canonical_build(
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from . import analytic_ext, llm_ops, reference_surface, relational, tpch_depth, tpch_shapes
+    from . import (
+        analytic_ext,
+        curation_ext,
+        llm_ops,
+        reference_surface,
+        relational,
+        tpch_depth,
+        tpch_shapes,
+    )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (reference_surface, relational, tpch_shapes, tpch_depth, analytic_ext, llm_ops):
+    for mod in (
+        reference_surface,
+        relational,
+        tpch_shapes,
+        tpch_depth,
+        analytic_ext,
+        llm_ops,
+        curation_ext,
+    ):
         for spec in mod.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name {spec.name}")

@@ -1,0 +1,402 @@
+"""Round-2 curation extensions (EXT surface; no reference counterpart —
+the reference is a single-table pandas cleaner, cleaner.py:1-5):
+
+- ``emb_label_centroids`` — per-label elementwise vector centroid. The
+  vector-aggregation primitive behind IVF training, cluster profiling and
+  centroid-based dedup. Float sums are order-dependent under parallel
+  reduction, so each element is cast to DECIMAL before summing: decimal
+  addition is exact and associative, making the centroid bit-identical
+  across engines and across partitionings — the same trick the relational
+  queries use for money columns.
+- ``text_winnowing_overlap`` — winnowing fingerprints (Schleimer et al.
+  2003, the MOSS algorithm): hash token k-grams, keep the min hash of each
+  w-window of consecutive gram hashes. Any shared token run of length
+  >= k + w - 1 is guaranteed to surface at least one shared fingerprint at
+  ~1/w the storage of the full gram set. Pairs are found by the same
+  bucket-guarded fingerprint equi-join shape as the MinHash band join.
+- ``docs_length_histogram`` — per-language fixed-width length histogram
+  (portable arithmetic bucketing), the corpus-profiling report run before
+  choosing filter thresholds.
+- ``docs_bloom_decontaminate`` — broadcast Bloom-filter pre-filter for
+  benchmark decontamination, built entirely from relational expressions:
+  the bench-side n-gram hashes are folded into a 2^16-bit bitset
+  (``bit_or`` of shifted bits, grouped by word index), broadcast as ONE
+  array<long> row, and probed per train-side gram with 3 positions sliced
+  from the 60-bit hash. At 100 TB the exact bench join touches every
+  train gram; the bloom probe is a map-side filter that drops the
+  overwhelming majority of grams before any shuffle. The query emits both
+  bloom and exact hit counts plus a per-doc superset check (bloom must
+  never miss an exact hit — the defining Bloom property), so the oracle
+  verifies the filter, not just the counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from ..constants import (
+    BLOOM_PROBES,
+    BLOOM_WORDS,
+    DECON_BENCH_MIN_BUCKET,
+    DECON_NGRAM,
+    DECON_TRAIN_MAX_BUCKET,
+    DEDUP_MAX_BUCKET,
+    HIST_BUCKET_WIDTH,
+    HIST_NUM_BUCKETS,
+    WINNOW_GRAM_K,
+    WINNOW_HASH_SEED,
+    WINNOW_MIN_SHARED,
+    WINNOW_WINDOW,
+)
+from ..functions.hashing import hash60_expr, hash60_sql
+from ..functions.text import clean_text_expr
+from ..functions.textstats import tokens_expr, tokens_sql
+from . import QuerySpec
+from .documents_domain import CLEAN_SQL
+
+_CLEANED = f"SELECT doc_id, {CLEAN_SQL} AS c FROM documents"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# emb_label_centroids
+# ---------------------------------------------------------------------------
+
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise mean vector per label: posexplode -> exact decimal sums
+    per (label, dim) -> reassemble ordered by dim. One shuffle on
+    (label, pos) with map-side partial sums; the reassembly groupBy(label)
+    moves only n_labels × dim rows. Scale shape: never materializes an
+    all-vectors-per-label list — the explode keeps state per (label, dim)
+    cell, so a 4096-dim embedding over billions of rows aggregates into
+    n_labels × 4096 cells regardless of corpus size."""
+    e = _emb(spark, sf_dir)
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    sums = ex.groupBy("label", "pos").agg(
+        F.sum(F.col("v").cast("double").cast("decimal(25,10)")).alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = sums.select(
+        "label",
+        "pos",
+        "n",
+        F.round(F.col("sd").cast("double") / F.col("n"), 6).alias("cv"),
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("_ps"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.transform("_ps", lambda x: x["cv"]).alias("centroid"),
+        )
+    )
+
+
+_SQL_LABEL_CENTROIDS = """
+WITH ex AS (
+  SELECT label,
+         unnest(range(len(embedding))) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings),
+s AS (
+  SELECT label, pos,
+         sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(25,10))) AS sd,
+         count(*) AS n
+  FROM ex GROUP BY label, pos),
+c AS (SELECT label, pos, n, round(CAST(sd AS DOUBLE) / n, 6) AS cv FROM s)
+SELECT label, max(n) AS n_vecs, list(cv ORDER BY pos) AS centroid
+FROM c GROUP BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_winnowing_overlap
+# ---------------------------------------------------------------------------
+
+def _winnow_fps_expr(text: F.Column) -> F.Column:
+    """Winnowed fingerprint set of a raw text column. Both the token array
+    and the gram-hash array are LET-BOUND via ``transform(array(x), λ)[0]``
+    (see operators/dedup.py shingles_from_text_expr): the window-min step
+    references the gram array w times per position, and an inlined gram
+    builder would be re-hashed per reference."""
+
+    def grams(t: F.Column) -> F.Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (WINNOW_GRAM_K - 1))
+        g = F.transform(
+            idx,
+            lambda i: hash60_expr(
+                F.concat_ws(" ", F.slice(t, i, WINNOW_GRAM_K)), seed=WINNOW_HASH_SEED
+            ),
+        )
+        return F.when(F.size(t) >= WINNOW_GRAM_K, g).otherwise(
+            F.array().cast("array<long>")
+        )
+
+    def winnow(g: F.Column) -> F.Column:
+        wins = F.sequence(F.lit(1), F.size(g) - (WINNOW_WINDOW - 1))
+        fps = F.array_distinct(
+            F.transform(wins, lambda j: F.array_min(F.slice(g, j, WINNOW_WINDOW)))
+        )
+        return F.when(F.size(g) >= WINNOW_WINDOW, fps).otherwise(
+            F.array().cast("array<long>")
+        )
+
+    toks = tokens_expr(clean_text_expr(text))
+    return F.transform(
+        F.array(toks), lambda t: F.transform(F.array(grams(t)), winnow)[0]
+    )[0]
+
+
+def _q_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= WINNOW_MIN_SHARED winnowed fingerprints.
+    Plan shape = the LSH band join: explode (doc, fp), drop mega-buckets
+    (a fingerprint shared by more than DEDUP_MAX_BUCKET docs is boilerplate,
+    and its self-join would be quadratic), equi-join on fp, count per pair.
+    The only data-sized shuffle is on the fingerprint key."""
+    d = _docs(spark, sf_dir)
+    e = d.select(
+        "doc_id", F.explode(_winnow_fps_expr(F.col("text"))).alias("fp")
+    )
+    ok = e.groupBy("fp").count().where(F.col("count") <= DEDUP_MAX_BUCKET).drop("count")
+    e = e.join(ok, "fp", "left_semi")
+    pairs = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return pairs
+
+
+_WINNOW_GRAM = hash60_sql(
+    f"array_to_string(toks[i:i+{WINNOW_GRAM_K - 1}], ' ')", seed=WINNOW_HASH_SEED
+)
+
+_SQL_WINNOWING_OVERLAP = f"""
+WITH d AS ({_CLEANED}),
+t AS (SELECT doc_id, {tokens_sql('c')} AS toks FROM d),
+g AS (SELECT doc_id,
+        CASE WHEN len(toks) >= {WINNOW_GRAM_K}
+             THEN list_transform(range(1, len(toks) - {WINNOW_GRAM_K - 1} + 1),
+                                 i -> {_WINNOW_GRAM})
+             ELSE CAST([] AS BIGINT[]) END AS gh
+      FROM t),
+f AS (SELECT doc_id,
+        CASE WHEN len(gh) >= {WINNOW_WINDOW}
+             THEN list_distinct(list_transform(
+                    range(1, len(gh) - {WINNOW_WINDOW - 1} + 1),
+                    j -> list_aggregate(gh[j:j+{WINNOW_WINDOW - 1}], 'min')))
+             ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM g),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+ok AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= {DEDUP_MAX_BUCKET}),
+eo AS (SELECT e.doc_id, e.fp FROM e JOIN ok USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM eo a JOIN eo b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_length_histogram
+# ---------------------------------------------------------------------------
+
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language char-length histogram with fixed-width buckets (top
+    bucket open-ended) and the within-language share. One shuffle on the
+    low-cardinality (lang, bucket) key; the share window repartitions only
+    the tiny histogram table."""
+    d = _docs(spark, sf_dir)
+    bucket = F.least(
+        F.floor(F.col("n_chars") / HIST_BUCKET_WIDTH),
+        F.lit(HIST_NUM_BUCKETS - 1),
+    ).cast("int")
+    h = d.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    share = F.round(
+        F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy("lang")), 6
+    )
+    return h.select(
+        "lang",
+        "bucket",
+        (F.col("bucket") * HIST_BUCKET_WIDTH).alias("bucket_lo"),
+        "n_docs",
+        share.alias("lang_share"),
+    )
+
+
+_SQL_LENGTH_HISTOGRAM = f"""
+WITH h AS (
+  SELECT lang,
+         CAST(least(floor(n_chars / {HIST_BUCKET_WIDTH}), {HIST_NUM_BUCKETS - 1}) AS INT) AS bucket,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1, 2)
+SELECT lang, bucket, bucket * {HIST_BUCKET_WIDTH} AS bucket_lo,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       round(n_docs / sum(n_docs) OVER (PARTITION BY lang), 6) AS lang_share
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_bloom_decontaminate
+# ---------------------------------------------------------------------------
+
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered decontamination over the same train/bench hash
+    split as docs_decontaminate (plans/llm_ops.py): bench gram hashes fold
+    into a broadcast 2^16-bit bitset; every train gram is probed at
+    BLOOM_PROBES positions sliced from its own 60-bit hash (no extra
+    hashing). Emits per-train-doc gram counts, bloom hits, exact hits and
+    the superset invariant (bloom never misses an exact hit)."""
+    from .llm_ops import _word_grams
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", clean_text_expr(F.col("text")).alias("c")
+    )
+    grams = F.array_distinct(
+        _word_grams(tokens_expr(F.col("c")), DECON_NGRAM, as_hash=True)
+    )
+    bucket = hash60_expr(F.col("doc_id").cast("string")) % 1000
+    g = d.select("doc_id", bucket.alias("bkt"), F.explode(grams).alias("gh"))
+
+    bench_gh = (
+        g.where(F.col("bkt") >= DECON_BENCH_MIN_BUCKET).select("gh").distinct()
+    )
+    # bitset build: 3 probe positions per gram -> (word, bit) -> bit_or per
+    # word -> ONE row holding the array<long> bitset
+    pos = F.explode(
+        F.array(
+            *[
+                F.shiftright(F.col("gh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(BLOOM_PROBES)
+            ]
+        )
+    ).alias("pos")
+    words = (
+        bench_gh.select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 6).alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    bitset = (
+        words.agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("m")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("long")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("bs")
+        )
+    )
+
+    train = g.where(F.col("bkt") < DECON_TRAIN_MAX_BUCKET).select("doc_id", "gh")
+    probed = train.crossJoin(F.broadcast(bitset))
+    for i in range(BLOOM_PROBES):
+        probed = probed.withColumn(
+            f"p{i}", F.shiftright(F.col("gh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+        )
+    hit = F.lit(True)
+    for i in range(BLOOM_PROBES):
+        hit = hit & F.expr(
+            f"(element_at(bs, CAST(p{i} DIV 64 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 64 AS INT))) != 0"
+        )
+    probed = probed.withColumn("bloom_hit", hit).join(
+        bench_gh.withColumn("exact_hit", F.lit(True)), "gh", "left"
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+        F.sum(F.coalesce(F.col("exact_hit"), F.lit(False)).cast("long")).alias(
+            "n_exact_hits"
+        ),
+        F.bool_and(
+            F.col("bloom_hit") | ~F.coalesce(F.col("exact_hit"), F.lit(False))
+        ).alias("bloom_superset_ok"),
+    )
+
+
+def _bloom_grams_sql(n: int) -> str:
+    from .llm_ops import _grams_sql
+
+    return _grams_sql(n, hashed=True)
+
+
+def _bit_sql(b: str) -> str:
+    """BIGINT with bit ``b`` set, DuckDB-side. DuckDB raises on
+    ``1::BIGINT << 63`` (checked overflow) where Spark's shiftleft wraps to
+    the sign bit, so bit 63 is spelled as MIN_BIGINT."""
+    return (
+        f"(CASE WHEN ({b}) = 63 THEN (-9223372036854775807 - 1) "
+        f"ELSE (1::BIGINT << CAST({b} AS INT)) END)"
+    )
+
+
+def _bloom_probe_sql(i: int) -> str:
+    p = f"((tr.gh >> {16 * i}) & 65535)"
+    return f"((bs[CAST({p} // 64 AS BIGINT) + 1] & {_bit_sql(f'{p} % 64')}) != 0)"
+
+
+def _sql_bloom_decontaminate() -> str:
+    probes = " AND ".join(_bloom_probe_sql(i) for i in range(BLOOM_PROBES))
+    pos_list = ", ".join(f"(gh >> {16 * i}) & 65535" for i in range(BLOOM_PROBES))
+    return f"""
+WITH d AS ({_CLEANED}),
+t AS (SELECT doc_id, {tokens_sql('c')} AS toks FROM d),
+g AS (SELECT doc_id, ({hash60_sql('CAST(doc_id AS VARCHAR)')} % 1000) AS bkt,
+        unnest(list_distinct({_bloom_grams_sql(DECON_NGRAM)})) AS gh
+      FROM t),
+bench AS (SELECT DISTINCT gh FROM g WHERE bkt >= {DECON_BENCH_MIN_BUCKET}),
+pw AS (SELECT pos // 64 AS w, bit_or({_bit_sql('pos % 64')}) AS word
+       FROM (SELECT unnest([{pos_list}]) AS pos FROM bench) GROUP BY 1),
+bsr AS (SELECT list(coalesce(pw.word, 0) ORDER BY r.i) AS bs
+        FROM range(0, {BLOOM_WORDS}) r(i) LEFT JOIN pw ON pw.w = r.i),
+train AS (SELECT doc_id, gh FROM g WHERE bkt < {DECON_TRAIN_MAX_BUCKET}),
+probed AS (
+  SELECT tr.doc_id, tr.gh, ({probes}) AS bloom_hit,
+         (be.gh IS NOT NULL) AS exact_hit
+  FROM train tr CROSS JOIN bsr LEFT JOIN bench be ON be.gh = tr.gh)
+SELECT doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+       bool_and(bloom_hit OR NOT exact_hit) AS bloom_superset_ok
+FROM probed GROUP BY doc_id
+"""
+
+
+QUERIES = [
+    QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
+    QuerySpec("text_winnowing_overlap", _q_winnowing_overlap, _SQL_WINNOWING_OVERLAP),
+    QuerySpec("docs_length_histogram", _q_length_histogram, _SQL_LENGTH_HISTOGRAM),
+    QuerySpec(
+        "docs_bloom_decontaminate", _q_bloom_decontaminate, _sql_bloom_decontaminate()
+    ),
+]

@@ -1242,14 +1242,35 @@ def _q_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of the k-means IVF against brute-force ground truth (the
-    trained-centroid counterpart of sim_ivf_recall). Honest note: on the
-    driver's near-random embeddings (no cluster structure; max pairwise
-    cosine ~0.5) trained centroids measure 0.4-0.7 recall vs the seeded
-    heuristic's 0.7-1.0 — IVF only pays off when the data actually
-    clusters, which is precisely what this per-query gate surfaces before
-    anyone trades exactness for pruning at 100 TB."""
-    return _recall_vs_exact(spark, sf_dir, _q_cosine_topk_ivf_kmeans(spark, sf_dir))
+    """recall@k consistency gate for the k-means IVF against brute-force
+    ground truth (the trained-centroid counterpart of sim_ivf_recall).
+    Honest note: on the driver's near-random embeddings (no cluster
+    structure; max pairwise cosine ~0.5) trained centroids measure 0.4-0.7
+    recall vs the seeded heuristic's 0.7-1.0 — IVF only pays off when the
+    data actually clusters, which is precisely what this per-query gate
+    surfaces before anyone trades exactness for pruning at 100 TB.
+
+    Oracle strategy (same pattern as agg_approx_count_distinct): the recall
+    VALUE depends on pyspark.ml k-means training and is not
+    SQL-expressible, so the checked output is the exact part plus
+    consistency invariants — one row per probe query, the exact ground-truth
+    size (always SIM_K), and ``sane`` = hits within [0, n_exact] and the
+    reported recall arithmetically consistent with the hit count. The raw
+    per-query recall values remain visible via the rows-only
+    sim_cosine_topk_ivf_kmeans."""
+    r = _recall_vs_exact(spark, sf_dir, _q_cosine_topk_ivf_kmeans(spark, sf_dir))
+    sane = (
+        (F.col("n_hit") >= 0)
+        & (F.col("n_hit") <= F.col("n_exact"))
+        & (F.col("recall_at_k") == F.round(F.col("n_hit") / F.lit(SIM_K), 6))
+    )
+    return r.select("query_id", "n_exact", sane.alias("sane"))
+
+
+_SQL_IVF_KMEANS_RECALL = f"""
+SELECT CAST(unnest({SIM_QUERY_IDS}) AS BIGINT) AS query_id,
+       CAST({SIM_K} AS BIGINT) AS n_exact, true AS sane
+"""
 
 
 QUERIES = [
@@ -1286,7 +1307,7 @@ QUERIES = [
     QuerySpec("sim_ivf_recall", _q_ivf_recall, _SQL_IVF_RECALL),
     QuerySpec("dedup_lsh_recall", _q_lsh_recall, _SQL_LSH_RECALL),
     QuerySpec("sim_cosine_topk_ivf_kmeans", _q_cosine_topk_ivf_kmeans, None),
-    QuerySpec("sim_ivf_kmeans_recall", _q_ivf_kmeans_recall, None),
+    QuerySpec("sim_ivf_kmeans_recall", _q_ivf_kmeans_recall, _SQL_IVF_KMEANS_RECALL),
 ]
 
 
