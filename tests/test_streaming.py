@@ -448,3 +448,50 @@ def test_embedding_candidates_stream_matches_batch(spark, sf_dir, tmp_path):
     copy_pairs = {(r.vec_id, r.vec_id + EMB_COPY_OFFSET) for r in e.collect()}
     assert copy_pairs <= stream_pairs
     assert len(stream_pairs) >= len(copy_pairs)
+
+
+def test_stream_stream_join_matches_batch(spark, stream_src):
+    """Stream-stream interval join: the drained attribution pairs equal the
+    batch interval join over the same feed (inner-join matches emit as both
+    sides arrive; the watermark only bounds buffered state)."""
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        stream_stream_purchase_attribution,
+    )
+
+    got = run_available_now(
+        stream_stream_purchase_attribution(spark, stream_src), "ssjoin_t"
+    )
+    feed = spark.read.json(
+        stream_src,
+        schema="event_id long, ts timestamp, user_id long, event_type string, value double",
+        timestampFormat="yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    )
+    v = feed.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = feed.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            F.col("v_user").alias("user_id"),
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("delay_s"),
+        )
+    )
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert len(want_rows) > 0
+    assert got_rows == want_rows

@@ -836,6 +836,128 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# events_gapfill_hourly — time-series resampling: the complete hourly spine
+# from min(ts) to max(ts) left-joined with the observed hourly aggregates,
+# zero-filling silent hours and flagging them. The resample step every
+# monitoring/feature pipeline needs before windowed math (a rolling mean
+# over only-observed hours is wrong when hours are missing). Scale shape:
+# the spine is hours-sized (tiny regardless of event volume; 100 TB of
+# events over a year is still ~8.8k spine rows), so the left join broadcasts
+# the spine side against the already-aggregated hourly table.
+# ---------------------------------------------------------------------------
+
+def _q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    e = load_events(spark, sf_dir)
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    return spine.join(hourly, "h", "left").select(
+        F.col("h").alias("window_start"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(F.col("sum_value"), F.lit(0).cast(DEC)).alias("sum_value"),
+        F.col("n_events").isNull().alias("was_gap"),
+    )
+
+
+_SQL_GAPFILL_HOURLY = """
+WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+           FROM events),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n_events,
+                  sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+           FROM events GROUP BY 1)
+SELECT s.h AS window_start,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       coalesce(sum_value, 0) AS sum_value,
+       (hourly.h IS NULL) AS was_gap
+FROM spine s LEFT JOIN hourly ON hourly.h = s.h
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_hourly_anomaly — trailing-window anomaly scores over the gap-filled
+# hourly series: z-score of each hour's event count against the preceding
+# 24 observed-spine hours. Mean/variance are derived from EXACT integer
+# window sums (sum and sum-of-squares of counts), so the doubles on both
+# engines come from identical integer inputs through the identical
+# expression tree — bit-identical without rounding slack (the module-doc
+# determinism rule for moments). The global orderBy window runs over the
+# spine (hours), not the events, so one partition holds at most
+# hours-per-epoch rows at any corpus size.
+# ---------------------------------------------------------------------------
+
+def _q_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filled = _q_gapfill_hourly(spark, sf_dir).select(
+        "window_start", "n_events"
+    )
+    w = Window.orderBy("window_start").rowsBetween(-24, -1)
+    cnt = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    mean = s1.cast("double") / cnt
+    var = (s2.cast("double") - s1.cast("double") * s1.cast("double") / cnt) / (
+        cnt - 1
+    )
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    out = (
+        filled.select(
+            "window_start",
+            "n_events",
+            cnt.alias("n_trailing"),
+            mean.alias("_mean"),
+            var.alias("_var"),
+            z.alias("_z"),
+        )
+        .where(F.col("n_trailing") == 24)
+        .select(
+            "window_start",
+            "n_events",
+            F.round("_mean", 6).alias("trailing_mean"),
+            F.when(F.col("_var") > 0, F.round("_z", 6)).alias("z_score"),
+            F.when(F.col("_var") > 0, F.abs(F.col("_z")) > 3)
+            .otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+    )
+    return out
+
+
+_SQL_HOURLY_ANOMALY = f"""
+WITH filled AS ({_SQL_GAPFILL_HOURLY}),
+t AS (
+  SELECT window_start, n_events,
+         count(*) OVER w AS n_trailing,
+         sum(n_events) OVER w AS s1,
+         sum(n_events * n_events) OVER w AS s2
+  FROM filled
+  WINDOW w AS (ORDER BY window_start ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT window_start, n_events, n_trailing,
+         CAST(s1 AS DOUBLE) / n_trailing AS m,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_trailing)
+           / (n_trailing - 1) AS v
+  FROM t WHERE n_trailing = 24)
+SELECT window_start, n_events,
+       round(m, 6) AS trailing_mean,
+       CASE WHEN v > 0 THEN round((n_events - m) / sqrt(v), 6) END AS z_score,
+       CASE WHEN v > 0 THEN abs((n_events - m) / sqrt(v)) > 3 ELSE false END AS is_anomaly
+FROM z
+"""
+
+
 QUERIES = [
     QuerySpec("groupby_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS),
     QuerySpec("agg_percentiles", _q_percentiles, _SQL_PERCENTILES),
@@ -857,4 +979,6 @@ QUERIES = [
     QuerySpec("agg_kll_quantile_merge", _q_kll_merge, _SQL_KLL_MERGE),
     QuerySpec("events_retention_cohorts", _q_retention, _SQL_RETENTION),
     QuerySpec("events_funnel_conversion", _q_conversion, _SQL_CONVERSION),
+    QuerySpec("events_gapfill_hourly", _q_gapfill_hourly, _SQL_GAPFILL_HOURLY),
+    QuerySpec("events_hourly_anomaly", _q_hourly_anomaly, _SQL_HOURLY_ANOMALY),
 ]

@@ -244,6 +244,54 @@ def enrich_stream(
     )
 
 
+def stream_stream_purchase_attribution(
+    spark: SparkSession,
+    src_dir: str,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition: each
+    purchase joins the views by the same user in the preceding
+    ``attribution_window`` (the streaming form of
+    join_range_views_before_purchase). Both sides carry watermarks and the
+    join condition bounds purchase time relative to view time, so Spark can
+    compute how long either side's rows must be buffered and evict state
+    once the watermark passes — without the time bound the join state would
+    grow forever. Emits (view_id, purchase_id, user_id, delay_s)."""
+    views = (
+        read_event_stream(spark, src_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        read_event_stream(spark, src_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    j = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {attribution_window}")),
+    )
+    return j.select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("delay_s"),
+    )
+
+
 def write_stream_idempotent(
     df: DataFrame,
     path: str,
