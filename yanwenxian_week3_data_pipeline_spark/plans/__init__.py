@@ -68,6 +68,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (
         analytic_ext,
         curation_ext,
+        lakehouse_ext,
         llm_ops,
         reference_surface,
         relational,
@@ -84,6 +85,7 @@ def all_queries() -> dict[str, QuerySpec]:
         analytic_ext,
         llm_ops,
         curation_ext,
+        lakehouse_ext,
     ):
         for spec in mod.QUERIES:
             if spec.name in specs:

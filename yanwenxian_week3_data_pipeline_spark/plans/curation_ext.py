@@ -392,6 +392,64 @@ FROM probed GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# join_fuzzy_part_names — q-gram-blocked fuzzy self-join (entity
+# resolution): candidate name pairs must share at least one character
+# 3-gram (strings within edit distance k share a 3-gram whenever
+# max_len - 3 + 1 - 3k > 0 — true for these name lengths at k=3, so
+# blocking loses no true pair), then exact Levenshtein verifies. The same
+# block-then-verify shape as the LSH joins: the only data-sized shuffle is
+# on the gram key, never name × name.
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DISTANCE = 3
+
+
+def _q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        spark.read.parquet(f"{sf_dir}/part.parquet").select("p_name").distinct()
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("p_name") - 2),
+            lambda i: F.substr(F.col("p_name"), i, F.lit(3)),
+        )
+    )
+    e = names.select("p_name", F.explode(grams).alias("g"))
+    ok = e.groupBy("g").count().where(F.col("count") <= DEDUP_MAX_BUCKET).drop("count")
+    e = e.join(ok, "g", "left_semi")
+    cand = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"), F.col("b.p_name").alias("name_b")
+        )
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("lev"),
+    ).where(F.col("lev") <= FUZZY_MAX_DISTANCE)
+
+
+_SQL_FUZZY_PART_NAMES = f"""
+WITH n AS (SELECT DISTINCT p_name FROM part),
+e AS (SELECT DISTINCT p_name, unnest(list_transform(range(1, greatest(len(p_name) - 2, 0) + 1),
+                                     i -> substr(p_name, CAST(i AS INT), 3))) AS g
+      FROM n),
+ok AS (SELECT g FROM e GROUP BY g HAVING count(*) <= {DEDUP_MAX_BUCKET}),
+eo AS (SELECT e.p_name, e.g FROM e JOIN ok USING (g)),
+cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+         FROM eo a JOIN eo b ON a.g = b.g AND a.p_name < b.p_name)
+SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS lev
+FROM cand WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DISTANCE}
+"""
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
     QuerySpec("text_winnowing_overlap", _q_winnowing_overlap, _SQL_WINNOWING_OVERLAP),
@@ -399,4 +457,5 @@ QUERIES = [
     QuerySpec(
         "docs_bloom_decontaminate", _q_bloom_decontaminate, _sql_bloom_decontaminate()
     ),
+    QuerySpec("join_fuzzy_part_names", _q_fuzzy_part_names, _SQL_FUZZY_PART_NAMES),
 ]
