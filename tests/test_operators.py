@@ -759,3 +759,30 @@ def test_repeated_spans_hand_corpus(spark):
     )
     got = {r.doc_id: (r.n_spans, r.n_rep) for r in per_doc.collect()}
     assert got == {1: (3, 1), 2: (2, 1), 3: (3, 0)}
+
+
+def test_orc_roundtrip_full_fidelity(spark, sf_dir, tmp_path):
+    """ORC round-trips the documents table with schema and values intact
+    (the columnar interchange path next to parquet)."""
+    from yanwenxian_week3_data_pipeline_spark.sinks.columnar import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "docs_orc")
+    write_orc(docs, p)
+    back = read_orc(spark, p)
+    assert back.schema == docs.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_csv_roundtrip_schema_on_read(spark, sf_dir, tmp_path):
+    """CSV round-trips the documents table under an explicit read schema
+    (no inference pass); quoting protects embedded delimiters."""
+    from yanwenxian_week3_data_pipeline_spark.sinks.columnar import read_csv, write_csv
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "docs_csv")
+    write_csv(docs, p)
+    back = read_csv(
+        spark, p, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).select(*docs.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))

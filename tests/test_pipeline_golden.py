@@ -209,3 +209,22 @@ def test_cli_main(spark, fixture_path, tmp_path_factory, capsys):
     out = capsys.readouterr().out
     assert "Validation Report" in out
     assert "Total records:  17" in out
+
+
+def test_observe_funnel_matches_aggregate(spark, fixture_path):
+    """The observe()-metrics funnel (zero extra jobs — metrics piggyback on
+    the consuming action) reports the same numbers as the aggregate pass:
+    17 loaded -> 13 complete -> 11 deduped -> 4 valid."""
+    from yanwenxian_week3_data_pipeline_spark.pipeline import (
+        attach_funnel_observation,
+        clean_articles,
+        flag_stages,
+    )
+    from yanwenxian_week3_data_pipeline_spark.sources.articles_json import load_articles
+
+    flagged = flag_stages(clean_articles(load_articles(spark, fixture_path)))
+    observed, obs = attach_funnel_observation(flagged, "funnel_test")
+    n_sink_rows = observed.where(F.col("_kept") & F.col("passed")).count()
+    got = obs.get
+    assert got == {"n_load": 17, "n_complete": 13, "n_dedup": 11, "n_valid": 4}
+    assert n_sink_rows == got["n_valid"]

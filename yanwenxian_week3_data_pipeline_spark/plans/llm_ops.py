@@ -653,6 +653,34 @@ def _q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF twin of text_chunking (one input row → n chunk rows via
+    a lateral join) — API-parity demo for the table-function surface.
+    UDTFs run row-at-a-time Python and are the SLOW path; the expression
+    formulation in text_chunking (sequence + explode + substring, pure
+    codegen) is the scale path — this twin exists to pin that the UDTF
+    surface produces byte-identical output (it shares text_chunking's
+    oracle), not to be deployed at 100 TB."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx bigint, chunk_len int, chunk_md5 string")
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
+            import hashlib
+
+            t = text or ""
+            n = 1 + (max(len(t), 1) - 1) // CHUNK_STRIDE
+            for i in range(n):
+                ch = t[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_CHARS]
+                yield doc_id, i, len(ch), hashlib.md5(ch.encode("utf-8")).hexdigest()
+
+    spark.udtf.register("chunk_doc_udtf", ChunkDoc)
+    _docs(spark, sf_dir).createOrReplaceTempView("_docs_for_chunk_udtf")
+    return spark.sql(
+        "SELECT f.* FROM _docs_for_chunk_udtf, LATERAL chunk_doc_udtf(doc_id, text) f"
+    )
+
+
 _SQL_TEXT_CHUNKS = f"""
 WITH base AS (
   SELECT doc_id, text,
@@ -1294,6 +1322,7 @@ QUERIES = [
     QuerySpec("mm_extract_features", _q_mm_features, None),
     QuerySpec("dedup_cc_clusters", _q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     QuerySpec("text_chunking", _q_text_chunks, _SQL_TEXT_CHUNKS),
+    QuerySpec("text_chunking_udtf", _q_text_chunks_udtf, _SQL_TEXT_CHUNKS),
     QuerySpec("docs_train_split", _q_train_split, _SQL_TRAIN_SPLIT),
     QuerySpec("text_pii_scrub", _q_pii_scrub, _SQL_PII_SCRUB),
     QuerySpec("text_word_repetition", _q_word_repetition, _SQL_WORD_REPETITION),

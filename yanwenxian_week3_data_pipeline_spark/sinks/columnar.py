@@ -61,6 +61,17 @@ def read_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -
     )
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC export (columnar, splittable, predicate-pushdown-capable like
+    parquet — the interchange format for Hive-era lakes). Types round-trip
+    with full fidelity, unlike CSV."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
