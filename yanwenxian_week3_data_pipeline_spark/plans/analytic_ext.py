@@ -958,6 +958,69 @@ FROM z
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_heavy_hitters_mg — two-phase Misra-Gries heavy hitters: phase 1 runs
+# the MG(k) summary INSIDE each partition via mapInPandas (no shuffle — the
+# sketch is the whole point: a bounded k-entry dict per partition instead
+# of a full groupBy of the key space); phase 2 exactly recounts only the
+# tiny candidate set and keeps keys with frequency > n/k. Soundness: a key
+# with global frequency > n/k must exceed n_p/k in at least one partition
+# (pigeonhole), and MG(k) never evicts a key whose partition frequency
+# exceeds n_p/k — so the candidate set provably contains every true heavy
+# hitter and the exact recount makes the final answer sketch-independent
+# (hence oracle-checkable even though phase 1 is approximate).
+# ---------------------------------------------------------------------------
+
+HH_K = 10
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("event_type")
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf["event_type"]:
+                if v is None:
+                    continue
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < HH_K - 1:
+                    counters[v] = 1
+                else:  # decrement-all step: evict zeros
+                    counters = {k: c - 1 for k, c in counters.items() if c > 1}
+        yield pd.DataFrame({"event_type": list(counters.keys())})
+
+    cand = ev.mapInPandas(mg_partition, "event_type string").distinct()
+    counted = (
+        ev.join(F.broadcast(cand), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .where(F.col("n_occurrences") * HH_K > F.col("_n"))
+        .select(
+            "event_type",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") / F.col("_n"), 6).alias("frequency"),
+        )
+    )
+
+
+_SQL_HEAVY_HITTERS = f"""
+WITH c AS (SELECT event_type, count(*) AS n_occurrences FROM events
+           WHERE event_type IS NOT NULL GROUP BY 1),
+t AS (SELECT count(*) AS n FROM events)
+SELECT event_type, n_occurrences,
+       round(n_occurrences / n, 6) AS frequency
+FROM c, t WHERE n_occurrences * {HH_K} > n
+"""
+
+
 QUERIES = [
     QuerySpec("groupby_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS),
     QuerySpec("agg_percentiles", _q_percentiles, _SQL_PERCENTILES),
@@ -980,5 +1043,6 @@ QUERIES = [
     QuerySpec("events_retention_cohorts", _q_retention, _SQL_RETENTION),
     QuerySpec("events_funnel_conversion", _q_conversion, _SQL_CONVERSION),
     QuerySpec("events_gapfill_hourly", _q_gapfill_hourly, _SQL_GAPFILL_HOURLY),
+    QuerySpec("agg_heavy_hitters_mg", _q_heavy_hitters, _SQL_HEAVY_HITTERS),
     QuerySpec("events_hourly_anomaly", _q_hourly_anomaly, _SQL_HOURLY_ANOMALY),
 ]

@@ -135,7 +135,83 @@ WINDOW w3 AS (PARTITION BY user_id ORDER BY valid_from)
 """
 
 
+# ---------------------------------------------------------------------------
+# dq_expectations_orders — declarative data-quality expectations evaluated
+# in one pass (the Deequ/Great-Expectations shape): completeness,
+# uniqueness, value range, accepted values, and referential integrity, each
+# reported as a [0,1] metric with passed = metric == 1. The referential
+# check folds into the same scan via a broadcast left join against the
+# distinct parent keys, so the whole suite costs ONE scan + one wide
+# aggregate — at 100 TB you never run one job per check. Generalizing the
+# reference's per-row validation (validator.py:48-96) to table-level
+# constraints.
+# ---------------------------------------------------------------------------
+
+def _q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _orders(spark, sf_dir)
+    parents = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey")
+        .distinct()
+    )
+    j = o.join(F.broadcast(parents), o.o_custkey == parents.c_custkey, "left")
+    frac = lambda cond: F.round(  # noqa: E731 - tiny local alias
+        F.sum(cond.cast("long")) / F.count(F.lit(1)), 6
+    )
+    a = j.agg(
+        frac(F.col("o_custkey").isNotNull()).alias("m_complete"),
+        F.round(F.count_distinct("o_orderkey") / F.count(F.lit(1)), 6).alias(
+            "m_unique"
+        ),
+        frac(F.col("o_totalprice") >= 0).alias("m_nonneg"),
+        frac(F.col("o_orderstatus").isin("O", "F", "P")).alias("m_accepted"),
+        frac(F.col("c_custkey").isNotNull()).alias("m_referential"),
+        frac(
+            F.col("o_orderdate").between("2020-01-01", "2030-01-01")
+        ).alias("m_daterange"),
+    )
+    stacked = a.select(
+        F.expr(
+            "stack(6,"
+            " 'completeness_custkey', m_complete,"
+            " 'uniqueness_orderkey', m_unique,"
+            " 'non_negative_totalprice', m_nonneg,"
+            " 'accepted_values_status', m_accepted,"
+            " 'referential_custkey', m_referential,"
+            " 'range_orderdate', m_daterange) AS (check_name, metric)"
+        )
+    )
+    return stacked.select(
+        "check_name", "metric", (F.col("metric") >= 1.0).alias("passed")
+    )
+
+
+_SQL_DQ_EXPECTATIONS = """
+WITH j AS (
+  SELECT o.*, (c.c_custkey IS NOT NULL) AS has_parent
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON c.c_custkey = o.o_custkey),
+m AS (
+  SELECT
+    round(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS m_complete,
+    round(count(DISTINCT o_orderkey) / count(*), 6) AS m_unique,
+    round(sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) / count(*), 6) AS m_nonneg,
+    round(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) / count(*), 6) AS m_accepted,
+    round(sum(CASE WHEN has_parent THEN 1 ELSE 0 END) / count(*), 6) AS m_referential,
+    round(sum(CASE WHEN o_orderdate BETWEEN '2020-01-01' AND '2030-01-01' THEN 1 ELSE 0 END) / count(*), 6) AS m_daterange
+  FROM j)
+SELECT check_name, metric, (metric >= 1.0) AS passed FROM (
+  SELECT 'completeness_custkey' AS check_name, m_complete AS metric FROM m
+  UNION ALL SELECT 'uniqueness_orderkey', m_unique FROM m
+  UNION ALL SELECT 'non_negative_totalprice', m_nonneg FROM m
+  UNION ALL SELECT 'accepted_values_status', m_accepted FROM m
+  UNION ALL SELECT 'referential_custkey', m_referential FROM m
+  UNION ALL SELECT 'range_orderdate', m_daterange FROM m)
+"""
+
+
 QUERIES = [
     QuerySpec("tbl_upsert_snapshot", _q_upsert_snapshot, _SQL_UPSERT_SNAPSHOT),
     QuerySpec("tbl_scd2_history", _q_scd2_history, _SQL_SCD2_HISTORY),
+    QuerySpec("dq_expectations_orders", _q_dq_expectations, _SQL_DQ_EXPECTATIONS),
 ]
