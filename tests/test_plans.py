@@ -279,3 +279,44 @@ def test_q2_correlated_min_all_broadcast(spark, sf_dir):
     assert node_count(plan, "SortMergeJoin") == 0
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_decontaminate_broadcasts_bitset_and_bench(spark, sf_dir):
+    """The Bloom bitset (one row) reaches the train side as a broadcast —
+    the probe is a map-side filter, never a shuffled join — and the exact
+    bench-gram join also broadcasts (the bench split is the small side)."""
+    plan = plan_of(spark, "docs_bloom_decontaminate", sf_dir)
+    # 1-row bitset arrives via BroadcastNestedLoopJoin (cross of one row);
+    # exact-hit join broadcasts the bench gram set
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 1
+    assert node_count(plan, "BroadcastHashJoin") >= 1
+    assert node_count(plan, "SortMergeJoin") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_single_fp_shuffle(spark, sf_dir):
+    """The winnowing pair join shuffles only on the fingerprint key: no
+    cartesian product, no name×name comparison anywhere in the plan."""
+    plan = plan_of(spark, "text_winnowing_overlap", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dq_expectations_single_scan(spark, sf_dir):
+    """The whole expectations suite costs one orders scan: the referential
+    check folds into the same pass via a broadcast parent-key join, and all
+    six metrics come from one wide aggregate."""
+    plan = plan_of(spark, "dq_expectations_orders", sf_dir)
+    assert node_count(plan, "Scan parquet") == 2  # orders once, customer once
+    assert node_count(plan, "BroadcastHashJoin") == 1
+    assert node_count(plan, "SortMergeJoin") == 0
+
+
+def test_heavy_hitters_no_keyspace_shuffle_before_sketch(spark, sf_dir):
+    """Phase 1 (Misra-Gries) runs inside partitions: the only exchanges in
+    the plan move the tiny candidate set and the final recount — the raw
+    key stream is never shuffled ungrouped."""
+    plan = plan_of(spark, "agg_heavy_hitters_mg", sf_dir)
+    assert "CartesianProduct" not in plan
+    # candidate distinct + recount aggregate; no sort-merge join anywhere
+    assert node_count(plan, "SortMergeJoin") == 0

@@ -450,6 +450,56 @@ FROM cand WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DISTANCE}
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_vocab_coverage — vocabulary-size decision report: top-K tokens by
+# corpus frequency with each token's cumulative coverage of all token
+# occurrences (the curve read before fixing a tokenizer vocab size). The
+# heavy work is the token groupBy (map-side partial, one shuffle on the
+# token); the ranking window then runs over the VOCABULARY (≪ corpus, and
+# bounded by the language), so the unpartitioned window is safe at any
+# corpus size.
+# ---------------------------------------------------------------------------
+
+VOCAB_TOPK = 30
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(tokens_expr(clean_text_expr(F.col("text")))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_occ"))
+    w_rank = Window.orderBy(F.desc("n_occ"), F.asc("tok"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    return (
+        counts.select(
+            "tok",
+            "n_occ",
+            F.row_number().over(w_rank).alias("rank"),
+            F.round(
+                F.sum("n_occ").over(w_cum) / F.sum("n_occ").over(w_all), 6
+            ).alias("cum_coverage"),
+        )
+        .where(F.col("rank") <= VOCAB_TOPK)
+    )
+
+
+_SQL_VOCAB_COVERAGE = f"""
+WITH d AS ({_CLEANED}),
+t AS (SELECT unnest({tokens_sql('c')}) AS tok FROM d),
+c AS (SELECT tok, count(*) AS n_occ FROM t GROUP BY tok),
+r AS (SELECT tok, n_occ,
+        row_number() OVER (ORDER BY n_occ DESC, tok ASC) AS rank,
+        round(sum(n_occ) OVER (ORDER BY n_occ DESC, tok ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              / sum(n_occ) OVER (), 6) AS cum_coverage
+      FROM c)
+SELECT tok, n_occ, CAST(rank AS INT) AS rank, cum_coverage
+FROM r WHERE rank <= {VOCAB_TOPK}
+"""
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
     QuerySpec("text_winnowing_overlap", _q_winnowing_overlap, _SQL_WINNOWING_OVERLAP),
@@ -458,4 +508,5 @@ QUERIES = [
         "docs_bloom_decontaminate", _q_bloom_decontaminate, _sql_bloom_decontaminate()
     ),
     QuerySpec("join_fuzzy_part_names", _q_fuzzy_part_names, _SQL_FUZZY_PART_NAMES),
+    QuerySpec("docs_vocab_coverage", _q_vocab_coverage, _SQL_VOCAB_COVERAGE),
 ]
