@@ -1,10 +1,12 @@
 """Mirror of the driver's CORRECTNESS gate: run every registered query
-side-by-side with its DuckDB oracle and compare PANDAS-NORMALIZED values —
-the same canonicalization the driver applies (Spark via ``toPandas()``,
-DuckDB via ``.df()``; columns sorted by name, rows sorted, str-level value
-hash, NA-ish values unified). This is strictly harder than a repr compare on
-python objects: dtype divergences (DECIMAL→float64, HUGEINT→float64,
-nullable-int→float64) surface here exactly as they do in the driver.
+side-by-side with its DuckDB oracle and compare canonicalized values the way
+the driver does — Spark via ``collect()`` (raw Python objects: Decimal,
+int, datetime survive untouched), DuckDB via ``.df()`` (pandas dtypes:
+DECIMAL/HUGEINT→float64, nullable-int→float64); columns sorted by name,
+rows sorted, str-level value hash, NA-ish values unified. Asymmetric on
+purpose: a Spark ``Decimal('137431.00')`` vs oracle ``137431.0`` or a Spark
+``99111`` vs oracle HUGEINT-float ``99111.0`` mismatches HERE exactly as it
+did in the r1 driver run (VERDICT.md "What's wrong" item 1).
 
 Usage: python tools/verify_all.py [sf_dir] [name_prefix ...]
   sf_dir        table directory (default /root/testdata/sf0.01 — the
@@ -53,9 +55,30 @@ def canon_cell(v) -> str:
 
 
 def canon_rows(df) -> list[str]:
+    """Dtype-PRESERVING row canon: per-column value lists, never
+    ``iterrows()`` (which upcasts every numeric in a row to the row's
+    common dtype — an int64 column next to a float column would render
+    ``1071.0`` and poison the compare)."""
     cols = sorted(df.columns)
-    out = [",".join(canon_cell(row[c]) for c in cols) for _, row in df.iterrows()]
+    col_vals = [df[c].tolist() for c in cols]
+    out = [",".join(canon_cell(cv[i]) for cv in col_vals) for i in range(len(df))]
     return sorted(out)
+
+
+def canon_rows_spark(rows, cols) -> list[str]:
+    """Driver-side twin of canon_rows over ``collect()`` output: Row objects
+    keep their python types (Decimal stays Decimal, int stays int), so any
+    type the pandas oracle path renders differently fails the hash."""
+    from pyspark.sql import Row
+
+    def cell(v):
+        if isinstance(v, Row):
+            d = v.asDict()
+            return "{" + ",".join(f"{k}:{cell(d[k])}" for k in sorted(d)) + "}"
+        return canon_cell(v)
+
+    scols = sorted(cols)
+    return sorted(",".join(cell(r[c]) for c in scols) for r in rows)
 
 
 def vhash(lines: list[str]) -> str:
@@ -86,15 +109,15 @@ def main() -> int:
         spec = qs[name]
         try:
             sdf = spec.build(spark, sf)
-            spdf = sdf.toPandas()
+            scollected = sdf.collect()
             if spec.oracle is None:
                 rows_only += 1
                 continue
             odf = con.execute(spec.oracle).df()
-            srows, orows = canon_rows(spdf), canon_rows(odf)
-            if sorted(spdf.columns) != sorted(odf.columns):
+            srows, orows = canon_rows_spark(scollected, sdf.columns), canon_rows(odf)
+            if sorted(sdf.columns) != sorted(odf.columns):
                 bad.append(name)
-                print(f"MISMATCH {name}: cols spark={sorted(spdf.columns)} duckdb={sorted(odf.columns)}")
+                print(f"MISMATCH {name}: cols spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
             elif len(srows) != len(orows) or vhash(srows) != vhash(orows):
                 bad.append(name)
                 print(f"MISMATCH {name}: spark={len(srows)} duckdb={len(orows)}")

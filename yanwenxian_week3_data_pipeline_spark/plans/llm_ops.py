@@ -928,13 +928,17 @@ FROM ranked WHERE rnk <= {TFIDF_TOP_K}
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_incremental
 
-    return dedup_incremental(
+    out = dedup_incremental(
         _docs(spark, sf_dir),
         "text",
         "doc_id",
         batch_pred=lambda i: i % 10 == 0,
         threshold=MINHASH_JACCARD_THRESHOLD,
     )
+    # NULLABLE-INT canon rule: dup_of is null for unique batch docs, and one
+    # null makes pandas render the oracle column float64; emit double on
+    # BOTH engines (query layer only — the operator keeps the long id).
+    return out.withColumn("dup_of", F.col("dup_of").cast("double"))
 
 
 _SQL_DEDUP_INCREMENTAL = f"""
@@ -964,7 +968,8 @@ best AS (
     SELECT *, row_number() OVER (PARTITION BY batch_id ORDER BY jaccard DESC, corpus_id ASC) AS rn
     FROM verified WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD})
   WHERE rn = 1)
-SELECT doc.doc_id, b.dup_of, b.jaccard, (b.dup_of IS NULL) AS is_unique
+SELECT doc.doc_id, CAST(b.dup_of AS DOUBLE) AS dup_of, b.jaccard,
+  (b.dup_of IS NULL) AS is_unique
 FROM documents doc LEFT JOIN best b ON b.batch_id = doc.doc_id
 WHERE doc.doc_id % 10 = 0
 """

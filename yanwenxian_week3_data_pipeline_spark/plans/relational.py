@@ -249,7 +249,10 @@ def _q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         prev.alias("prev_price"),
         (F.col("o_totalprice").cast(DEC) - prev).alias("price_delta"),
-        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        # NULLABLE-INT canon rule: lead() is null on each partition's last
+        # row, and one null makes pandas render the oracle column float64
+        # ('11415.0'); emit double on BOTH engines so the values agree.
+        F.lead("o_orderkey").over(w).cast("double").alias("next_orderkey"),
     )
 
 
@@ -257,7 +260,7 @@ _SQL_WINDOW_LAG = f"""
 SELECT o_custkey, o_orderkey,
   lag(CAST(o_totalprice AS {DEC})) OVER w AS prev_price,
   CAST(o_totalprice AS {DEC}) - lag(CAST(o_totalprice AS {DEC})) OVER w AS price_delta,
-  lead(o_orderkey) OVER w AS next_orderkey
+  CAST(lead(o_orderkey) OVER w AS DOUBLE) AS next_orderkey
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
@@ -449,13 +452,16 @@ def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         "purchase_value",
         F.col("r_ts").alias("view_ts"),
-        F.col("r_view_id").alias("view_id"),
+        # NULLABLE-INT canon rule: the backward as-of is a LEFT join, so
+        # view_id is null for never-viewed purchasers and pandas renders the
+        # oracle column float64; emit double on BOTH engines.
+        F.col("r_view_id").cast("double").alias("view_id"),
     )
 
 
 _SQL_ASOF = """
 SELECT l.user_id, l.ts AS purchase_ts, l.event_id AS purchase_id,
-  l.value AS purchase_value, r.ts AS view_ts, r.event_id AS view_id
+  l.value AS purchase_value, r.ts AS view_ts, CAST(r.event_id AS DOUBLE) AS view_id
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -675,6 +681,31 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT twin of events_json_props: ``parse_json`` decodes the
+    props string ONCE into the binary semi-structured VariantType, and field
+    access is ``variant_get`` with a target type — at scale this beats
+    re-tokenizing the JSON text per extracted field (get_json_object parses
+    the string on every call), and a variant column persisted to parquet
+    keeps the decoded form across queries. ``try_parse_json`` is the
+    dirty-feed entry (null instead of error on malformed rows). Shares
+    events_json_props' oracle — the surfaces must agree exactly."""
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 QUERIES = [
     QuerySpec("q1_pricing_summary", _q1, _SQL_Q1, headline=True),
     QuerySpec("join_region_revenue", _q_region_revenue, _SQL_REGION_REVENUE, headline=True),
@@ -699,4 +730,5 @@ QUERIES = [
     QuerySpec("events_sessionize", _q_sessionize, _SQL_SESSIONIZE, headline=True),
     QuerySpec("events_session_conversion", _q_session_conversion, _SQL_SESSION_CONVERSION),
     QuerySpec("events_json_props", _q_json_props, _SQL_JSON_PROPS),
+    QuerySpec("events_props_variant", _q_props_variant, _SQL_JSON_PROPS),
 ]

@@ -303,7 +303,10 @@ def _q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.first_value("o_orderkey").over(w).alias("first_order"),
         F.last_value("o_orderkey").over(w).alias("last_order"),
-        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        # NULLABLE-INT canon rule: nth_value(2) is null for single-order
+        # customers, and one null makes pandas render the oracle column
+        # float64 ('11415.0'); emit double on BOTH engines.
+        F.nth_value("o_orderkey", 2).over(w).cast("double").alias("second_order"),
     )
 
 
@@ -311,7 +314,7 @@ _SQL_FIRST_LAST = """
 SELECT o_custkey, o_orderkey,
   first_value(o_orderkey) OVER w AS first_order,
   last_value(o_orderkey) OVER w AS last_order,
-  nth_value(o_orderkey, 2) OVER w AS second_order
+  CAST(nth_value(o_orderkey, 2) OVER w AS DOUBLE) AS second_order
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
