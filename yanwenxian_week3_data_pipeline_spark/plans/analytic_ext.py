@@ -1021,6 +1021,156 @@ FROM c, t WHERE n_occurrences * {HH_K} > n
 """
 
 
+# ---------------------------------------------------------------------------
+# events_user_trend — per-user OLS trend (slope/intercept) of event value
+# over time, from the five sufficient statistics (n, Σx, Σx², Σy, Σxy).
+# Determinism (module-doc moments rule): x = whole epoch seconds since
+# 2024-01-01 (exact long, floor of the event timestamp), y = value cast
+# DECIMAL(18,2) (exact) — all five sums are exact integer/decimal
+# aggregates, order-independent under parallel reduction; they are cast to
+# double ONCE and slope/intercept evaluate the identical IEEE expression
+# tree on both engines, so the doubles are bit-identical with no rounding
+# slack. den = n·Σx² − (Σx)² ≥ 0 (Cauchy–Schwarz), and den > 0 filters the
+# single-timestamp users whose slope is undefined.
+#
+# Scale: ONE map-side-partial groupBy on user_id — five narrow accumulators
+# per user, never the raw rows. Σx² ≈ 7e12 per row at a 31-day epoch, so the
+# DECIMAL(38,0) accumulator has ~1e25 rows of headroom per user.
+#
+# events_user_trend_pandas is the applyInPandas (grouped-map) twin: the SAME
+# statistics computed with exact python int/Decimal arithmetic inside one
+# pandas group — it pins the Arrow grouped-map API surface and shares the
+# oracle. The expression form is the scale path: grouped-map must shuffle
+# every raw row to its group and hold a whole user in memory at once; the
+# aggregate form ships only partial sums.
+# ---------------------------------------------------------------------------
+
+TREND_EPOCH = 1704067200  # 2024-01-01T00:00:00Z, the events fixture epoch
+
+
+def _user_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    e = load_events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    # NTZ → TIMESTAMP (session zone pinned UTC) → epoch seconds (floor);
+    # matches DuckDB floor(epoch(ts)).
+    x = (F.col("ts").cast("timestamp").cast("long") - F.lit(TREND_EPOCH)).alias("x")
+    return (
+        e.select("user_id", x, F.col("value").cast(DEC).alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x").cast("decimal(20,0)") * F.col("x").cast("decimal(20,0)")).alias(
+                "sxx"
+            ),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+
+
+def _trend_from_stats(st: DataFrame) -> DataFrame:
+    nd = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, sxy = F.col("sy").cast("double"), F.col("sxy").cast("double")
+    den = nd * sxx - sx * sx
+    slope = (nd * sxy - sx * sy) / den
+    return (
+        st.select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            den.alias("_den"),
+            slope.alias("_slope"),
+            ((sy - slope * sx) / nd).alias("intercept"),
+        )
+        .where(F.col("_den") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("_slope") * F.lit(3600.0)).alias("slope_per_hour"),
+            "intercept",
+        )
+    )
+
+
+def _q_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _trend_from_stats(_user_trend_stats(spark, sf_dir))
+
+
+def _q_user_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from ..sources.tables import load_events
+
+    e = load_events(spark, sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    grouped = e.select(
+        "user_id",
+        (F.col("ts").cast("timestamp").cast("long") - F.lit(TREND_EPOCH)).alias("x"),
+        # keep the raw double; the group fn applies the same DECIMAL(18,2)
+        # quantization exactly (ties need a double exactly midway between
+        # two cents — unrepresentable in binary, so HALF_UP == cast)
+        F.col("value").alias("y"),
+    )
+
+    def trend(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        cent = Decimal("0.01")
+        xs = [int(v) for v in pdf["x"]]
+        ys = [Decimal(float(v)).quantize(cent, ROUND_HALF_UP) for v in pdf["y"]]
+        n = len(xs)
+        sx, sxx = sum(xs), sum(v * v for v in xs)
+        sy = sum(ys, Decimal(0))
+        sxy = sum((Decimal(x_) * y_ for x_, y_ in zip(xs, ys)), Decimal(0))
+        nd, sxf, sxxf, syf, sxyf = float(n), float(sx), float(sxx), float(sy), float(sxy)
+        den = nd * sxxf - sxf * sxf
+        if not den > 0:
+            return pd.DataFrame(
+                {"user_id": [], "n_events": [], "slope_per_hour": [], "intercept": []}
+            )
+        slope = (nd * sxyf - sxf * syf) / den
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [n],
+                "slope_per_hour": [slope * 3600.0],
+                "intercept": [(syf - slope * sxf) / nd],
+            }
+        )
+
+    return grouped.groupBy("user_id").applyInPandas(
+        trend, "user_id long, n_events long, slope_per_hour double, intercept double"
+    )
+
+
+_SQL_USER_TREND = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) - {TREND_EPOCH} AS x,
+         CAST(value AS DECIMAL(18,2)) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+s AS (
+  SELECT user_id, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(CAST(x AS DECIMAL(20,0)) * CAST(x AS DECIMAL(20,0))) AS DOUBLE) AS sxx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy
+  FROM e GROUP BY user_id),
+t AS (
+  SELECT user_id, n, nd, sx, sxx, sy, sxy, nd * sxx - sx * sx AS den FROM s)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       ((nd * sxy - sx * sy) / den) * 3600.0 AS slope_per_hour,
+       (sy - ((nd * sxy - sx * sy) / den) * sx) / nd AS intercept
+FROM t WHERE den > 0
+"""
+
+
 QUERIES = [
     QuerySpec("groupby_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS),
     QuerySpec("agg_percentiles", _q_percentiles, _SQL_PERCENTILES),
@@ -1045,4 +1195,6 @@ QUERIES = [
     QuerySpec("events_gapfill_hourly", _q_gapfill_hourly, _SQL_GAPFILL_HOURLY),
     QuerySpec("agg_heavy_hitters_mg", _q_heavy_hitters, _SQL_HEAVY_HITTERS),
     QuerySpec("events_hourly_anomaly", _q_hourly_anomaly, _SQL_HOURLY_ANOMALY),
+    QuerySpec("events_user_trend", _q_user_trend, _SQL_USER_TREND),
+    QuerySpec("events_user_trend_pandas", _q_user_trend_pandas, _SQL_USER_TREND),
 ]
