@@ -495,3 +495,76 @@ def test_stream_stream_join_matches_batch(spark, stream_src):
     want_rows = sorted(map(tuple, want.collect()))
     assert len(want_rows) > 0
     assert got_rows == want_rows
+
+
+def test_tws_running_totals_matches_batch(spark, sf_dir, stream_src):
+    """transformWithStateInPandas lifetime totals: after draining the feed,
+    each user's LAST emitted update must equal the batch per-user aggregate
+    (count, value sum, max ts). The RocksDB state store provider is required
+    by the TWS operator; set for this query only and restored."""
+    from pyspark.sql.window import Window
+    from yanwenxian_week3_data_pipeline_spark.sources.tables import load_events
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        running_totals_tws,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf not installed — TWS state protocol unavailable")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        original = spark.conf.get(key)
+    except Exception:
+        original = None
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        got = run_available_now(
+            running_totals_tws(spark, stream_src), "tws_totals", "update"
+        )
+        w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+        last = got.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+        rows = {
+            r.user_id: (r.n_events, round(r.total_value, 6), r.last_seen.replace(tzinfo=None))
+            for r in last.collect()
+        }
+    finally:
+        if original is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, original)
+
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+            F.max(F.col("ts").cast("timestamp")).alias("last_ts"),
+        )
+    )
+    expected = {
+        r.user_id: (r.n, round(float(r.total or 0.0), 6), r.last_ts)
+        for r in batch.collect()
+    }
+    assert rows == expected
+    assert len(rows) > 0
+
+
+def test_tws_plan_builds_without_protobuf(spark, stream_src):
+    """The TWS logical plan (groupBy → transformWithStateInPandas) must
+    analyze to the declared output schema even where the protobuf state
+    protocol is unavailable — only query START needs the extra runner."""
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import running_totals_tws
+
+    df = running_totals_tws(spark, stream_src)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id",
+        "n_events",
+        "total_value",
+        "last_seen",
+    ]
