@@ -57,6 +57,70 @@ def cosine_topk(
     )
 
 
+def cosine_topk_arrow(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``mapInArrow`` twin of ``cosine_topk``: the scoring stage streams
+    Arrow record batches straight into numpy (no pandas materialization —
+    the lowest-overhead Python batch API), the per-query top-k stays the
+    same JVM window. Pins the Arrow-native surface; shares cosine_topk's
+    oracle.
+
+    Determinism contract: ``np.cumsum(..., axis=1)[:, -1]`` accumulates
+    left-to-right, the same association order as ``dot_expr``'s sequential
+    fold (0.0 + p0 ≡ p0 exactly), and float32→float64 widening is exact on
+    both paths — so the raw cosines are bit-identical to the expression
+    plan and round(6) can never disagree."""
+    import pyarrow as pa
+
+    q_rows = (
+        embeddings.where(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )  # tiny |Q|-row side, shipped in the closure (the broadcast analogue)
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_norms = np.sqrt(np.cumsum(q_mat * q_mat, axis=1)[:, -1])
+
+    def score(batches):
+        for batch in batches:
+            ids = batch["cand_id"].to_numpy(zero_copy_only=False)
+            vecs = np.array(batch["cand_vec"].to_pylist(), dtype=np.float64)
+            if len(ids) == 0 or vecs.size == 0:
+                continue
+            cand_norms = np.sqrt(np.cumsum(vecs * vecs, axis=1)[:, -1])
+            for qi in range(len(q_ids)):
+                dots = np.cumsum(vecs * q_mat[qi], axis=1)[:, -1]
+                cos = dots / (q_norms[qi] * cand_norms)
+                mask = ids != q_ids[qi]
+                yield pa.record_batch(
+                    {
+                        "query_id": pa.array(np.full(int(mask.sum()), q_ids[qi])),
+                        "cand_id": pa.array(ids[mask]),
+                        "cosine": pa.array(cos[mask]),
+                    }
+                )
+
+    scored = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    ).mapInArrow(score, "query_id long, cand_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     query_ids: list[int],

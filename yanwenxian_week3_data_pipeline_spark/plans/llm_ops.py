@@ -372,6 +372,12 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(_emb(spark, sf_dir), SIM_QUERY_IDS, k=SIM_K)
 
 
+def _q_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_arrow
+
+    return cosine_topk_arrow(_emb(spark, sf_dir), SIM_QUERY_IDS, k=SIM_K)
+
+
 _COS = cosine_sql("q.embedding", "e.embedding")
 _IDS = ", ".join(str(i) for i in SIM_QUERY_IDS)
 
@@ -1319,6 +1325,7 @@ QUERIES = [
     QuerySpec("dedup_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     QuerySpec("dedup_repeated_spans", _q_repeated_spans, _SQL_REPEATED_SPANS),
     QuerySpec("sim_cosine_topk", _q_cosine_topk, _SQL_COSINE_TOPK, headline=True),
+    QuerySpec("sim_cosine_topk_arrow", _q_cosine_topk_arrow, _SQL_COSINE_TOPK),
     QuerySpec("sim_cosine_topk_ivf", _q_cosine_topk_ivf, _SQL_COSINE_TOPK_IVF),
     QuerySpec("dedup_embedding_cosine", _q_emb_cosine_pairs, _SQL_EMB_COSINE_PAIRS),
     QuerySpec("dedup_embedding_lsh", _q_dedup_emb_lsh, _SQL_DEDUP_EMB_LSH, headline=True),
