@@ -320,3 +320,36 @@ def test_heavy_hitters_no_keyspace_shuffle_before_sketch(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # candidate distinct + recount aggregate; no sort-merge join anywhere
     assert node_count(plan, "SortMergeJoin") == 0
+
+
+def test_hinted_join_uses_shuffle_hash(spark, sf_dir):
+    """The SHUFFLE_HASH hint must land as a ShuffledHashJoin even with
+    broadcast disabled (the at-scale condition where the default would be
+    sort-merge); the unhinted twin under the same conf goes sort-merge,
+    proving the hint — not the data size — picked the strategy."""
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    original = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        plan = plan_of(spark, "join_hint_shuffle_hash", sf_dir)
+        assert node_count(plan, "ShuffledHashJoin") == 1
+        assert "SortMergeJoin" not in plan
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        unhinted = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            unhinted.explain(mode="formatted")
+        assert node_count(buf.getvalue(), "SortMergeJoin") == 1
+    finally:
+        spark.conf.set(key, original)

@@ -1045,6 +1045,40 @@ FROM c, t WHERE n_occurrences * {HH_K} > n
 # aggregate form ships only partial sums.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# join_hint_shuffle_hash — explicit physical-strategy override: the same
+# fact-fact join as the default plan, with a SHUFFLE_HASH hint on the
+# smaller side. Why this matters at 100 TB: sort-merge (the default for
+# non-broadcastable equi-joins) SORTS both shuffled sides; shuffle-hash
+# builds an in-memory hash map from the smaller side per partition and
+# streams the bigger side through it — cheaper whenever the build side fits
+# per-partition memory, but Spark only auto-picks it under narrow
+# conditions, so the hint is the production lever. Results are strategy-
+# independent (pinned by the shared oracle); the plan shape is pinned by
+# test_hinted_join_uses_shuffle_hash.
+# ---------------------------------------------------------------------------
+
+def _q_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).alias("gross_revenue"),
+        )
+    )
+
+
+_SQL_HINT_SHUFFLE_HASH = f"""
+SELECT o_orderpriority, count(*) AS n_lines,
+  sum(CAST(l_extendedprice AS {DEC})) AS gross_revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 TREND_EPOCH = 1704067200  # 2024-01-01T00:00:00Z, the events fixture epoch
 
 
@@ -1197,4 +1231,5 @@ QUERIES = [
     QuerySpec("events_hourly_anomaly", _q_hourly_anomaly, _SQL_HOURLY_ANOMALY),
     QuerySpec("events_user_trend", _q_user_trend, _SQL_USER_TREND),
     QuerySpec("events_user_trend_pandas", _q_user_trend_pandas, _SQL_USER_TREND),
+    QuerySpec("join_hint_shuffle_hash", _q_hint_shuffle_hash, _SQL_HINT_SHUFFLE_HASH),
 ]
