@@ -786,3 +786,43 @@ def test_csv_roundtrip_schema_on_read(spark, sf_dir, tmp_path):
         spark, p, "doc_id bigint, text string, lang string, source string, n_chars int"
     ).select(*docs.columns)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_schema_evolution_merge_and_union_by_name(spark, tmp_path):
+    """Additive schema evolution: a v2 batch gains a column. mergeSchema
+    must widen the read schema with nulls for v1 files, and
+    unionByName(allowMissingColumns) must do the same in memory — while a
+    positional union of the two schemas is rejected outright."""
+    import pytest as _pytest
+
+    from yanwenxian_week3_data_pipeline_spark.sinks.columnar import (
+        read_evolved_parquet,
+        union_by_name,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    )
+    v2 = spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "de")], "id long, payload string, lang string"
+    )
+    p = str(tmp_path / "evolved")
+    v1.write.parquet(f"{p}/batch=1")
+    v2.write.parquet(f"{p}/batch=2")
+
+    merged = read_evolved_parquet(spark, p)
+    assert set(merged.columns) == {"id", "payload", "lang", "batch"}
+    rows = {r.id: (r.payload, r.lang) for r in merged.collect()}
+    assert rows[1] == ("a", None) and rows[3] == ("c", "en")
+
+    # plain (non-merged) read keeps only the first-footer schema
+    plain = spark.read.parquet(p)
+    assert "lang" not in plain.columns or set(plain.columns) >= {"id", "payload"}
+
+    unioned = union_by_name([v1, v2])
+    assert set(unioned.columns) == {"id", "payload", "lang"}
+    urows = {r.id: r.lang for r in unioned.collect()}
+    assert urows == {1: None, 2: None, 3: "en", 4: "de"}
+
+    with _pytest.raises(Exception):
+        v1.union(v2).collect()  # positional union across versions must fail

@@ -1046,6 +1046,46 @@ FROM c, t WHERE n_occurrences * {HH_K} > n
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# join_null_safe_events — null-safe equality join (Spark ``eqNullSafe`` ↔
+# SQL IS NOT DISTINCT FROM): two aggregates of the event stream keyed by a
+# NULLABLE derived key ('error' events are key-nulled) are re-joined on the
+# null-safe key, so the NULL group survives — a plain equi-join silently
+# drops it (NULL = NULL is NULL), the classic bug when re-joining grouped
+# frames on nullable keys. Planner note: a null-safe equality is still a
+# HASH-JOINABLE key (Spark wraps it as Coalesce-keyed equality), not a
+# nested-loop condition.
+# ---------------------------------------------------------------------------
+
+def _q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+        "value",
+    )
+    left = ev.groupBy("k").agg(F.count(F.lit(1)).alias("n_events"))
+    right = ev.groupBy("k").agg(F.sum(F.col("value").cast(DEC)).alias("total_value"))
+    return (
+        left.alias("l")
+        .join(right.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k")))
+        .select(F.col("l.k").alias("event_type_key"), "n_events", "total_value")
+    )
+
+
+_SQL_NULL_SAFE_JOIN = f"""
+WITH b AS (
+  SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k, value
+  FROM events),
+l AS (SELECT k, count(*) AS n_events FROM b GROUP BY k),
+r AS (SELECT k, sum(CAST(value AS {DEC})) AS total_value FROM b GROUP BY k)
+SELECT l.k AS event_type_key, n_events, total_value
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+"""
+
+
+# ---------------------------------------------------------------------------
 # join_hint_shuffle_hash — explicit physical-strategy override: the same
 # fact-fact join as the default plan, with a SHUFFLE_HASH hint on the
 # smaller side. Why this matters at 100 TB: sort-merge (the default for
@@ -1232,4 +1272,5 @@ QUERIES = [
     QuerySpec("events_user_trend", _q_user_trend, _SQL_USER_TREND),
     QuerySpec("events_user_trend_pandas", _q_user_trend_pandas, _SQL_USER_TREND),
     QuerySpec("join_hint_shuffle_hash", _q_hint_shuffle_hash, _SQL_HINT_SHUFFLE_HASH),
+    QuerySpec("join_null_safe_events", _q_null_safe_join, _SQL_NULL_SAFE_JOIN),
 ]

@@ -116,6 +116,88 @@ _SQL_TOKEN_COUNT = (
 )
 
 
+# ---------------------------------------------------------------------------
+# docs_unigram_logprob — CCNet-style LM quality proxy: each document's mean
+# token surprisal in bits, −(1/T)·Σ log2 p(tok), under the corpus's own
+# unigram model. High surprisal = rare-token-heavy text (OCR noise, code
+# dumps, boilerplate IDs); low = stopword soup. Two scans: (1) token
+# frequency table (vocab-sized — BROADCAST back to the token stream, which
+# both avoids re-shuffling the corpus by token and sidesteps the stopword
+# hot-key skew a shuffled token join would have; past ~10⁸ distinct tokens
+# the salted_join path replaces the broadcast); (2) per-doc fold.
+#
+# Float determinism: a per-doc AVG of logs would be association-order
+# dependent under parallel reduction, so the per-doc sum is a SEQUENTIAL
+# fold in token-position order on both engines — posexplode → join counts →
+# collect_list(struct(pos, n)) → sort_array → aggregate(acc + ln(n)), the
+# exact association the DuckDB list_reduce twin uses. ln() itself is the
+# one residual risk (Java Math.log is ≤1 ulp, glibc log is correctly
+# rounded); round(6) absorbs it — the same accepted slack as the
+# percentile queries (module-doc rule).
+# ---------------------------------------------------------------------------
+
+_LN2 = 0.6931471805599453
+
+
+def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _cleaned_docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(tokens_expr(F.col("c"))).alias("pos", "tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").alias("n_total"))
+    seq = (
+        toks.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "n_tok"))).alias("seq"))
+    )
+    sum_ln = F.aggregate(
+        F.col("seq"),
+        F.lit(0.0),
+        lambda acc, s: acc + F.log(s["n_tok"].cast("double")),
+    )
+    t_cnt = F.size("seq")
+    return (
+        seq.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            t_cnt.cast("long").alias("n_tokens"),
+            (
+                (
+                    F.log(F.col("n_total").cast("double"))
+                    - sum_ln / t_cnt.cast("double")
+                )
+                / F.lit(_LN2)
+            ).alias("_bits"),
+        )
+        .select("doc_id", "n_tokens", F.round("_bits", 6).alias("surprisal_bits"))
+    )
+
+
+_SQL_UNIGRAM_LOGPROB = f"""
+WITH d AS ({_CLEANED}),
+tokpos AS (
+  SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok
+  FROM (SELECT doc_id,
+               list_transform({tokens_sql('c')},
+                              (t, i) -> struct_pack(pos := i, tok := t)) AS l
+        FROM d),
+       UNNEST(l) AS u(s)),
+freq AS (SELECT tok, count(*) AS n_tok FROM tokpos GROUP BY tok),
+total AS (SELECT sum(n_tok) AS n_total FROM freq),
+seq AS (
+  SELECT doc_id,
+         list_sort(list(struct_pack(pos := pos, n := n_tok))) AS sq
+  FROM tokpos JOIN freq USING (tok) GROUP BY doc_id)
+SELECT doc_id, CAST(len(sq) AS BIGINT) AS n_tokens,
+  round((ln(CAST(n_total AS DOUBLE))
+         - list_reduce(list_prepend(0.0, list_transform(sq, s -> ln(CAST(s.n AS DOUBLE)))),
+                       (acc, x) -> acc + x) / CAST(len(sq) AS DOUBLE))
+        / {_LN2!r}, 6) AS surprisal_bits
+FROM seq, total
+"""
+
+
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _cleaned_docs(spark, sf_dir)
     feats = quality_features_expr(F.col("c"))
@@ -1315,6 +1397,7 @@ SELECT CAST(unnest({SIM_QUERY_IDS}) AS BIGINT) AS query_id,
 QUERIES = [
     QuerySpec("text_token_count", _q_token_count, _SQL_TOKEN_COUNT),
     QuerySpec("text_quality_score", _q_quality, _SQL_QUALITY, headline=True),
+    QuerySpec("docs_unigram_logprob", _q_unigram_logprob, _SQL_UNIGRAM_LOGPROB),
     QuerySpec("text_lang_id", _q_lang_id, _SQL_LANG_ID),
     QuerySpec("text_fingerprint", _q_fingerprint, _SQL_FINGERPRINT),
     QuerySpec("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),

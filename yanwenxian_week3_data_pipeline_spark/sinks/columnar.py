@@ -72,6 +72,30 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: ``mergeSchema=true`` unions the footers of
+    every file under ``path`` into one widened schema; files written before
+    a column existed surface it as null. This is a FOOTER-ONLY merge
+    (additive evolution — new nullable columns, compatible type widening);
+    it is off by default because footer-merging ten million files costs a
+    driver-side listing pass — production lakes record the merged schema in
+    a table format's metadata instead. Pair with ``union_by_name`` for the
+    in-memory equivalent."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def union_by_name(dfs: list[DataFrame]) -> DataFrame:
+    """Column-NAME-aligned union across schema versions
+    (``unionByName(allowMissingColumns=True)``): each frame's missing
+    columns fill with nulls, the in-memory twin of the mergeSchema read.
+    Positional ``union`` would silently mis-align columns across schema
+    versions — the classic batch-append corruption."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
