@@ -826,3 +826,51 @@ def test_schema_evolution_merge_and_union_by_name(spark, tmp_path):
 
     with _pytest.raises(Exception):
         v1.union(v2).collect()  # positional union across versions must fail
+
+
+def test_rebalance_write_splits_hot_partition(spark, tmp_path):
+    """REBALANCE-hinted partitioned write: under a small advisory size the
+    hot partition value (98% of rows) must split into multiple
+    advisory-sized files while the rare value stays at one — and the
+    round-trip must be lossless. The plain repartition write of the same
+    data gives exactly one (monster) file for the hot value: the
+    skew-exposed baseline the hint fixes. Multi-partition input matters:
+    skew split works at map-output-block granularity, so a single upstream
+    task would leave nothing to split."""
+    import glob
+
+    from yanwenxian_week3_data_pipeline_spark.sinks.columnar import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    ev = spark.range(0, 20000, 1, 8).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % 50 < 49, "hot").otherwise("rare").alias("event_type"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+
+    key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    original = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "64kb")
+        p_reb = str(tmp_path / "rebalanced")
+        write_partitioned_parquet(ev, p_reb, ["event_type"], rebalance=True)
+    finally:
+        if original is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, original)
+
+    hot_files = glob.glob(f"{p_reb}/event_type=hot/*.parquet")
+    rare_files = glob.glob(f"{p_reb}/event_type=rare/*.parquet")
+    assert len(hot_files) > 1, hot_files
+    assert len(rare_files) == 1, rare_files
+
+    p_plain = str(tmp_path / "plain")
+    write_partitioned_parquet(ev, p_plain, ["event_type"])
+    assert len(glob.glob(f"{p_plain}/event_type=hot/*.parquet")) == 1
+
+    back = read_partitioned_parquet(spark, p_reb)
+    assert back.count() == 20000
+    assert back.select(F.sum("event_id")).first()[0] == sum(range(20000))

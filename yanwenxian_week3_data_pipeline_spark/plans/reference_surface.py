@@ -240,6 +240,38 @@ _SQL_COMPLETENESS = (
 )
 
 
+def _q_completeness_ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark twin of agg_completeness — the migration path for
+    the reference's own pandas code (cleaner.py:193-202 computes exactly this
+    frame with pandas idioms). Each Series op (isnull / str.replace /
+    str.strip) lowers to distributed Column expressions; only the three
+    per-column scalar counts reach the driver (bounded by column count, not
+    rows). Deliberately NO ``astype(str)`` — that is the §1.4 null→'None'
+    bug the rebuild excludes. The pct division is re-expressed as a Spark
+    round() so the twin shares agg_completeness's oracle (python round is
+    banker's and would diverge on exact .x5)."""
+    import pyspark.pandas as ps
+
+    from ..functions.text import _WS_RUN
+
+    # index_col: reuse the key as index — the default distributed-sequence
+    # index would cost an extra pass to invent ordinal row numbers
+    psdf = ps.read_parquet(f"{sf_dir}/documents.parquet", index_col="doc_id")
+    total = len(psdf)
+    recs = []
+    for c in ("text", "lang", "source"):
+        s = psdf[c]
+        missing = s.isnull() | (s.str.replace(_WS_RUN, " ", regex=True).str.strip() == "")
+        recs.append((c, int((~missing).sum()), total))
+    out = spark.createDataFrame(recs, "column string, non_empty long, total long")
+    return out.withColumn(
+        "pct",
+        F.when(
+            F.col("total") > 0, F.round(F.col("non_empty") * 100.0 / F.col("total"), 1)
+        ).otherwise(0.0),
+    )
+
+
 # ---------------------------------------------------------------------------
 # agg_failure_dist / agg_top_failure / agg_pass_rate
 # ---------------------------------------------------------------------------
@@ -432,6 +464,7 @@ QUERIES = [
     QuerySpec("flt_valid_rows", _q_valid_rows, _SQL_VALID_ROWS),
     QuerySpec("agg_counts_funnel", _q_funnel, _SQL_FUNNEL, headline=True),
     QuerySpec("agg_completeness", _q_completeness, _SQL_COMPLETENESS),
+    QuerySpec("agg_completeness_ps", _q_completeness_ps, _SQL_COMPLETENESS),
     QuerySpec("agg_failure_dist", _q_failure_dist, _SQL_FAILURE_DIST),
     QuerySpec("agg_top_failure", _q_top_failure, _SQL_TOP_FAILURE),
     QuerySpec("agg_pass_rate", _q_pass_rate, _SQL_PASS_RATE),

@@ -29,10 +29,18 @@ def write_partitioned_parquet(
     sort_within_partitions: list[str] | None = None,
     target_file_partitions: bool = True,
     mode: str = "overwrite",
+    rebalance: bool = False,
 ) -> None:
+    """``rebalance=True`` swaps the hard ``repartition`` for the AQE
+    REBALANCE hint: same one-file-per-partition-value goal, but a HOT
+    partition value is split into multiple advisory-sized files instead of
+    one task writing (and one reader later scanning) a monster file — the
+    skew-safe form of the small-files fix. Requires AQE (on in
+    session.py); file-split granularity follows
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes``."""
     out = df
     if target_file_partitions:
-        out = out.repartition(*partition_by)
+        out = out.hint("rebalance", *partition_by) if rebalance else out.repartition(*partition_by)
     if sort_within_partitions:
         out = out.sortWithinPartitions(*sort_within_partitions)
     out.write.mode(mode).partitionBy(*partition_by).parquet(path)
