@@ -81,3 +81,60 @@ def test_pyds_downstream_pipeline_compatible(spark, feed_dir):
     flagged = flag_stages(clean_articles(conform(load_articles_pyds(spark, str(feed_dir)))))
     got = {r.title: r for r in flagged.collect()}
     assert len(got) == 4 and all("_kept" in r.asDict() for r in got.values())
+
+
+def test_pyds_stream_tails_feed_directory(spark, tmp_path):
+    """Streaming side of the custom source: drain an initial drop, then a
+    second drop, with availableNow micro-batches — the accumulated sink
+    must equal a batch read of the full directory (exactly-once over
+    file-count offsets), using one checkpoint across both runs."""
+    import json as _json
+
+    from yanwenxian_week3_data_pipeline_spark.sources.articles_pyds import (
+        ArticlesEnvelopeDataSource,
+        load_articles_pyds,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    ck = str(tmp_path / "ck")
+
+    def drop(name, payload):
+        (feed / name).write_text(_json.dumps(payload), encoding="utf-8")
+
+    out = str(tmp_path / "sink")
+
+    def drain():
+        # parquet sink: supports checkpoint RECOVERY (memory sink does not),
+        # so the second drain resumes from the committed offset
+        spark.dataSource.register(ArticlesEnvelopeDataSource)
+        stream = spark.readStream.format("articles_envelope").load(str(feed))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.record_id, r.title) for r in spark.read.parquet(out).collect()
+        }
+
+    drop("b0_first.json", [{"title": "S1", "content": "c", "url": "https://x/1"}])
+    drop("b1_second.json", {"articles": [{"title": "S2", "content": "c", "url": "https://x/2"}]})
+    first = drain()
+    assert {t for _, t in first} == {"S1", "S2"}
+
+    drop("b2_third.json", {"title": "S3", "content": "c", "url": "https://x/3"})
+    both = drain()
+    assert {t for _, t in both} == {"S1", "S2", "S3"}
+    # replayed batches must not duplicate the first drop
+    assert len(both) == 3
+
+    batch_ids = {
+        (r.record_id, r.title)
+        for r in load_articles_pyds(spark, str(feed)).collect()
+    }
+    assert both == batch_ids

@@ -33,7 +33,12 @@ import os
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from ..schema import ARTICLE_COLUMNS, RECORD_ID
 
@@ -93,29 +98,76 @@ class _ArticlesEnvelopeReader(DataSourceReader):
         return [_EnvelopeFilePartition(i, f) for i, f in enumerate(self._files)]
 
     def read(self, partition: _EnvelopeFilePartition) -> Iterator[tuple]:
-        # executor-side decode of one file
-        with open(partition.path, encoding="utf-8") as fh:
-            try:
-                doc = json.load(fh)
-            except json.JSONDecodeError:
-                return  # corrupt document → no rows (mirrors _corrupt_record)
-        records = _envelope_records(doc)
-        # per-file column presence decides the published→published_date
-        # alias, mirroring conform()'s frame-level rule at file grain
-        has_pub_date = any("published_date" in r for r in records)
-        base = partition.file_seq << 32
-        for pos, rec in enumerate(records):
-            row = [base | pos]
-            for c in ARTICLE_COLUMNS:
-                if c == "published_date" and not has_pub_date:
-                    row.append(_cell(rec.get("published")))
-                else:
-                    row.append(_cell(rec.get(c)))
-            yield tuple(row)
+        # executor-side decode of one file; corrupt documents yield no rows
+        # (mirrors _corrupt_record), and per-file column presence decides
+        # the published→published_date alias (conform()'s frame-level rule
+        # at file grain) — both inside _file_rows
+        yield from _file_rows(partition.file_seq, partition.path)
+
+
+def _file_rows(file_seq: int, path: str) -> list[tuple]:
+    """Decode one envelope file into schema-ordered row tuples (shared by
+    the batch partitions and the stream reader)."""
+    with open(path, encoding="utf-8") as fh:
+        try:
+            doc = json.load(fh)
+        except json.JSONDecodeError:
+            return []
+    records = _envelope_records(doc)
+    has_pub_date = any("published_date" in r for r in records)
+    base = file_seq << 32
+    rows = []
+    for pos, rec in enumerate(records):
+        row = [base | pos]
+        for c in ARTICLE_COLUMNS:
+            if c == "published_date" and not has_pub_date:
+                row.append(_cell(rec.get("published")))
+            else:
+                row.append(_cell(rec.get(c)))
+        rows.append(tuple(row))
+    return rows
+
+
+class _ArticlesEnvelopeStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch tail of a feed directory. Offset = number of files
+    consumed over the SORTED listing, so the source assumes append-ordered
+    names (timestamped/sequence-numbered drops — the usual feed contract);
+    a late file sorting before a consumed one would be skipped. Simple
+    stream readers run on the DRIVER by design (planning and decode in one
+    process — the right shape for low-volume control feeds); the
+    partition-parallel batch reader stays the bulk path."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("articles_envelope requires a path: .load(<dir>)")
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def _rows_between(self, lo: int, hi: int) -> list[tuple]:
+        # a LIST, not a generator: the runner pickles the prefetched rows
+        # into its cache so an un-committed batch can be replayed
+        files = _list_envelope_files(self._path)
+        rows: list[tuple] = []
+        for seq in range(lo, min(hi, len(files))):
+            rows.extend(_file_rows(seq, files[seq]))
+        return rows
+
+    def read(self, start: dict):
+        files = _list_envelope_files(self._path)
+        return self._rows_between(start["n"], len(files)), {"n": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay for recovery: same sorted listing, same slice
+        return self._rows_between(start["n"], end["n"])
 
 
 class ArticlesEnvelopeDataSource(DataSource):
-    """Format name ``articles_envelope``; fixed article schema (+record_id)."""
+    """Format name ``articles_envelope``; fixed article schema (+record_id).
+    Batch: one InputPartition per file. Stream: file-count offsets over the
+    sorted listing (SimpleDataSourceStreamReader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -126,6 +178,9 @@ class ArticlesEnvelopeDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _ArticlesEnvelopeReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _ArticlesEnvelopeStreamReader(self.options)
 
 
 def load_articles_pyds(spark: SparkSession, path: str) -> DataFrame:
