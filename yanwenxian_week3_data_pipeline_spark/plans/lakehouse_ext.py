@@ -136,6 +136,66 @@ WINDOW w3 AS (PARTITION BY user_id ORDER BY valid_from)
 
 
 # ---------------------------------------------------------------------------
+# join_scd2_point_in_time — the query every SCD-2 dimension exists FOR:
+# facts (purchases) joined to the dimension version that was effective AT
+# the fact's timestamp. Spark shape: a backward AS-OF join of facts onto
+# the span-START rows (operators/asof.py: one union-tag-window shuffle, no
+# interval explode) — valid because non-degenerate spans tile each user's
+# timeline with strictly increasing valid_from, so "latest span started
+# at-or-before ts" IS the containing span. Degenerate zero-length spans
+# (same-timestamp attribute flips) are filtered first; that also makes the
+# as-of tie-free. The oracle states the semantic directly as half-open
+# containment (valid_from ≤ ts < valid_to), which is the definitionally
+# correct but shuffle-hostile form — the equivalence of the two
+# formulations is exactly what the hash check certifies.
+# ---------------------------------------------------------------------------
+
+def _q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+    from ..sources.tables import load_events
+
+    dim = (
+        _q_scd2_history(spark, sf_dir)
+        .where(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+        .select(
+            "user_id",
+            F.col("valid_from").alias("ts"),
+            F.col("event_type").alias("span_type"),
+            F.col("n_events").alias("span_events"),
+        )
+    )
+    facts = (
+        load_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    )
+    out = asof_join(facts, dim, on="ts", by="user_id")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("r_span_type").alias("span_type"),
+        F.col("r_ts").alias("span_from"),
+        F.col("r_span_events").alias("span_events"),
+    )
+
+
+_SQL_SCD2_PIT = f"""
+WITH scd2 AS ({_SQL_SCD2_HISTORY}),
+live AS (SELECT * FROM scd2 WHERE valid_to IS NULL OR valid_to > valid_from),
+facts AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+          WHERE event_type = 'purchase')
+SELECT f.user_id, f.purchase_id, f.ts AS purchase_ts,
+       d.event_type AS span_type, d.valid_from AS span_from,
+       d.n_events AS span_events
+FROM facts f JOIN live d
+  ON d.user_id = f.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+# ---------------------------------------------------------------------------
 # dq_expectations_orders — declarative data-quality expectations evaluated
 # in one pass (the Deequ/Great-Expectations shape): completeness,
 # uniqueness, value range, accepted values, and referential integrity, each
@@ -213,5 +273,6 @@ SELECT check_name, metric, (metric >= 1.0) AS passed FROM (
 QUERIES = [
     QuerySpec("tbl_upsert_snapshot", _q_upsert_snapshot, _SQL_UPSERT_SNAPSHOT),
     QuerySpec("tbl_scd2_history", _q_scd2_history, _SQL_SCD2_HISTORY),
+    QuerySpec("join_scd2_point_in_time", _q_scd2_pit, _SQL_SCD2_PIT),
     QuerySpec("dq_expectations_orders", _q_dq_expectations, _SQL_DQ_EXPECTATIONS),
 ]
