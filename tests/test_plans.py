@@ -353,3 +353,53 @@ def test_hinted_join_uses_shuffle_hash(spark, sf_dir):
         assert node_count(buf.getvalue(), "SortMergeJoin") == 1
     finally:
         spark.conf.set(key, original)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime row-level filtering: with a selective filter on the dimension
+    side of a shuffle join, the optimizer must inject a bloom filter that
+    pre-filters the FACT side before its shuffle (might_contain on the fact
+    scan, bloom_filter_agg building from the filtered dimension). At 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling only rows whose key can possibly match — the runtime
+    complement to static predicate pushdown. Thresholds are relaxed because
+    the heuristics are sized for production scans, not test fixtures."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(F.count("*").alias("n"))
+
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="formatted")
+        plan = buf.getvalue().lower()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+
+        # and the filtered plan must still be correct
+        expected = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey).count()
+        assert j.first()["n"] == expected
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
