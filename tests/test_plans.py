@@ -403,3 +403,13 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_window_topk_uses_group_limit_pruning(spark, sf_dir):
+    """row_number()<=k must trigger WindowGroupLimit on BOTH sides of the
+    shuffle: the map-side instance keeps only each partition's local top-k
+    before any data moves, so the shuffle carries O(groups·k) rows instead
+    of the whole table — the difference between a top-k and a full sort at
+    100 TB."""
+    plan = plan_of(spark, "window_topk_per_customer", sf_dir)
+    assert node_count(plan, "WindowGroupLimit") == 2
