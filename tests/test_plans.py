@@ -413,3 +413,30 @@ def test_window_topk_uses_group_limit_pruning(spark, sf_dir):
     100 TB."""
     plan = plan_of(spark, "window_topk_per_customer", sf_dir)
     assert node_count(plan, "WindowGroupLimit") == 2
+
+
+def test_timestamp_queries_are_session_timezone_proof(spark, sf_dir):
+    """The driver owns its session conf, not us: every timestamp-deriving
+    query must return identical results whatever spark.sql.session.timeZone
+    says. NTZ columns make most queries immune by construction; this pins
+    the ones that do epoch arithmetic (a cast through TIMESTAMP would shift
+    with the zone — the events_user_trend bug this test was written for)."""
+    names = [
+        "events_user_trend",
+        "events_user_trend_pandas",
+        "join_range_views_before_purchase",
+        "join_asof_purchase_view",
+        "events_sessionize",
+        "events_tumbling_hourly",
+        "join_scd2_point_in_time",
+    ]
+    key = "spark.sql.session.timeZone"
+    original = spark.conf.get(key)
+    base = {n: sorted(map(str, SPECS[n].build(spark, sf_dir).collect())) for n in names}
+    try:
+        spark.conf.set(key, "America/New_York")
+        for n in names:
+            got = sorted(map(str, SPECS[n].build(spark, sf_dir).collect()))
+            assert got == base[n], f"{n} shifts with session timezone"
+    finally:
+        spark.conf.set(key, original)

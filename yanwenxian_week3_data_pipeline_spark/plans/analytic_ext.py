@@ -1121,6 +1121,13 @@ GROUP BY o_orderpriority
 
 TREND_EPOCH = 1704067200  # 2024-01-01T00:00:00Z, the events fixture epoch
 
+# Whole seconds since the fixture epoch as PURE NTZ arithmetic
+# (timestampdiff on the NTZ column) — a cast through TIMESTAMP would shift
+# with spark.sql.session.timeZone, and the driver's session conf is not
+# ours to pin. Truncation (floor for the positive diffs here) matches
+# DuckDB floor(epoch(ts)).
+_TREND_X_EXPR = f"timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+
 
 def _user_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
@@ -1128,9 +1135,7 @@ def _user_trend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_events(spark, sf_dir).where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
-    # NTZ → TIMESTAMP (session zone pinned UTC) → epoch seconds (floor);
-    # matches DuckDB floor(epoch(ts)).
-    x = (F.col("ts").cast("timestamp").cast("long") - F.lit(TREND_EPOCH)).alias("x")
+    x = F.expr(_TREND_X_EXPR).cast("long").alias("x")
     return (
         e.select("user_id", x, F.col("value").cast(DEC).alias("y"))
         .groupBy("user_id")
@@ -1184,7 +1189,7 @@ def _q_user_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grouped = e.select(
         "user_id",
-        (F.col("ts").cast("timestamp").cast("long") - F.lit(TREND_EPOCH)).alias("x"),
+        F.expr(_TREND_X_EXPR).cast("long").alias("x"),
         # keep the raw double; the group fn applies the same DECIMAL(18,2)
         # quantization exactly (ties need a double exactly midway between
         # two cents — unrepresentable in binary, so HALF_UP == cast)
