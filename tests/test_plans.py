@@ -428,6 +428,9 @@ def test_timestamp_queries_are_session_timezone_proof(spark, sf_dir):
         "join_asof_purchase_view",
         "events_sessionize",
         "events_tumbling_hourly",
+        "events_gapfill_hourly",
+        "events_hourly_anomaly",
+        "tbl_incremental_hourly_agg",
         "join_scd2_point_in_time",
     ]
     key = "spark.sql.session.timeZone"

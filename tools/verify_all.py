@@ -15,6 +15,10 @@ Usage: python tools/verify_all.py [sf_dir] [name_prefix ...]
                 of the given prefixes
 Env:
   VERIFY_DIFF=1   print a 3-row sample diff for each mismatch
+  VERIFY_TZ=<zone>  override spark.sql.session.timeZone for the sweep —
+                  the driver owns its session conf, so a full sweep under
+                  e.g. America/New_York proves the registry is
+                  zone-independent (DuckDB is zone-free on NTZ/DATE)
 """
 
 from __future__ import annotations
@@ -97,6 +101,8 @@ def main() -> int:
 
     spark = get_spark("verify-all")
     spark.sparkContext.setLogLevel("ERROR")
+    if os.environ.get("VERIFY_TZ"):
+        spark.conf.set("spark.sql.session.timeZone", os.environ["VERIFY_TZ"])
     con = duckdb.connect()
     for t in TABLES.split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")

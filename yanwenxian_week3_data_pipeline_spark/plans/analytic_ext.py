@@ -847,17 +847,31 @@ FROM orders
 # the spine side against the already-aggregated hourly table.
 # ---------------------------------------------------------------------------
 
+_NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _hour_ntz(c: F.Column) -> F.Column:
+    """Hour truncation that PRESERVES timestamp_ntz: pure NTZ interval
+    arithmetic (add back the whole hours since a fixed NTZ epoch).
+    ``date_trunc`` would convert NTZ through the session zone (LTZ out) and
+    shift with spark.sql.session.timeZone — caught by the VERIFY_TZ sweep;
+    ``window(c,'1 hour').start`` is also NTZ-safe but only one window expr
+    may appear per projection. timestampdiff truncates toward zero == floor
+    for the post-1970 timestamps here."""
+    epoch = F.expr(_NTZ_EPOCH)
+    return F.timestamp_add("HOUR", F.timestamp_diff("HOUR", epoch, c), epoch)
+
+
 def _q_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
 
     e = load_events(spark, sf_dir)
-    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+    hourly = e.groupBy(_hour_ntz(F.col("ts")).alias("h")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(DEC)).alias("sum_value"),
     )
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    bounds = e.agg(F.min("ts").alias("lo_ts"), F.max("ts").alias("hi_ts")).select(
+        _hour_ntz(F.col("lo_ts")).alias("lo"), _hour_ntz(F.col("hi_ts")).alias("hi")
     )
     spine = bounds.select(
         F.explode(

@@ -136,6 +136,66 @@ WINDOW w3 AS (PARTITION BY user_id ORDER BY valid_from)
 
 
 # ---------------------------------------------------------------------------
+# tbl_incremental_hourly_agg — incremental aggregate maintenance: the batch
+# form of what a materialized view / streaming aggregation does. The
+# standing hourly aggregate (events before the cutover) is MERGED with the
+# new batch's partial aggregate (events at/after it) by a full-outer join
+# on the window key, summing counts and decimal totals — the new batch is
+# scanned once and the standing table is never recomputed. The ORACLE is
+# the from-scratch aggregate over all events, so the hash check certifies
+# the algebraic property the whole pattern rests on: merge(agg(old),
+# agg(new)) == agg(old ∪ new) — true here because count/sum are
+# commutative monoids and the decimal sums are exact. At 100 TB the
+# standing side is a partitioned table and only window keys present in the
+# batch are rewritten (MERGE INTO keyed by the window start).
+# ---------------------------------------------------------------------------
+
+INCR_CUTOVER = "2024-01-16 00:00:00"
+
+
+def _q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    e = load_events(spark, sf_dir)
+    cut = F.lit(INCR_CUTOVER).cast("timestamp_ntz")
+
+    from .analytic_ext import _hour_ntz
+
+    def hourly(df: DataFrame) -> DataFrame:
+        # _hour_ntz, not date_trunc: NTZ-in/NTZ-out, session-zone-proof
+        return df.groupBy(_hour_ntz(F.col("ts")).alias("h")).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+
+    standing = hourly(e.where(F.col("ts") < cut))
+    batch = hourly(e.where(F.col("ts") >= cut))
+    s, b = standing.alias("s"), batch.alias("b")
+    return (
+        s.join(b, F.col("s.h") == F.col("b.h"), "full_outer")
+        .select(
+            F.coalesce(F.col("s.h"), F.col("b.h")).alias("window_start"),
+            (
+                F.coalesce(F.col("s.n_events"), F.lit(0))
+                + F.coalesce(F.col("b.n_events"), F.lit(0))
+            ).cast("long").alias("n_events"),
+            (
+                F.coalesce(F.col("s.sum_value"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("b.sum_value"), F.lit(0).cast("decimal(18,2)"))
+            ).alias("sum_value"),
+        )
+    )
+
+
+_SQL_INCREMENTAL_AGG = """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # join_scd2_point_in_time — the query every SCD-2 dimension exists FOR:
 # facts (purchases) joined to the dimension version that was effective AT
 # the fact's timestamp. Spark shape: a backward AS-OF join of facts onto
@@ -274,5 +334,6 @@ QUERIES = [
     QuerySpec("tbl_upsert_snapshot", _q_upsert_snapshot, _SQL_UPSERT_SNAPSHOT),
     QuerySpec("tbl_scd2_history", _q_scd2_history, _SQL_SCD2_HISTORY),
     QuerySpec("join_scd2_point_in_time", _q_scd2_pit, _SQL_SCD2_PIT),
+    QuerySpec("tbl_incremental_hourly_agg", _q_incremental_agg, _SQL_INCREMENTAL_AGG),
     QuerySpec("dq_expectations_orders", _q_dq_expectations, _SQL_DQ_EXPECTATIONS),
 ]
