@@ -500,8 +500,70 @@ FROM r WHERE rank <= {VOCAB_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_equidepth_histogram — equi-DEPTH (decile) length histogram: cut
+# points are the exact rank-selected decile values of n_chars, every doc
+# bucketed by how many cuts its length strictly exceeds. Cross-engine
+# determinism: ANSI percentile_disc and DuckDB quantile_disc disagree on
+# the selected INDEX for some (n, q) (ceil(nq) vs floor((n-1)q)+1), so
+# neither is used — both engines rank by (n_chars, doc_id) and select rank
+# (n·i + 9) div 10 with INTEGER arithmetic, so the cut values are
+# identical by construction. Ties share a bucket (bucketing is by value),
+# so depths are ~n/10, exactly reproducible. The global ranking window is
+# the exact-quantile path and the point of this query; the at-scale
+# approximation swaps in approx_percentile cuts without changing the
+# bucketing shape.
+# ---------------------------------------------------------------------------
+
+def _q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    ranked = d.withColumn(
+        "rn", F.row_number().over(Window.orderBy("n_chars", "doc_id"))
+    )
+    idxs = total.select(
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i"), "n"
+    ).select("i", F.expr("(n * i + 9) div 10").alias("target"))
+    cuts = ranked.join(F.broadcast(idxs), ranked.rn == idxs.target).select(
+        F.col("n_chars").alias("cut")
+    )
+    bucketed = (
+        d.join(F.broadcast(cuts), d.n_chars > cuts.cut, "left")
+        .groupBy("doc_id", "n_chars")
+        .agg(F.count("cut").alias("bucket"))
+    )
+    return (
+        bucketed.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("len_lo"),
+            F.max("n_chars").alias("len_hi"),
+        )
+    )
+
+
+_SQL_EQUIDEPTH_HISTOGRAM = """
+WITH t AS (SELECT count(*) AS n FROM documents),
+ranked AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rn
+  FROM documents),
+idxs AS (SELECT i, (n * i + 9) // 10 AS target
+         FROM t, UNNEST(range(1, 10)) AS u(i)),
+cuts AS (SELECT n_chars AS cut FROM ranked JOIN idxs ON rn = target),
+bucketed AS (
+  SELECT d.doc_id, d.n_chars, count(c.cut) AS bucket
+  FROM documents d LEFT JOIN cuts c ON d.n_chars > c.cut
+  GROUP BY d.doc_id, d.n_chars)
+SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+       min(n_chars) AS len_lo, max(n_chars) AS len_hi
+FROM bucketed GROUP BY bucket
+"""
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
+    QuerySpec("docs_equidepth_histogram", _q_equidepth_histogram, _SQL_EQUIDEPTH_HISTOGRAM),
     QuerySpec("text_winnowing_overlap", _q_winnowing_overlap, _SQL_WINNOWING_OVERLAP),
     QuerySpec("docs_length_histogram", _q_length_histogram, _SQL_LENGTH_HISTOGRAM),
     QuerySpec(
