@@ -432,6 +432,53 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+def _q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based sessionization (``F.session_window`` — Spark's
+    built-in dynamic-window operator, the batch twin of the streaming
+    session windows) certified EQUAL to the manual lag/running-sum
+    formulation: the oracle is the gap-split CTE, so the hash check proves
+    the built-in and hand-rolled semantics coincide. Boundary caveat: an
+    exact-gap event (Δ == 30:00.000000) opens a new session natively but
+    extends the session in the strict `>` manual form — unobservable at
+    microsecond-jittered timestamps, noted for exact-minute feeds."""
+    from ..sources.tables import load_events
+
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,3)")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_SQL_SESSION_WINDOW_NATIVE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+  sum(CAST(value AS DECIMAL(18,3))) AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
 def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase matched to the user's most recent prior-or-equal view
     (backward as-of join; unmatched purchases keep nulls)."""
@@ -728,6 +775,7 @@ QUERIES = [
     QuerySpec("events_tumbling_hourly", _q_tumbling, _SQL_TUMBLING, headline=True),
     QuerySpec("events_sliding_15m", _q_sliding, _SQL_SLIDING),
     QuerySpec("events_sessionize", _q_sessionize, _SQL_SESSIONIZE, headline=True),
+    QuerySpec("events_session_window_native", _q_session_window_native, _SQL_SESSION_WINDOW_NATIVE),
     QuerySpec("events_session_conversion", _q_session_conversion, _SQL_SESSION_CONVERSION),
     QuerySpec("events_json_props", _q_json_props, _SQL_JSON_PROPS),
     QuerySpec("events_props_variant", _q_props_variant, _SQL_JSON_PROPS),
