@@ -561,9 +561,63 @@ FROM bucketed GROUP BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_median_length_by_lang — per-language median length via a GROUPED_AGG
+# pandas UDF, the one Pandas-UDF flavor the registry didn't yet pin
+# (scalar, grouped-map, mapInPandas, mapInArrow, UDTF are all exercised
+# elsewhere). Median is cross-engine bit-deterministic: sort + midpoint,
+# with the even-n interpolation (a+b)/2 evaluated identically by numpy and
+# DuckDB on exact integers. Scale note: a grouped-agg UDF materializes the
+# whole group as one pandas Series (no partial aggregation) — fine for
+# per-language groups, and the built-in median/percentile_approx is the
+# drop-in when groups outgrow memory; the point here is the API surface
+# and the exactness contract.
+# ---------------------------------------------------------------------------
+
+def _q_median_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _median(v):
+        return float(np.median(v.dropna()))
+
+    # concrete annotation OBJECTS (not strings): `from __future__ import
+    # annotations` stringifies inline hints and pandas_udf cannot resolve
+    # 'pd.Series' from a function-local import
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    median_udaf = pandas_udf(_median, "double")
+
+    def _size(v):
+        return len(v)
+
+    # a grouped-agg UDF cannot be mixed with built-in aggregates in one
+    # agg(), so the row count is a second pandas UDAF (len includes NaN —
+    # count(*) semantics)
+    _size.__annotations__ = {"v": pd.Series, "return": int}
+    size_udaf = pandas_udf(_size, "long")
+
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            size_udaf("n_chars").alias("n_docs"),
+            median_udaf("n_chars").alias("median_chars"),
+        )
+    )
+
+
+_SQL_MEDIAN_BY_LANG = """
+SELECT lang, count(*) AS n_docs,
+       CAST(median(n_chars) AS DOUBLE) AS median_chars
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
     QuerySpec("docs_equidepth_histogram", _q_equidepth_histogram, _SQL_EQUIDEPTH_HISTOGRAM),
+    QuerySpec("docs_median_length_by_lang", _q_median_by_lang, _SQL_MEDIAN_BY_LANG),
     QuerySpec("text_winnowing_overlap", _q_winnowing_overlap, _SQL_WINNOWING_OVERLAP),
     QuerySpec("docs_length_histogram", _q_length_histogram, _SQL_LENGTH_HISTOGRAM),
     QuerySpec(
