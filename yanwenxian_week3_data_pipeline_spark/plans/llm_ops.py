@@ -935,6 +935,99 @@ def _q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# docs_training_funnel — the WHOLE training-data pipeline as one
+# stage-survival funnel, the reference's quality-funnel shape
+# (pipeline.py flag_stages) lifted to corpus scale: per-doc CUMULATIVE
+# stage flags (loaded → nonempty → quality → exact-unique →
+# decontaminated → train-split) computed in one pass over the cleaned
+# corpus, then a single conditional-sum aggregate stacked into one row
+# per stage with surviving doc and token counts. Stage semantics reuse
+# the standalone operators' exact definitions (CURATION_* thresholds,
+# corpus_curation's dedup window, docs_decontaminate's hashed-5-gram
+# bench overlap, docs_train_split's hash buckets) so the funnel is the
+# composition, not a reimplementation. Scale shape: one window shuffle on
+# the cleaned text (dedup), one gram self-join guarded by the broadcast
+# bench side — never a per-stage rescan of the corpus.
+# ---------------------------------------------------------------------------
+
+FUNNEL_STAGES = [
+    "loaded",
+    "nonempty",
+    "quality",
+    "unique",
+    "decontaminated",
+    "train",
+]
+
+
+def _q_training_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", clean_text_expr(F.col("text")).alias("c")
+    )
+    feats = quality_features_expr(F.col("c"))
+    base = d.select(
+        "doc_id",
+        "c",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality_score"].alias("score"),
+        (hash60_expr(F.col("doc_id").cast("string")) % 1000).alias("bkt"),
+    )
+    s2 = F.col("c") != ""
+    s3 = s2 & (
+        F.col("score") >= F.lit(CURATION_MIN_SCORE).cast("decimal(14,5)")
+    ) & (F.col("n_tokens") >= CURATION_MIN_TOKENS)
+    flagged = base.withColumn("s2", s2).withColumn("s3", s3)
+    w = Window.partitionBy("c").orderBy(F.desc("s3"), F.asc("doc_id"))
+    ranked = flagged.withColumn(
+        "s4", F.col("s3") & (F.row_number().over(w) == 1)
+    )
+    grams = F.array_distinct(
+        _word_grams(tokens_expr(F.col("c")), DECON_NGRAM, as_hash=True)
+    )
+    g = base.select("doc_id", "bkt", F.explode(grams).alias("gh"))
+    bench = g.where(F.col("bkt") >= DECON_BENCH_MIN_BUCKET).select(
+        "gh", F.col("doc_id").alias("bench_id")
+    )
+    contam = (
+        g.join(F.broadcast(bench), "gh")
+        .where(F.col("bench_id") != F.col("doc_id"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("_contam", F.lit(True))
+    )
+    staged = (
+        ranked.join(contam, "doc_id", "left")
+        .withColumn("s5", F.col("s4") & F.col("_contam").isNull())
+        .withColumn("s6", F.col("s5") & (F.col("bkt") < DECON_TRAIN_MAX_BUCKET))
+    )
+    flags = [F.lit(True), F.col("s2"), F.col("s3"), F.col("s4"), F.col("s5"), F.col("s6")]
+    aggs = []
+    for i, fl in enumerate(flags):
+        aggs.append(F.sum(F.when(fl, 1).otherwise(0)).cast("long").alias(f"_n{i}"))
+        aggs.append(
+            F.sum(F.when(fl, F.col("n_tokens")).otherwise(0)).cast("long").alias(f"_t{i}")
+        )
+    row = staged.agg(*aggs)
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("stage_idx"),
+                        F.lit(name).alias("stage"),
+                        F.col(f"_n{i}").alias("n_docs"),
+                        F.col(f"_t{i}").alias("n_tokens"),
+                    )
+                    for i, name in enumerate(FUNNEL_STAGES)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
 _cur_feats = quality_features_sql("c")
 _SQL_CORPUS_CURATION = f"""
 WITH d AS (SELECT doc_id, lang, source, {CLEAN_SQL} AS c FROM documents),
@@ -948,6 +1041,40 @@ SELECT lang, source, count(*) AS n_loaded,
   CAST(sum(CASE WHEN pass AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
   CAST(sum(CASE WHEN pass AND rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
 FROM r GROUP BY lang, source
+"""
+
+
+def _sql_training_funnel() -> str:
+    nt, sc = _cur_feats["n_tokens"], _cur_feats["quality_score"]
+    bkt = f"({hash60_sql('CAST(doc_id AS VARCHAR)')} % 1000)"
+    stages = []
+    for i, name in enumerate(FUNNEL_STAGES):
+        cond = "TRUE" if i == 0 else f"s{i + 1}"
+        stages.append(
+            f"SELECT {i} AS stage_idx, '{name}' AS stage, "
+            f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs, "
+            f"CAST(sum(CASE WHEN {cond} THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens "
+            "FROM st"
+        )
+    body = " UNION ALL ".join(stages)
+    return f"""
+WITH d AS ({_CLEANED}),
+f AS (SELECT doc_id, c, {nt} AS n_tokens, {sc} AS score, {bkt} AS bkt FROM d),
+fl AS (SELECT *, (c <> '') AS s2,
+         ((c <> '') AND score >= CAST('{CURATION_MIN_SCORE}' AS DECIMAL(14,5))
+          AND n_tokens >= {CURATION_MIN_TOKENS}) AS s3 FROM f),
+rk AS (SELECT *, (s3 AND row_number() OVER (
+         PARTITION BY c ORDER BY s3 DESC, doc_id ASC) = 1) AS s4 FROM fl),
+t AS (SELECT doc_id, {bkt} AS bkt, {tokens_sql('c')} AS toks FROM d),
+g AS (SELECT doc_id, bkt, unnest(list_distinct({_grams_sql(DECON_NGRAM, hashed=True)})) AS gh
+      FROM t),
+contam AS (SELECT DISTINCT tr.doc_id FROM g tr
+           JOIN g be ON be.gh = tr.gh
+            AND be.bkt >= {DECON_BENCH_MIN_BUCKET} AND be.doc_id <> tr.doc_id),
+st AS (SELECT rk.*, (s4 AND c2.doc_id IS NULL) AS s5,
+         (s4 AND c2.doc_id IS NULL AND bkt < {DECON_TRAIN_MAX_BUCKET}) AS s6
+       FROM rk LEFT JOIN contam c2 ON c2.doc_id = rk.doc_id)
+{body}
 """
 
 
@@ -1422,6 +1549,7 @@ QUERIES = [
     QuerySpec("text_pii_scrub", _q_pii_scrub, _SQL_PII_SCRUB),
     QuerySpec("text_word_repetition", _q_word_repetition, _SQL_WORD_REPETITION),
     QuerySpec("docs_corpus_curation", _q_corpus_curation, _SQL_CORPUS_CURATION, headline=True),
+    QuerySpec("docs_training_funnel", _q_training_funnel, _sql_training_funnel()),
     QuerySpec("dedup_incremental", _q_dedup_incremental, _SQL_DEDUP_INCREMENTAL),
     QuerySpec("text_tfidf_top_terms", _q_tfidf_top_terms, _SQL_TFIDF),
     QuerySpec("docs_decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
