@@ -360,3 +360,85 @@ def test_asof_join_matches_bruteforce(spark, nearest, left, right):
             right,
             li,
         )
+
+
+# -- per-user OLS trend vs exact-rational brute force ------------------------
+
+_trend_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=200_000),    # seconds offset
+        st.integers(min_value=-99999, max_value=99999), # value in cents
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=_trend_events)
+def test_user_trend_matches_rational_brute_force(spark, rows):
+    """events_user_trend's statistics pipeline vs an exact Fraction OLS:
+    slopes/intercepts must agree to float precision, single-timestamp and
+    empty users must be absent (den > 0), and the applyInPandas twin must
+    return the SAME rows bit-for-bit (shared determinism contract)."""
+    import datetime
+    from fractions import Fraction
+
+    from yanwenxian_week3_data_pipeline_spark.plans.analytic_ext import (
+        TREND_EPOCH,
+        _q_user_trend,
+        _q_user_trend_pandas,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (
+            int(u),
+            int(1000 + 10 * u + i),
+            base + datetime.timedelta(seconds=off),
+            "view",
+            cents / 100.0,
+            "{}",
+        )
+        for i, (u, off, cents) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, event_id long, ts timestamp_ntz, event_type string, value double, props string"
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r.user_id: (r.n_events, r.slope_per_hour, r.intercept)
+        for r in _q_user_trend(spark, d).collect()
+    }
+    got_pd = {
+        r.user_id: (r.n_events, r.slope_per_hour, r.intercept)
+        for r in _q_user_trend_pandas(spark, d).collect()
+    }
+    assert got == got_pd  # bit-identical twins
+
+    # exact rational reference
+    by_user: dict[int, list] = {}
+    for u, off, cents in rows:
+        by_user.setdefault(u, []).append((off, Fraction(round(cents), 100)))
+    for u, pts in by_user.items():
+        n = len(pts)
+        sx = sum(Fraction(x) for x, _ in pts)
+        sxx = sum(Fraction(x) * x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(Fraction(x) * y for x, y in pts)
+        den = n * sxx - sx * sx
+        if den == 0:
+            assert u not in got
+            continue
+        slope = (n * sxy - sx * sy) / den
+        icpt = (sy - slope * sx) / n
+        assert u in got
+        gn, gs, gi = got[u]
+        assert gn == n
+        assert abs(gs - float(slope * 3600)) <= 1e-6 * max(1.0, abs(float(slope * 3600)))
+        assert abs(gi - float(icpt)) <= 1e-6 * max(1.0, abs(float(icpt)))
