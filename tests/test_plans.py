@@ -443,3 +443,15 @@ def test_timestamp_queries_are_session_timezone_proof(spark, sf_dir):
             assert got == base[n], f"{n} shifts with session timezone"
     finally:
         spark.conf.set(key, original)
+
+
+def test_training_funnel_plan_shape(spark, sf_dir):
+    """The funnel must stay a composition, not a per-stage rescan: the
+    documents table is scanned a bounded number of times (flags pass +
+    gram pass, never once per stage), the dedup window is the only wide
+    window, and the bench gram side arrives broadcast."""
+    plan = plan_of(spark, "docs_training_funnel", sf_dir)
+    assert node_count(plan, "Scan parquet") <= 3, plan.count("Scan parquet")
+    assert node_count(plan, "Window") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -138,3 +138,36 @@ def test_pyds_stream_tails_feed_directory(spark, tmp_path):
         for r in load_articles_pyds(spark, str(feed)).collect()
     }
     assert both == batch_ids
+
+
+def test_envelope_decode_helpers_pure():
+    """Pure-python contracts of the DataSource decode layer: envelope
+    dispatch for every shape (incl. non-dict entries and a non-list
+    wrapper payload) and canonical stringification of non-string JSON."""
+    from yanwenxian_week3_data_pipeline_spark.sources.articles_pyds import (
+        _cell,
+        _envelope_records,
+        _file_rows,
+    )
+
+    assert _envelope_records(None) == []
+    assert _envelope_records([{"a": 1}, "junk", 3]) == [{"a": 1}]
+    assert _envelope_records({"articles": [{"t": "x"}, 7]}) == [{"t": "x"}]
+    assert _envelope_records({"articles": "not-a-list"}) == []
+    assert _envelope_records({"title": "bare"}) == [{"title": "bare"}]
+    assert _envelope_records(42) == []
+
+    assert _cell(None) is None
+    assert _cell("s") == "s"
+    assert _cell(5) == "5"
+    assert _cell(True) == "true"
+    assert _cell({"k": [1, 2]}) == '{"k":[1,2]}'
+
+    import json as _json
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as f:
+        _json.dump([{"title": "A", "published": "2025-01-01"}], f)
+    rows = _file_rows(3, f.name)
+    assert rows[0][0] == (3 << 32)  # record_id = (file_seq<<32)|pos
+    assert "2025-01-01" in rows[0]  # published→published_date alias applied
