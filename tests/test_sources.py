@@ -59,3 +59,34 @@ def test_two_loaders_interleaved_share_session_safely(spark, sf_dir):
     load_events(spark, sf_dir).count()
     second = load_table(spark, sf_dir, "orders").orderBy("o_orderkey").limit(3).collect()
     assert first == second
+
+
+def test_jsonl_audited_separates_corrupt_lines(spark, tmp_path):
+    """The audited JSONL reader must route malformed lines to the reject
+    frame (raw text preserved) and keep exactly the parseable records in
+    the clean frame — no silent nulling."""
+    import json
+
+    from yanwenxian_week3_data_pipeline_spark.sources.articles_json import (
+        load_articles_jsonl,
+        load_articles_jsonl_audited,
+    )
+
+    p = tmp_path / "feed.jsonl"
+    good = [
+        {"title": "A", "content": "c1", "url": "https://x/1"},
+        {"title": "B", "content": "c2", "url": "https://x/2"},
+    ]
+    lines = [json.dumps(good[0]), "{broken json", json.dumps(good[1]), "also not json"]
+    p.write_text("\n".join(lines), encoding="utf-8")
+
+    clean, corrupt = load_articles_jsonl_audited(spark, str(p))
+    assert {r.title for r in clean.collect()} == {"A", "B"}
+    rejects = sorted(r.raw_line for r in corrupt.collect())
+    assert rejects == ["also not json", "{broken json"]
+
+    # the unaudited reader silently nulls the bad lines (the failure mode
+    # the audit channel exists to expose)
+    plain = load_articles_jsonl(spark, str(p))
+    assert plain.count() == 4
+    assert plain.where("title IS NULL AND content IS NULL AND url IS NULL").count() == 2

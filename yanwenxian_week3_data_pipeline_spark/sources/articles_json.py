@@ -94,6 +94,37 @@ def load_articles_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return conform(_with_record_id(df))
 
 
+def load_articles_jsonl_audited(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL read with a corrupt-record AUDIT channel: returns
+    ``(clean_df, corrupt_df)`` where corrupt_df carries the raw text of
+    every malformed line. The plain reader's PERMISSIVE mode silently
+    nulls unparseable lines — at feed scale that turns a producer bug into
+    quiet data loss; auditing the reject stream (count it, alert on it,
+    quarantine it) is the production contract. One scan serves both
+    frames; Spark's documented caveat applies: the corrupt column must be
+    selected through a cache/checkpoint boundary or a separate filtered
+    query, which is why this returns two frames off one cached read."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    audit_schema = StructType(
+        list(ARTICLE_SCHEMA.fields) + [StructField("_corrupt_record", StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(audit_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    corrupt = raw.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    clean = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return conform(_with_record_id(clean)), corrupt
+
+
 def _empty(spark: SparkSession) -> DataFrame:
     empty = spark.createDataFrame([], ARTICLE_SCHEMA)
     return conform(empty).withColumn(RECORD_ID, F.lit(None).cast("long")).select(
