@@ -568,3 +568,45 @@ def test_tws_plan_builds_without_protobuf(spark, stream_src):
         "total_value",
         "last_seen",
     ]
+
+
+def test_chained_stateful_dedup_then_window_matches_batch(spark, sf_dir, tmp_path):
+    """Two stateful operators chained in ONE streaming query: feed every
+    event twice, drain; the append-mode finalized windows must equal the
+    batch tumbling aggregate over DISTINCT events. Append mode only emits
+    windows the watermark has closed, so compare on the windows the stream
+    finalized (all but the tail window at the max timestamp)."""
+    from yanwenxian_week3_data_pipeline_spark.operators.sessionize import tumbling_window_agg
+    from yanwenxian_week3_data_pipeline_spark.sources.tables import load_events
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import (
+        JSON_TS_FORMAT,
+        dedup_then_tumbling_stream,
+        run_available_now,
+    )
+
+    d = str(tmp_path / "dup_feed")
+    ev = load_events(spark, sf_dir).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type", "value"
+    )
+    ev.unionAll(ev).coalesce(2).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(d)
+
+    got = run_available_now(
+        dedup_then_tumbling_stream(spark, d), "chained_stateful_test", "append"
+    )
+    rows = {
+        r.window_start.replace(tzinfo=None): (r.n_events, round(r.sum_value, 6))
+        for r in got.collect()
+    }
+
+    batch = tumbling_window_agg(load_events(spark, sf_dir), "1 hour")
+    expected = {
+        r.window_start: (r.n_events, round(float(r.sum_value), 6))
+        for r in batch.collect()
+    }
+    assert len(rows) > 0
+    for w, v in rows.items():
+        assert expected[w] == v, w
+    # every batch window except those past the final watermark is emitted
+    assert len(rows) >= len(expected) - 3

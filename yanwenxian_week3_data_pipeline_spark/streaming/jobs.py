@@ -290,6 +290,29 @@ def running_totals_tws(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def dedup_then_tumbling_stream(
+    spark: SparkSession,
+    src_dir: str,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query: at-least-once
+    feed dedup (``dropDuplicatesWithinWatermark`` on event_id) feeding a
+    watermarked tumbling aggregate — the canonical ingest topology
+    (exactly-once-ify, then aggregate) that required two queries with an
+    intermediate sink before Spark 3.4's multiple-stateful-operator
+    support. One watermark declared upstream drives state eviction in BOTH
+    operators; output is append-mode finalized windows."""
+    ev = read_event_stream(spark, src_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", duration).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
 def run_available_now(df: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
     """Drain the stream once (availableNow) into a memory sink; return the
     materialized result as a batch DataFrame. ``output_mode``: "append" for
