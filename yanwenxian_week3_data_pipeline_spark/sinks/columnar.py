@@ -30,6 +30,7 @@ def write_partitioned_parquet(
     target_file_partitions: bool = True,
     mode: str = "overwrite",
     rebalance: bool = False,
+    compression: str | None = None,
 ) -> None:
     """``rebalance=True`` swaps the hard ``repartition`` for the AQE
     REBALANCE hint: same one-file-per-partition-value goal, but a HOT
@@ -43,7 +44,13 @@ def write_partitioned_parquet(
         out = out.hint("rebalance", *partition_by) if rebalance else out.repartition(*partition_by)
     if sort_within_partitions:
         out = out.sortWithinPartitions(*sort_within_partitions)
-    out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    writer = out.write.mode(mode).partitionBy(*partition_by)
+    if compression:
+        # zstd ≈ 25-40% smaller than the snappy default on text-heavy
+        # columns at similar scan speed — at 100 TB that IS the storage
+        # bill; measured in tools/storage_audit.py
+        writer = writer.option("compression", compression)
+    writer.parquet(path)
 
 
 def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
