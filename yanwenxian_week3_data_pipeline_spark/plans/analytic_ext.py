@@ -1060,6 +1060,70 @@ FROM c, t WHERE n_occurrences * {HH_K} > n
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# events_audience_overlap — pairwise Jaccard between event-type audiences
+# (the segment-overlap matrix): distinct (type, user) pairs self-joined on
+# user count |A∩B| per ordered type pair; |A∪B| = |A|+|B|−|A∩B| by
+# inclusion-exclusion, so union never needs its own join. Scale shape: the
+# self-join keys on user_id (audience membership lists are never
+# collected), the per-type sizes broadcast back onto the tiny pair matrix,
+# and the distinct() is the only corpus-sized shuffle. All-integer math +
+# one rounded ratio.
+# ---------------------------------------------------------------------------
+
+def _q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    m = ev.select("event_type", "user_id").distinct()
+    sizes = m.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = m.alias("a"), m.alias("b")
+    inter = (
+        a.join(b, F.col("a.user_id") == F.col("b.user_id"))
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = F.broadcast(sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SQL_AUDIENCE_OVERLAP = """
+WITH m AS (SELECT DISTINCT event_type, user_id FROM events
+           WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+sizes AS (SELECT event_type, count(*) AS n FROM m GROUP BY event_type),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(n_both AS BIGINT) AS n_both,
+       round(n_both / (sa.n + sb.n - n_both), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # join_null_safe_events — null-safe equality join (Spark ``eqNullSafe`` ↔
 # SQL IS NOT DISTINCT FROM): two aggregates of the event stream keyed by a
 # NULLABLE derived key ('error' events are key-nulled) are re-joined on the
@@ -1292,4 +1356,5 @@ QUERIES = [
     QuerySpec("events_user_trend_pandas", _q_user_trend_pandas, _SQL_USER_TREND),
     QuerySpec("join_hint_shuffle_hash", _q_hint_shuffle_hash, _SQL_HINT_SHUFFLE_HASH),
     QuerySpec("join_null_safe_events", _q_null_safe_join, _SQL_NULL_SAFE_JOIN),
+    QuerySpec("events_audience_overlap", _q_audience_overlap, _SQL_AUDIENCE_OVERLAP),
 ]
