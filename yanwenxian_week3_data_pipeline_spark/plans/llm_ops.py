@@ -247,6 +247,45 @@ _SQL_FINGERPRINT = (
 )
 
 
+def _q_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset fingerprint — ONE row identifying the corpus version:
+    row count, bit-XOR and sum of per-doc content hashes (hash60 over
+    doc_id ⊕ cleaned text). Order- and partitioning-independent (XOR and
+    modular sum are commutative), so the same corpus yields the same id on
+    any cluster layout — the 'did my training input change?' check every
+    reproducible pipeline records next to its model artifacts. Detects
+    edits, drops, duplications, and id remaps in one scan with constant
+    output."""
+    d = _cleaned_docs(spark, sf_dir)
+    h = hash60_expr(F.concat_ws("\x01", F.col("doc_id").cast("string"), F.col("c")))
+    # modular sum through an exact DECIMAL(38,0) accumulator: 60-bit hash
+    # values overflow a plain long sum within 8 rows; decimal38 has ~1e17
+    # rows of headroom, and the 2^61-1 modulus of the exact sum is
+    # identical on both engines (DuckDB sums into HUGEINT)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bit_xor(h).alias("xor_hash"),
+        (
+            F.sum(h.cast("decimal(38,0)"))
+            % F.lit(CHECKSUM_MOD).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("sum_hash_mod"),
+    )
+
+
+CHECKSUM_MOD = (1 << 61) - 1
+
+_SQL_CORPUS_CHECKSUM = f"""
+WITH d AS ({_CLEANED}),
+h AS (SELECT {hash60_sql("concat_ws(chr(1), CAST(doc_id AS VARCHAR), c)")} AS hv FROM d)
+SELECT count(*) AS n_docs,
+       CAST(bit_xor(hv) AS BIGINT) AS xor_hash,
+       CAST(sum(hv) % 2305843009213693951 AS BIGINT) AS sum_hash_mod
+FROM h
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -1527,6 +1566,7 @@ QUERIES = [
     QuerySpec("docs_unigram_logprob", _q_unigram_logprob, _SQL_UNIGRAM_LOGPROB),
     QuerySpec("text_lang_id", _q_lang_id, _SQL_LANG_ID),
     QuerySpec("text_fingerprint", _q_fingerprint, _SQL_FINGERPRINT),
+    QuerySpec("docs_corpus_checksum", _q_corpus_checksum, _SQL_CORPUS_CHECKSUM),
     QuerySpec("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     QuerySpec("text_minhash_signature", _q_minhash_sig, _SQL_MINHASH_SIG),
     QuerySpec("dedup_minhash_lsh", _q_dedup_minhash, _SQL_DEDUP_MINHASH, headline=True),
