@@ -136,6 +136,72 @@ WINDOW w3 AS (PARTITION BY user_id ORDER BY valid_from)
 
 
 # ---------------------------------------------------------------------------
+# tbl_version_diff — corpus version diff (the CDC companion to
+# docs_corpus_checksum: checksum says WHETHER the dataset changed, this
+# says WHAT): two snapshot views derived deterministically from the
+# documents table (v1 drops doc_id % 11 == 0, v2 drops % 13 == 0 and
+# rewrites % 7 == 0 — the dedup_incremental precedent for simulating
+# versions inside one sf_dir), full-outer-joined on doc_id with per-row
+# content hashes compared → added / removed / changed / unchanged counts
+# per language. Scale shape: ONE full-outer shuffle join on the key;
+# content equality via the 60-bit hash, never string comparison of full
+# documents across the join.
+# ---------------------------------------------------------------------------
+
+def _q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import hash60_expr
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    v1 = d.where(F.col("doc_id") % 11 != 0).select(
+        "doc_id", "lang", hash60_expr(F.col("text")).alias("h1")
+    )
+    v2 = d.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        "lang",
+        hash60_expr(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(F.coalesce(F.col("a.lang"), F.col("b.lang")).alias("lang"), status.alias("status"))
+        .groupBy("lang", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_version_diff() -> str:
+    from ..functions.hashing import hash60_sql
+
+    edited = (
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END"
+    )
+    return f"""
+WITH v1 AS (SELECT doc_id, lang, {hash60_sql("text")} AS h1
+            FROM documents WHERE doc_id % 11 <> 0),
+v2 AS (SELECT doc_id, lang, {hash60_sql(edited)} AS h2
+       FROM documents WHERE doc_id % 13 <> 0),
+j AS (SELECT coalesce(v1.lang, v2.lang) AS lang,
+             CASE WHEN h1 IS NULL THEN 'added'
+                  WHEN h2 IS NULL THEN 'removed'
+                  WHEN h1 <> h2 THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+SELECT lang, status, count(*) AS n_docs FROM j GROUP BY lang, status
+"""
+
+
+# ---------------------------------------------------------------------------
 # tbl_incremental_hourly_agg — incremental aggregate maintenance: the batch
 # form of what a materialized view / streaming aggregation does. The
 # standing hourly aggregate (events before the cutover) is MERGED with the
@@ -335,5 +401,6 @@ QUERIES = [
     QuerySpec("tbl_scd2_history", _q_scd2_history, _SQL_SCD2_HISTORY),
     QuerySpec("join_scd2_point_in_time", _q_scd2_pit, _SQL_SCD2_PIT),
     QuerySpec("tbl_incremental_hourly_agg", _q_incremental_agg, _SQL_INCREMENTAL_AGG),
+    QuerySpec("tbl_version_diff", _q_version_diff, _sql_version_diff()),
     QuerySpec("dq_expectations_orders", _q_dq_expectations, _SQL_DQ_EXPECTATIONS),
 ]
