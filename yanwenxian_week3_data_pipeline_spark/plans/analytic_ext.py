@@ -1060,6 +1060,78 @@ FROM c, t WHERE n_occurrences * {HH_K} > n
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# events_sliding_distinct_users — EXACT distinct users per sliding window
+# (15 m span / 5 m slide): each event lands in 3 windows (explode of the
+# window buckets), then count(DISTINCT) per window. Distinct-counting is
+# the one aggregate partial aggregation can't compress (the Expand +
+# two-phase distinct plan Spark generates is the right shape); the HLL
+# variant for when exactness stops being worth the shuffle is
+# agg_hll_partial_union. Window origin alignment with DuckDB time_bucket
+# is the _SQL_SLIDING precedent (both origins are whole multiples of the
+# slide).
+# ---------------------------------------------------------------------------
+
+def _q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    return (
+        ev.select(F.window("ts", "15 minutes", "5 minutes").alias("w"), "user_id")
+        .groupBy(F.col("w.start").alias("window_start"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_SQL_SLIDING_DISTINCT = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - (k.k * INTERVAL '5 minutes') AS window_start,
+         user_id
+  FROM events, (SELECT unnest(range(0, 3)) AS k) k
+  WHERE user_id IS NOT NULL)
+SELECT window_start, count(DISTINCT user_id) AS n_users
+FROM expanded GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# basket_part_pairs — market-basket co-occurrence: for every pair of parts
+# appearing on the SAME order, support count and top-20 pairs. The
+# self-join keys on l_orderkey, whose group size is bounded by lines-per-
+# order (≤7 in TPC-H), so the pair blow-up is ≤ C(7,2) per order — a
+# bounded quadratic, the only kind allowed at scale (same guard philosophy
+# as the LSH bucket cap). Final top-k is TakeOrderedAndProject, total
+# order (count desc, pair asc) for cross-engine determinism.
+# ---------------------------------------------------------------------------
+
+def _q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+_SQL_BASKET_PAIRS = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_audience_overlap — pairwise Jaccard between event-type audiences
 # (the segment-overlap matrix): distinct (type, user) pairs self-joined on
 # user count |A∩B| per ordered type pair; |A∪B| = |A|+|B|−|A∩B| by
@@ -1357,4 +1429,6 @@ QUERIES = [
     QuerySpec("join_hint_shuffle_hash", _q_hint_shuffle_hash, _SQL_HINT_SHUFFLE_HASH),
     QuerySpec("join_null_safe_events", _q_null_safe_join, _SQL_NULL_SAFE_JOIN),
     QuerySpec("events_audience_overlap", _q_audience_overlap, _SQL_AUDIENCE_OVERLAP),
+    QuerySpec("events_sliding_distinct_users", _q_sliding_distinct, _SQL_SLIDING_DISTINCT),
+    QuerySpec("basket_part_pairs", _q_basket_pairs, _SQL_BASKET_PAIRS),
 ]
