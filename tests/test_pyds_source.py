@@ -153,7 +153,9 @@ def test_envelope_decode_helpers_pure():
     assert _envelope_records(None) == []
     assert _envelope_records([{"a": 1}, "junk", 3]) == [{"a": 1}]
     assert _envelope_records({"articles": [{"t": "x"}, 7]}) == [{"t": "x"}]
-    assert _envelope_records({"articles": "not-a-list"}) == []
+    # non-list "articles" payload: the reference FALLS THROUGH
+    # (cleaner.py:137-142) and wraps the whole dict as one record
+    assert _envelope_records({"articles": "not-a-list"}) == [{"articles": "not-a-list"}]
     assert _envelope_records({"title": "bare"}) == [{"title": "bare"}]
     assert _envelope_records(42) == []
 

@@ -1341,8 +1341,10 @@ def _q_user_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr(_TREND_X_EXPR).cast("long").alias("x"),
         # keep the raw double; the group fn applies the same DECIMAL(18,2)
-        # quantization exactly (ties need a double exactly midway between
-        # two cents — unrepresentable in binary, so HALF_UP == cast)
+        # quantization exactly. Both Spark's cast(decimal) and DuckDB round
+        # the SHORTEST DECIMAL REPR of the double (so 0.145 -> 0.15), not
+        # its exact binary expansion (0.1449999...) — hence Decimal(repr(v)),
+        # never Decimal(float(v)), or values like 2.675 diverge by a cent.
         F.col("value").alias("y"),
     )
 
@@ -1351,7 +1353,7 @@ def _q_user_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         cent = Decimal("0.01")
         xs = [int(v) for v in pdf["x"]]
-        ys = [Decimal(float(v)).quantize(cent, ROUND_HALF_UP) for v in pdf["y"]]
+        ys = [Decimal(repr(float(v))).quantize(cent, ROUND_HALF_UP) for v in pdf["y"]]
         n = len(xs)
         sx, sxx = sum(xs), sum(v * v for v in xs)
         sy = sum(ys, Decimal(0))

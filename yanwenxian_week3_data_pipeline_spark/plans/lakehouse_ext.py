@@ -222,7 +222,10 @@ INCR_CUTOVER = "2024-01-16 00:00:00"
 def _q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import load_events
 
-    e = load_events(spark, sf_dir)
+    # null-ts events are EXCLUDED by declaration (they belong to no window);
+    # the oracle filters them identically so the rule is part of the contract
+    # rather than an accident of which side of the cutover nulls fall on
+    e = load_events(spark, sf_dir).where(F.col("ts").isNotNull())
     cut = F.lit(INCR_CUTOVER).cast("timestamp_ntz")
 
     from .analytic_ext import _hour_ntz
@@ -257,7 +260,7 @@ _SQL_INCREMENTAL_AGG = """
 SELECT date_trunc('hour', ts) AS window_start,
        count(*) AS n_events,
        sum(CAST(value AS DECIMAL(18,2))) AS sum_value
-FROM events GROUP BY 1
+FROM events WHERE ts IS NOT NULL GROUP BY 1
 """
 
 

@@ -734,13 +734,15 @@ def _q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     access is ``variant_get`` with a target type — at scale this beats
     re-tokenizing the JSON text per extracted field (get_json_object parses
     the string on every call), and a variant column persisted to parquet
-    keeps the decoded form across queries. ``try_parse_json`` is the
-    dirty-feed entry (null instead of error on malformed rows). Shares
+    keeps the decoded form across queries. ``try_parse_json`` (null instead
+    of error on malformed rows) is used, NOT ``parse_json``: the query it
+    twins (get_json_object) and their shared oracle both null-tolerate bad
+    JSON, so the variant's failure semantics must match. Shares
     events_json_props' oracle — the surfaces must agree exactly."""
     from ..sources.tables import load_events
 
     ev = load_events(spark, sf_dir)
-    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    k = F.variant_get(F.try_parse_json("props"), "$.k", "long")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

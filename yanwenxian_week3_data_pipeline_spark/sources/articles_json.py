@@ -74,9 +74,13 @@ def load_articles(spark: SparkSession, path: str) -> DataFrame:
     if not cols or cols == ["_corrupt_record"]:
         return _empty(spark)
 
-    if "articles" in cols:
+    from pyspark.sql.types import ArrayType
+
+    if "articles" in cols and isinstance(raw.schema["articles"].dataType, ArrayType):
         # {"articles": [...]} wrapper — posexplode keeps the array position
-        # so ingest order stays deterministic
+        # so ingest order stays deterministic. A NON-list "articles" value
+        # falls through: the reference (cleaner.py:137-142) wraps the whole
+        # dict as one record in that case, same as the bare-object shape.
         arr = raw.select(F.posexplode_outer("articles").alias("_pos", "_a"))
         df = arr.select(F.col("_pos"), F.col("_a.*")).sort("_pos").drop("_pos")
     else:
@@ -105,7 +109,12 @@ def load_articles_jsonl_audited(
     quarantine it) is the production contract. One scan serves both
     frames; Spark's documented caveat applies: the corrupt column must be
     selected through a cache/checkpoint boundary or a separate filtered
-    query, which is why this returns two frames off one cached read."""
+    query, which is why both frames derive from one cached read. The cache
+    is SCOPED TO THIS CALL: both frames are materialized to eager local
+    checkpoints (lineage truncated, blocks owned by the frames and freed by
+    the ContextCleaner when they are GC'd) and the raw JSON-scan cache is
+    unpersisted before returning — repeated audited loads do not accumulate
+    session-lifetime cached scans."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     audit_schema = StructType(
@@ -120,9 +129,12 @@ def load_articles_jsonl_audited(
     )
     corrupt = raw.where(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
-    )
-    clean = raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    return conform(_with_record_id(clean)), corrupt
+    ).localCheckpoint(eager=True)
+    clean = conform(
+        _with_record_id(raw.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record"))
+    ).localCheckpoint(eager=True)
+    raw.unpersist()
+    return clean, corrupt
 
 
 def _empty(spark: SparkSession) -> DataFrame:

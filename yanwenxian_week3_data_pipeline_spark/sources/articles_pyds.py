@@ -65,7 +65,10 @@ def _envelope_records(doc) -> list:
         return [r for r in doc if isinstance(r, dict)]
     if isinstance(doc, dict) and "articles" in doc:
         arr = doc["articles"]
-        return [r for r in arr if isinstance(r, dict)] if isinstance(arr, list) else []
+        if isinstance(arr, list):
+            return [r for r in arr if isinstance(r, dict)]
+        # non-list "articles" value: the reference FALLS THROUGH
+        # (cleaner.py:137-142) and wraps the whole dict as one record
     if isinstance(doc, dict):
         return [doc]
     return []
