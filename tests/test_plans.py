@@ -455,3 +455,28 @@ def test_training_funnel_plan_shape(spark, sf_dir):
     assert node_count(plan, "Window") == 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_no_full_vocab_sort(spark, sf_dir):
+    """A 100 TB corpus has billions of distinct tokens, so the ranking must
+    never globally sort the vocabulary: top-K flows through
+    TakeOrderedAndProject (per-task local top-K, K·partitions rows move),
+    and the rank/cumsum window runs only over the K survivors — which means
+    NO post-window Filter on rank exists (the old shape computed rank over
+    every distinct token and filtered after)."""
+    plan = plan_of(spark, "docs_vocab_coverage", sf_dir)
+    assert node_count(plan, "TakeOrderedAndProject") == 1
+    # the window's input is the K-row limit, so rank is never filtered
+    assert not re.search(r"^\(\d+\) Filter.*\n.*rank", plan, flags=re.M), plan
+
+
+def test_equidepth_no_single_partition_sort(spark, sf_dir):
+    """Exact decile cuts must come from the distributed length-histogram +
+    partition-offset path: no window function at all (the old shape ranked
+    every document through one partition) and no single-partition Exchange
+    anywhere in the plan — the only driver-side data is one subtotal row
+    per partition."""
+    plan = plan_of(spark, "docs_equidepth_histogram", sf_dir)
+    assert node_count(plan, "Window") == 0
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "MapInPandas" in plan

@@ -455,9 +455,16 @@ FROM cand WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DISTANCE}
 # corpus frequency with each token's cumulative coverage of all token
 # occurrences (the curve read before fixing a tokenizer vocab size). The
 # heavy work is the token groupBy (map-side partial, one shuffle on the
-# token); the ranking window then runs over the VOCABULARY (≪ corpus, and
-# bounded by the language), so the unpartitioned window is safe at any
-# corpus size.
+# token). Ranking must NOT window over the whole vocabulary — a 100 TB web
+# corpus has billions of distinct junk tokens, so that window is a
+# single-partition sort of the distinct-token table. Instead: top-K via
+# orderBy().limit(K) (TakeOrderedAndProject — each task keeps its local
+# top-K, only K·partitions rows ever leave the scan), the global
+# occurrence total as a broadcast 1-row crossJoin, and the rank/cumsum
+# window over exactly the K surviving rows (K-bounded, not
+# data-proportional). Both branches aggregate the same counts frame, so
+# the token-shuffle exchange is planned once and reused. Plan-shape pinned
+# by tests/test_plans.py::test_vocab_coverage_no_full_vocab_sort.
 # ---------------------------------------------------------------------------
 
 VOCAB_TOPK = 30
@@ -469,19 +476,17 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokens_expr(clean_text_expr(F.col("text")))).alias("tok")
     )
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_occ"))
+    topk = counts.orderBy(F.desc("n_occ"), F.asc("tok")).limit(VOCAB_TOPK)
+    total = counts.agg(F.sum("n_occ").alias("_tot"))
     w_rank = Window.orderBy(F.desc("n_occ"), F.asc("tok"))
     w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    return (
-        counts.select(
-            "tok",
-            "n_occ",
-            F.row_number().over(w_rank).alias("rank"),
-            F.round(
-                F.sum("n_occ").over(w_cum) / F.sum("n_occ").over(w_all), 6
-            ).alias("cum_coverage"),
-        )
-        .where(F.col("rank") <= VOCAB_TOPK)
+    return topk.crossJoin(F.broadcast(total)).select(
+        "tok",
+        "n_occ",
+        F.row_number().over(w_rank).alias("rank"),
+        F.round(F.sum("n_occ").over(w_cum) / F.col("_tot"), 6).alias(
+            "cum_coverage"
+        ),
     )
 
 
@@ -509,24 +514,70 @@ FROM r WHERE rank <= {VOCAB_TOPK}
 # neither is used — both engines rank by (n_chars, doc_id) and select rank
 # (n·i + 9) div 10 with INTEGER arithmetic, so the cut values are
 # identical by construction. Ties share a bucket (bucketing is by value),
-# so depths are ~n/10, exactly reproducible. The global ranking window is
-# the exact-quantile path and the point of this query; the at-scale
-# approximation swaps in approx_percentile cuts without changing the
-# bucketing shape.
+# so depths are ~n/10, exactly reproducible.
+#
+# The EXACT ranks are computed fully distributed — no row_number over the
+# corpus. Key observation: the n_chars value at global rank t in
+# (n_chars, doc_id) order depends only on the LENGTH HISTOGRAM — it is
+# the value v with cum(<v) < t <= cum(<=v) (the doc_id tiebreak orders
+# equal-valued rows among themselves but never changes which VALUE sits
+# at a rank). So: groupBy(n_chars) → range-repartition the histogram →
+# eager local checkpoint (pins partition contents, so the offsets job and
+# the cuts job see identical partitioning) → per-partition subtotals (one
+# tiny collect, the record_id offset technique from
+# sources/articles_json.py:30-60) → mapInPandas running cumulative sum
+# with the partition's global offset → each decile target joins the one
+# histogram row whose [cum_lo, cum_hi) span contains it. Every stage is
+# parallel; the only driver data is one row per partition. Plan-shape
+# pinned by tests/test_plans.py::test_equidepth_no_single_partition_sort.
 # ---------------------------------------------------------------------------
 
 def _q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     d = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    total = d.agg(F.count(F.lit(1)).alias("n"))
-    ranked = d.withColumn(
-        "rn", F.row_number().over(Window.orderBy("n_chars", "doc_id"))
+    hist = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        hist.repartitionByRange(nparts, "n_chars")
+        .sortWithinPartitions("n_chars")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    idxs = total.select(
-        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("i"), "n"
-    ).select("i", F.expr("(n * i + 9) div 10").alias("target"))
-    cuts = ranked.join(F.broadcast(idxs), ranked.rn == idxs.target).select(
-        F.col("n_chars").alias("cut")
+    psums = {
+        int(r["_pid"]): int(r["s"])
+        for r in ranged.groupBy("_pid").agg(F.sum("cnt").alias("s")).collect()
+    }
+    n = sum(psums.values())
+    offsets, acc = {}, 0
+    for pid in sorted(psums):
+        offsets[pid] = acc
+        acc += psums[pid]
+
+    def running_cum(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            c = pdf["cnt"].to_numpy()
+            hi = run + np.cumsum(c)
+            run = int(hi[-1])
+            yield pd.DataFrame(
+                {"n_chars": pdf["n_chars"], "cnt": c, "cum_hi": hi}
+            )
+
+    cum = ranged.mapInPandas(running_cum, "n_chars long, cnt long, cum_hi long")
+    targets = spark.createDataFrame(
+        [((n * i + 9) // 10,) for i in range(1, 10)], "target long"
     )
+    cuts = cum.join(
+        F.broadcast(targets),
+        (F.col("cum_hi") >= F.col("target"))
+        & (F.col("cum_hi") - F.col("cnt") < F.col("target")),
+    ).select(F.col("n_chars").alias("cut"))
     bucketed = (
         d.join(F.broadcast(cuts), d.n_chars > cuts.cut, "left")
         .groupBy("doc_id", "n_chars")
