@@ -170,11 +170,33 @@ def run_cleaning_pipeline(
 
     # failed-record details carry the reference's index: the 0-based position
     # in the POST-DEDUP frame (cleaner.py reset_index after dedup), not the
-    # ingest record_id. The unpartitioned row_number window is confined to
-    # this report-detail path (which enumerates every failed record anyway —
-    # inherently driver-bound); the funnel aggregates above stay parallel.
-    w_pos = Window.orderBy(F.col(RECORD_ID).asc())
-    kept_pos = flagged.where(kept).withColumn("_cleaned_idx", F.row_number().over(w_pos) - 1)
+    # ingest record_id. The rank uses the same partition-offset technique as
+    # record_id assignment (sources/articles_json.py:30-60): range-partition
+    # the kept rows on record_id, collect one subtotal row per partition,
+    # and add each partition's global offset to its local row_number — no
+    # unpartitioned window (the old shape dragged every kept row through a
+    # single task). Both jobs recompute the range exchange from the cached
+    # `flagged`, and RangePartitioner sampling is deterministic per input
+    # partition, so the pid assignment is identical across the two jobs.
+    nparts = max(2, spark.sparkContext.defaultParallelism)
+    ranged = (
+        flagged.where(kept)
+        .select(RECORD_ID, "passed", "reason", "message")
+        .repartitionByRange(nparts, F.col(RECORD_ID).asc())
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    off_rows, off_acc = [], 0
+    for pid, cnt in sorted(
+        (int(r["_pid"]), int(r["n"]))
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    ):
+        off_rows.append((pid, off_acc))
+        off_acc += cnt
+    off = spark.createDataFrame(off_rows, "_pid int, _off long")
+    w_local = Window.partitionBy("_pid").orderBy(F.col(RECORD_ID).asc())
+    kept_pos = ranged.join(F.broadcast(off), "_pid").withColumn(
+        "_cleaned_idx", F.row_number().over(w_local) - 1 + F.col("_off")
+    )
     failed = kept_pos.where(~F.col("passed"))
     # distribution order = Counter.most_common: count desc, ties by first
     # occurrence (validator.py:155 insertion order == cleaned-index order)
