@@ -285,6 +285,39 @@ def test_connected_components_chain_and_isolates(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_adversarial_long_chain(spark):
+    """Star contraction must label a path graph whose DIAMETER far exceeds
+    the round cap — the case where min-label propagation (rounds = hop
+    distance to the minimum) silently returns wrong clusters. A 257-node
+    chain with the minimum at one end, ids shuffled so the walk order never
+    matches the id order, plus a second 64-node chain and a self-loop-only
+    node; fixpoint must land in O(log n) rounds."""
+    import random
+
+    from yanwenxian_week3_data_pipeline_spark.operators.components import (
+        star_contraction,
+    )
+
+    rng = random.Random(7)
+    ids = list(range(1000, 1257))
+    rng.shuffle(ids)
+    chain = [min(ids)] + [i for i in ids if i != min(ids)]
+    edges = [(chain[i], chain[i + 1]) for i in range(len(chain) - 1)]
+    ids2 = list(range(5000, 5064))
+    rng.shuffle(ids2)
+    edges += [(ids2[i], ids2[i + 1]) for i in range(len(ids2) - 1)]
+    edges += [(42, 42)]  # self-loop-only node still gets labeled
+    labels, rounds = star_contraction(
+        spark.createDataFrame(edges, "src long, dst long"), "src", "dst"
+    )
+    got = {r.node: r.comp for r in labels.collect()}
+    assert len(got) == 257 + 64 + 1
+    assert all(got[i] == 1000 for i in ids)
+    assert all(got[i] == 5000 for i in ids2)
+    assert got[42] == 42
+    assert rounds <= 12, rounds  # O(log n), nowhere near diameter 256
+
+
 def test_partitioned_parquet_roundtrip_prunes(spark, sf_dir, tmp_path):
     from yanwenxian_week3_data_pipeline_spark.sinks.columnar import (
         read_partitioned_parquet,

@@ -78,6 +78,33 @@ def main() -> None:
         n = qs[name].build(spark, out_dir).count()
         print(f"{name}: {time.time() - t0:.1f}s rows={n}")
 
+    # adversarial connected components: a single path graph of n_docs nodes
+    # (diameter n_docs-1) with shuffled ids — the shape where min-label
+    # propagation needs diameter-many rounds; star contraction must land
+    # the fixpoint in O(log n) rounds
+    import random as _r
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from yanwenxian_week3_data_pipeline_spark.operators.components import (
+        star_contraction,
+    )
+
+    _r.seed(7)
+    ids = list(range(n_docs))
+    _r.shuffle(ids)
+    chain = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)], "src long, dst long"
+    )
+    t0 = time.time()
+    labels, rounds = star_contraction(chain, "src", "dst", max_iter=40)
+    n_comp = labels.select("comp").distinct().count()
+    ok = n_comp == 1 and labels.agg(F.min("comp")).collect()[0][0] == 0
+    print(
+        f"cc_long_chain: {time.time() - t0:.1f}s nodes={n_docs} "
+        f"diameter={n_docs - 1} rounds={rounds} correct={ok}"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -5,31 +5,139 @@ LSH emits pairs; production dedup needs "which documents form one duplicate
 group, and which single one do we keep". That's connected components on the
 pair graph with the canonical representative = min id per component.
 
-Algorithm: iterated min-label propagation, all in DataFrame ops:
+Algorithm: alternating **large-star / small-star** contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+adversary-proof choice. Naive min-label propagation needs as many rounds as
+the longest hop distance to the component minimum, so a 200-node chain
+silently exceeds any fixed round cap; star contraction halves component
+diameters every round and converges in **O(log n) rounds on any graph
+shape** (a 1M-node path needs ~20 rounds, not 1M).
 
-    label(v) ← min(label(v), min_{(u,v)∈E} label(u))    until fixpoint
+Per round, on edges oriented larger-endpoint-first ``(u, v), u > v``:
 
-Each round is one shuffle join (edges ⋈ labels on the source endpoint) plus
-one shuffle aggregate (min per node). Rounds needed = the longest hop
-distance from any node to its component's minimum — for near-dup graphs
-(small, near-clique clusters produced by LSH banding) this is 2-4 rounds.
-For adversarial long-chain graphs the alternating large-star/small-star
-algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14) converges in O(log n) rounds with the same per-round shuffle cost;
-swap it in if cluster diameters grow.
+    large-star:  for each u, m = min(Γ(u) ∪ {u});
+                 every neighbor v > u re-attaches as (v, m)
+    small-star:  for each u, m = min of its smaller neighbors;
+                 (x, m) for x ∈ smaller-neighbors ∪ {u}, x ≠ m
 
-Scale notes: the labels frame is persisted each round (it feeds both the
-next join and the convergence check) and the previous round is unpersisted;
-lineage is truncated through the persist so 20 rounds don't build a
-20-deep recompute tree. The convergence check is a count of changed labels
-— one lightweight action per round, the standard price of an iterative
-fixpoint on Spark.
+Each phase is one shuffle aggregate (min per node) plus one shuffle join —
+the same per-round cost the propagation loop paid, but log-many rounds.
+Fixpoint = the edge set is a star forest rooted at each component's min;
+detected by an (edge-count, hash-sum) fingerprint — one lightweight action
+per round, with the hash summed in DECIMAL(38,0) so a billion-edge
+fingerprint cannot overflow a long.
+
+Scale notes: each round's edge frame is cut to an EAGER LOCAL CHECKPOINT,
+not merely persisted — a persisted frame still carries its full logical
+plan, and one star round references its input ~a dozen times (symmetrize,
+min-join, re-orient), so plan size would grow exponentially with rounds
+and OOM the driver during analysis long before the data does. The
+checkpoint restarts every round from an ExistingRDD scan (constant-size
+plan, lineage depth 1); checkpoint blocks are reference-counted and freed
+by the ContextCleaner. Self-loops are dropped up front (a node whose only
+edges are self-loops is still labeled, via the node-set left join at the
+end).
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.storagelevel import StorageLevel
+
+log = logging.getLogger(__name__)
+
+
+def star_contraction(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 20,
+) -> tuple[DataFrame, int]:
+    """Run alternating large-star/small-star to fixpoint; return
+    ``((node, comp) labels, rounds_to_fixpoint)``. Every node appearing in
+    ``edges`` (including self-loop-only nodes) is labeled; isolated nodes
+    (absent from ``edges``) are absent — callers coalesce to the node id."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes.count()
+
+    cur = (
+        e.where(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = _fingerprint(cur)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # large-star: m(u) = min(Γ(u) ∪ {u}); larger neighbors re-attach to m
+        sym = cur.select("u", "v").union(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_ls = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", "u").alias("m")
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m_ls, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # small-star reads it twice
+        )
+        # small-star on the large-star output (still oriented u > v):
+        # m(u) = min of u's smaller neighbors; they and u collapse onto m
+        m_ss = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(m_ss, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m_ss.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fp = _fingerprint(small)
+        cur = small
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        log.warning("star_contraction: no fixpoint within %d rounds", max_iter)
+
+    # at fixpoint each u carries exactly one edge (its root); the min-agg
+    # keeps the labels well-formed (one row per node) even if max_iter cut
+    # the loop short of fixpoint
+    roots = (
+        cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
+    labels = (
+        nodes.join(roots, "node", "left")
+        .select("node", F.coalesce("comp", "node").alias("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels.count()
+    nodes.unpersist()
+    return labels, rounds
+
+
+def _fingerprint(edge_df: DataFrame) -> tuple:
+    """(count, decimal hash-sum) of an edge set — cheap set-equality proxy
+    for fixpoint detection. DECIMAL(38,0) accumulator: a sum of 64-bit
+    hashes overflows BIGINT within a handful of rows."""
+    r = edge_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return int(r["n"]), (None if r["h"] is None else int(r["h"]))
 
 
 def connected_components(
@@ -42,40 +150,6 @@ def connected_components(
     the minimum node id in the node's connected component. Isolated nodes
     (absent from ``edges``) are absent from the result — callers coalesce
     to the node's own id."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
-
-    persisted = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    persisted.count()
-    labels = persisted
-
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["a"] == labels["node"])
-            .select(F.col("b").alias("node"), "comp")
-            .groupBy("node")
-            .agg(F.min("comp").alias("nbr_comp"))
-        )
-        new_persisted = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        n_changed = new_persisted.where(F.col("_changed")).count()
-        persisted.unpersist()
-        persisted = new_persisted
-        labels = new_persisted.drop("_changed")
-        if n_changed == 0:
-            break
-    sym.unpersist()
+    labels, rounds = star_contraction(edges, src, dst, max_iter)
+    log.info("connected_components: fixpoint after %d star rounds", rounds)
     return labels
