@@ -1,0 +1,135 @@
+"""Scale stress for the LLM headline set: dedup_minhash_lsh,
+dedup_embedding_lsh, sim_cosine_topk at 1×/3×/10× the sf0.1 corpus.
+
+The bench's 2× gate is measured at sf0.1 only; this harness is the
+evidence that the banded/bucketed formulations stay NEAR-LINEAR as the
+corpus grows — the property that separates an LSH join from an all-pairs
+join (which would grow quadratically and show up immediately in the
+wall(k)/wall(1) ratios printed at the end).
+
+Replicas are PERTURBED, not copied — and the perturbation must change the
+ANSWER linearly, or the measurement is meaningless: a verbatim k× copy
+makes every document a k-clique of exact duplicates, growing TRUE pair
+counts by k(k-1)/2, and quadratic answer growth would wrongly read as
+candidate blowup. So each replica r > 0 applies a STRUCTURE-PRESERVING relabeling:
+- every token is prefixed with the replica tag (``quick`` → ``r2_quick``)
+  — a bijective vocabulary renaming, so every within-replica Jaccard is
+  EXACTLY the base corpus's, while cross-replica token sets are disjoint
+  (Jaccard 0). Appending shared filler instead would RAISE every
+  within-replica Jaccard and melt the LSH buckets — measured: 9× wall at
+  3× data before this construction;
+- every embedding is CYCLICALLY ROLLED by r·11 coordinates (a fixed
+  permutation preserves all pairwise cosines WITHIN the replica exactly,
+  while across replicas rolled vectors decorrelate to ~0 cosine, far
+  below the 0.4 pair threshold).
+True-pair density per replica is therefore constant and the answer grows
+~k, so the wall(k)/wall(1) ratios measure the ENGINE, not the workload.
+
+Usage: python tools/stress_llm.py [base_sf_dir] [out_root]
+  base_sf_dir  default /root/testdata/sf0.1
+  out_root     default /tmp/llm_scale
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SCALES = [1, 3, 10]
+QUERIES = ["dedup_minhash_lsh", "dedup_embedding_lsh", "sim_cosine_topk"]
+
+
+def generate(spark, base_dir: str, out_dir: str, k: int) -> None:
+    from pyspark.sql import functions as F  # noqa: N812
+
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_vecs = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split("text", " "),
+                        lambda t: F.concat(F.lit("r"), F.col("rep"), F.lit("_"), t),
+                    ),
+                )
+            )
+            .alias("text"),
+            "lang",
+            "source",
+            F.when(F.col("rep") == 0, F.col("n_chars"))
+            .otherwise(
+                F.col("n_chars")
+                + F.size(F.split("text", " ")) * (F.length(F.col("rep").cast("string")) + 2)
+            )
+            .alias("n_chars"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/documents.parquet")
+    )
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * n_vecs).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.element_at(
+                    "embedding",
+                    ((i + F.col("rep") * 11) % F.size("embedding") + 1).cast("int"),
+                ),
+            ).alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/embeddings.parquet")
+    )
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/llm_scale"
+
+    from yanwenxian_week3_data_pipeline_spark.plans import all_queries
+    from yanwenxian_week3_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("stress_llm")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    walls: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    for k in SCALES:
+        out = f"{root}_{k}x"
+        generate(spark, base, out, k)
+        n_docs = spark.read.parquet(f"{out}/documents.parquet").count()
+        n_vecs = spark.read.parquet(f"{out}/embeddings.parquet").count()
+        print(f"-- scale {k}x: {n_docs} docs / {n_vecs} vectors")
+        for name in QUERIES:
+            qs[name].build(spark, out).count()  # warm (plan + shuffle files)
+            t0 = time.time()
+            rows = qs[name].build(spark, out).count()
+            dt = time.time() - t0
+            walls[name][k] = dt
+            print(f"{name}: {dt:.2f}s rows={rows} docs_per_s={n_docs / dt:,.0f}")
+
+    print("-- linearity (wall(k)/wall(1) vs k; ~k = linear, ~k^2 = quadratic)")
+    for name in QUERIES:
+        w1 = walls[name][SCALES[0]]
+        ratios = " ".join(f"{k}x:{walls[name][k] / w1:.2f}" for k in SCALES)
+        print(f"{name}: {ratios}")
+
+
+if __name__ == "__main__":
+    main()
