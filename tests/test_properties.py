@@ -442,3 +442,75 @@ def test_user_trend_matches_rational_brute_force(spark, rows):
         assert gn == n
         assert abs(gs - float(slope * 3600)) <= 1e-6 * max(1.0, abs(float(slope * 3600)))
         assert abs(gi - float(icpt)) <= 1e-6 * max(1.0, abs(float(icpt)))
+
+
+def test_repeated_spans_merged_matches_bruteforce(spark):
+    """dedup_repeated_spans_merged vs an independent pure-Python reference:
+    mark every 8-token span whose text occurs in >=2 distinct docs, merge
+    positions whose gap <= N into maximal intervals, roll up per doc. The
+    corpus plants shared blocks (longer than N, overlapping, exactly-N,
+    adjacent-but-mergeable and isolated) across random filler."""
+    import random
+
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        REPEATED_SPAN_N as N,
+        REPEATED_SPAN_TOPK as TOPK,
+    )
+    from yanwenxian_week3_data_pipeline_spark.plans.llm_ops import (
+        _q_repeated_spans_merged,
+    )
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(60)]
+    blocks = [
+        [f"b{j}x{i}" for i in range(ln)]
+        for j, ln in enumerate([N, N + 1, 2 * N, 3 * N + 2, N + 5])
+    ]
+    docs = []
+    for d in range(24):
+        toks = [vocab[rng.randrange(60)] for _ in range(rng.randint(12, 80))]
+        for _ in range(rng.randint(0, 3)):
+            b = blocks[rng.randrange(len(blocks))]
+            at = rng.randrange(len(toks) + 1)
+            toks = toks[:at] + b + toks[at:]
+        docs.append(" ".join(toks))
+
+    # pure-Python reference
+    from collections import defaultdict
+
+    span_docs: dict[tuple, set] = defaultdict(set)
+    doc_spans = []
+    for did, text in enumerate(docs):
+        toks = text.split(" ")
+        spans = [tuple(toks[p : p + N]) for p in range(len(toks) - N + 1)]
+        doc_spans.append(spans)
+        for s in spans:
+            span_docs[s].add(did)
+    expected = {}
+    for did, spans in enumerate(doc_spans):
+        pos = [p for p, s in enumerate(spans) if len(span_docs[s]) >= 2]
+        if not pos:
+            continue
+        ivs, start, prev = [], pos[0], pos[0]
+        for p in pos[1:]:
+            if p - prev > N:
+                ivs.append((start, prev + N))
+                start = p
+            prev = p
+        ivs.append((start, prev + N))
+        lens = [e - s for s, e in ivs]
+        expected[did] = (len(ivs), sum(lens), max(lens))
+    top = sorted(expected.items(), key=lambda kv: (-kv[1][1], kv[0]))[:TOPK]
+
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t, "en", "syn", len(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = [
+        (r.doc_id, (r.n_intervals, r.covered_toks, r.longest_span))
+        for r in _q_repeated_spans_merged(spark, tmp).collect()
+    ]
+    assert got == top

@@ -1404,6 +1404,85 @@ ORDER BY repeated_frac DESC, g.doc_id ASC LIMIT {REPEATED_SPAN_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# dedup_repeated_spans_merged — the ACTIONABLE form of the repeated-span
+# signal: per document, overlapping/adjacent cross-document-repeated spans
+# are merged into MAXIMAL repeated token intervals [start_tok, end_tok) —
+# exactly what a span-removal curation pass cuts out of the text (vs the
+# sibling query's per-doc fraction, which only ranks docs). Merge rule:
+# span positions p < p' belong to one interval iff p' - p ≤ N (their
+# N-token windows overlap or touch), i.e. the classic gaps-and-islands
+# break when the position gap exceeds N.
+# Scale shape: one span stream linear in corpus tokens; repetition is
+# marked by a window keyed on the span hash (min≠max doc, single scan);
+# island numbering and interval rollup are windows/groupBys PARTITIONED BY
+# doc_id — every stage shuffles on a key with linear cardinality, nothing
+# global, nothing pairwise.
+# ---------------------------------------------------------------------------
+
+
+def _q_repeated_spans_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    n = REPEATED_SPAN_N
+    d = _cleaned_docs(spark, sf_dir).select("doc_id", "c")
+    grams = _word_grams(tokens_expr(F.col("c")), n, as_hash=True)
+    spans = d.select("doc_id", F.posexplode(grams).alias("pos", "gh"))
+    w_gh = Window.partitionBy("gh")
+    rep = (
+        spans.withColumn(
+            "is_rep", F.min("doc_id").over(w_gh) != F.max("doc_id").over(w_gh)
+        )
+        .where("is_rep")
+        .select("doc_id", "pos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w_doc)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > n), 1).otherwise(0)
+    islands = rep.withColumn(
+        "island",
+        F.sum(brk).over(w_doc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + n).alias("e")
+    )
+    return (
+        intervals.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(F.col("e") - F.col("s")).alias("covered_toks"),
+            F.max(F.col("e") - F.col("s")).alias("longest_span"),
+        )
+        .orderBy(F.desc("covered_toks"), F.asc("doc_id"))
+        .limit(REPEATED_SPAN_TOPK)
+    )
+
+
+_SQL_REPEATED_SPANS_MERGED = f"""
+WITH d AS ({_CLEANED}),
+t AS (SELECT doc_id, {tokens_sql('c')} AS toks FROM d),
+t2 AS (SELECT doc_id, {_grams_sql(REPEATED_SPAN_N, hashed=True)} AS gl FROM t),
+g AS (SELECT doc_id, unnest(gl) AS gh, unnest(range(len(gl))) AS pos FROM t2),
+x AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) != max(doc_id)),
+r AS (SELECT g.doc_id, g.pos FROM g JOIN x USING (gh)),
+i AS (SELECT doc_id, pos,
+        CASE WHEN coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                           > {REPEATED_SPAN_N}, TRUE) THEN 1 ELSE 0 END AS brk
+      FROM r),
+il AS (SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+       FROM i),
+iv AS (SELECT doc_id, island, min(pos) AS s, max(pos) + {REPEATED_SPAN_N} AS e
+       FROM il GROUP BY doc_id, island)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(e - s) AS BIGINT) AS covered_toks,
+       CAST(max(e - s) AS BIGINT) AS longest_span
+FROM iv GROUP BY doc_id
+ORDER BY covered_toks DESC, doc_id ASC LIMIT {REPEATED_SPAN_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # docs_sample_mixture — corpus mixture sampling: each source stratum keeps a
 # deterministic hash-fraction of its docs (the data-mixing step that weights
 # sources in a pretraining corpus). Keep fractions derive from the source
@@ -1574,6 +1653,11 @@ QUERIES = [
     QuerySpec("dedup_simhash_pairs", _q_dedup_simhash, _SQL_DEDUP_SIMHASH),
     QuerySpec("dedup_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
     QuerySpec("dedup_repeated_spans", _q_repeated_spans, _SQL_REPEATED_SPANS),
+    QuerySpec(
+        "dedup_repeated_spans_merged",
+        _q_repeated_spans_merged,
+        _SQL_REPEATED_SPANS_MERGED,
+    ),
     QuerySpec("sim_cosine_topk", _q_cosine_topk, _SQL_COSINE_TOPK, headline=True),
     QuerySpec("sim_cosine_topk_arrow", _q_cosine_topk_arrow, _SQL_COSINE_TOPK),
     QuerySpec("sim_cosine_topk_ivf", _q_cosine_topk_ivf, _SQL_COSINE_TOPK_IVF),
