@@ -173,3 +173,55 @@ def test_envelope_decode_helpers_pure():
     rows = _file_rows(3, f.name)
     assert rows[0][0] == (3 << 32)  # record_id = (file_seq<<32)|pos
     assert "2025-01-01" in rows[0]  # published→published_date alias applied
+
+
+def test_pyds_stream_backpressure_caps_files_per_batch(spark, tmp_path):
+    """maxFilesPerBatch is the source's backpressure contract: a 5-file
+    backlog drained with a cap of 2 must take >= 3 micro-batches, no batch
+    may admit more than 2 files' worth of rows, and the accumulated sink
+    still equals the whole feed (each step individually committed)."""
+    import json as _json
+
+    from yanwenxian_week3_data_pipeline_spark.sources.articles_pyds import (
+        ArticlesEnvelopeDataSource,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(5):
+        (feed / f"f{i}.json").write_text(
+            _json.dumps(
+                [
+                    {"title": f"t{i}a", "content": "c", "url": "http://x"},
+                    {"title": f"t{i}b", "content": "c", "url": "http://x"},
+                ]
+            ),
+            encoding="utf-8",
+        )
+    spark.dataSource.register(ArticlesEnvelopeDataSource)
+    stream = (
+        spark.readStream.format("articles_envelope")
+        .option("maxFilesPerBatch", 2)
+        .load(str(feed))
+    )
+    out, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    # continuous micro-batches + processAllAvailable, NOT availableNow: the
+    # simple-reader runner prefetches one capped slice at start, and
+    # availableNow treats that slice as "all available" — one drain per cap.
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) >= 3, [p["numInputRows"] for p in q.recentProgress]
+    assert all(p["numInputRows"] <= 4 for p in batches)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.title for r in rows) == sorted(
+        f"t{i}{s}" for i in range(5) for s in "ab"
+    )

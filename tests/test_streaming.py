@@ -610,3 +610,74 @@ def test_chained_stateful_dedup_then_window_matches_batch(spark, sf_dir, tmp_pat
         assert expected[w] == v, w
     # every batch window except those past the final watermark is emitted
     assert len(rows) >= len(expected) - 3
+
+
+def test_watermarked_neardup_stream_drops_late_docs(spark, tmp_path):
+    """Late-data contract of the watermarked near-dup stream: a document
+    older than the checkpointed watermark is dropped BEFORE the band
+    matcher — it emits no candidate pairs, touches no band state, and the
+    drop is visible in the progress metrics (numRowsDroppedByWatermark) —
+    while an in-watermark document still pairs against the standing bands."""
+    import json as _json
+
+    from yanwenxian_week3_data_pipeline_spark.streaming.neardup import (
+        minhash_candidates_stream_watermarked,
+    )
+
+    feed = tmp_path / "docs"
+    feed.mkdir()
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    text = "the quick brown fox jumps over the lazy dog while cold rain falls on the quiet hill"
+
+    def write_file(name, rows):
+        with open(feed / name, "w") as f:
+            for did, ts, tx in rows:
+                f.write(_json.dumps({"doc_id": did, "text": tx, "ts": ts}) + "\n")
+
+    def drain():
+        cands = minhash_candidates_stream_watermarked(
+            spark, str(feed), delay="30 minutes"
+        )
+        q = (
+            cands.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            so["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+        pairs = {
+            (r.id_new, r.id_seen)
+            for r in spark.read.parquet(out).collect()
+        }
+        return pairs, dropped
+
+    iso = "2024-01-01T{}:00.000Z"
+    # run 1: two copies of the text (docs 1, 2) and a unique watermark
+    # advancer at 12:00 -> watermark checkpointed at 11:30
+    write_file("a.jsonl", [
+        (1, iso.format("10:00"), text),
+        (2, iso.format("10:10"), text),
+        (9, iso.format("12:00"), "completely different words about spark shuffles and arrow batches"),
+    ])
+    pairs1, dropped1 = drain()
+    assert pairs1 == {(2, 1)}
+    assert dropped1 == 0
+
+    # run 2: doc 3 is LATE (10:05 < watermark 11:30) — same text, would
+    # pair with 1 and 2, must instead be dropped; doc 4 (11:45) is inside
+    # the watermark and pairs with both standing copies
+    write_file("b.jsonl", [
+        (3, iso.format("10:05"), text),
+        (4, iso.format("11:45"), text),
+    ])
+    pairs2, dropped2 = drain()
+    assert pairs2 == {(2, 1), (4, 1), (4, 2)}, pairs2
+    assert not any(3 in p for p in pairs2)
+    assert dropped2 > 0, "late doc rows must be counted as watermark drops"

@@ -138,13 +138,21 @@ class _ArticlesEnvelopeStreamReader(SimpleDataSourceStreamReader):
     a late file sorting before a consumed one would be skipped. Simple
     stream readers run on the DRIVER by design (planning and decode in one
     process — the right shape for low-volume control feeds); the
-    partition-parallel batch reader stays the bulk path."""
+    partition-parallel batch reader stays the bulk path.
+
+    Backpressure: ``maxFilesPerBatch`` caps how many files one micro-batch
+    admits (the file-grain analog of ``maxFilesPerTrigger``). Without a
+    cap, a consumer restarted after downtime would decode the whole backlog
+    into ONE batch — unbounded driver memory and a commit so large a crash
+    replays everything; with the cap, catch-up proceeds in bounded,
+    individually-committed steps."""
 
     def __init__(self, options: dict):
         path = options.get("path")
         if not path:
             raise ValueError("articles_envelope requires a path: .load(<dir>)")
         self._path = path
+        self._max_files = int(options.get("maxFilesPerBatch", 0)) or None
 
     def initialOffset(self) -> dict:
         return {"n": 0}
@@ -160,7 +168,16 @@ class _ArticlesEnvelopeStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         files = _list_envelope_files(self._path)
-        return self._rows_between(start["n"], len(files)), {"n": len(files)}
+        hi = len(files)
+        if self._max_files is not None:
+            hi = min(hi, start["n"] + self._max_files)
+        if hi == start["n"]:
+            # caught up: the runner's cache guard calls next() on the
+            # payload when the offset did not advance, so hand it an
+            # EMPTY ITERATOR (a bare list would TypeError); advancing
+            # batches stay lists — the prefetch cache pickles them
+            return iter(()), {"n": hi}
+        return self._rows_between(start["n"], hi), {"n": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         # deterministic replay for recovery: same sorted listing, same slice

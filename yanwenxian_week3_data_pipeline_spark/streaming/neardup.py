@@ -34,7 +34,13 @@ from typing import Iterable
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from ..constants import (
     MINHASH_BANDS,
@@ -155,6 +161,57 @@ def minhash_candidates_stream(spark: SparkSession, src_dir: str) -> DataFrame:
         stateStructType=CAND_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+DOC_TS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), True),
+        StructField("text", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
+
+def minhash_candidates_stream_watermarked(
+    spark: SparkSession, src_dir: str, delay: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked variant for long-running deployments: documents carry an
+    event time, the watermark bounds how late a document may arrive, and a
+    doc older than the watermark is DROPPED BEFORE the stateful matcher —
+    it produces no candidate pairs and touches no band state (visible in
+    the query progress as ``numRowsDroppedByWatermark``). EventTimeTimeout
+    is what arms Spark's late-row filter in front of
+    ``applyInPandasWithState``; the ``ts`` column therefore rides through
+    the banding projection so every exploded band row still carries its
+    event time. Groups never set a timeout timestamp here — eviction of
+    stale bands is the documented production extension."""
+    docs = (
+        spark.readStream.schema(DOC_TS_STREAM_SCHEMA)
+        .json(src_dir)
+        .where(F.col("ts").isNotNull())
+        .withWatermark("ts", delay)
+    )
+    sh = docs.select(
+        "ts",
+        F.col("doc_id").alias("id"),
+        shingles_from_text_expr(F.col("text")).alias("shingles"),
+    ).where(F.size("shingles") > 0)
+    sigs = sh.select("ts", "id", minhash_sig_row_expr(F.col("shingles")).alias("sig"))
+    banded = sigs.select(
+        "ts", "id", F.explode(band_structs_expr(F.col("sig"))).alias("band")
+    ).select(
+        "ts",
+        "id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+    return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
+        _band_match_fn,
+        outputStructType=CAND_OUT_SCHEMA,
+        stateStructType=CAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
