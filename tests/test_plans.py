@@ -426,6 +426,8 @@ def test_timestamp_queries_are_session_timezone_proof(spark, sf_dir):
         "events_user_trend_pandas",
         "join_range_views_before_purchase",
         "join_asof_purchase_view",
+        "join_asof_nearest_view",
+        "window_rolling_7d_spend",
         "events_sessionize",
         "events_tumbling_hourly",
         "events_gapfill_hourly",

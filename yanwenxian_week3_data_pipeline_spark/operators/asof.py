@@ -112,8 +112,19 @@ def asof_join_nearest(
     on_dtype = right.schema[on].dataType
 
     def ord_num(col: F.Column) -> F.Column:
-        if isinstance(on_dtype, (T.TimestampType, T.TimestampNTZType)):
-            return F.unix_micros(col.cast("timestamp"))
+        if isinstance(on_dtype, T.TimestampNTZType):
+            # WALL-CLOCK micros via pure NTZ arithmetic — casting through
+            # TIMESTAMP would measure real-instant deltas in the SESSION
+            # zone, and a DST transition between two candidates then
+            # changes which neighbor is "nearest" with the zone setting;
+            # the contract is the naive difference of the NTZ values
+            return F.timestamp_diff(
+                "MICROSECOND",
+                F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                col,
+            )
+        if isinstance(on_dtype, T.TimestampType):
+            return F.unix_micros(col)
         if isinstance(on_dtype, T.DateType):
             return F.datediff(col, F.lit("1970-01-01").cast("date")).cast("long")
         if isinstance(on_dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):

@@ -44,8 +44,13 @@ def point_in_interval_join(
     left's. ``how='left'`` additionally keeps interval rows with no points
     (right cols null) and requires ``left_id``, a unique non-null left key
     column, for the unmatched-row recovery anti-join."""
-    # double cast: TIMESTAMP_NTZ → TIMESTAMP (session zone is pinned UTC)
-    # → epoch seconds; NTZ has no direct long cast in Spark 4.
+    # double cast TIMESTAMP_NTZ → TIMESTAMP → epoch seconds is used ONLY
+    # for bucket assignment, where any MONOTONE wall→number mapping is
+    # sound (java.time's gap/overlap rules keep the session-zone mapping
+    # monotone, so a point inside an interval always lands in one of the
+    # interval's exploded buckets); the join predicate itself compares the
+    # raw NTZ values, so RESULTS are session-zone-independent even though
+    # the bucket ids are not.
     e_start = F.col(left_start).cast("timestamp").cast("long")
     e_end = F.col(left_end).cast("timestamp").cast("long")
     w = F.lit(bucket_seconds)

@@ -368,10 +368,17 @@ def _q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        # TIMESTAMP_NTZ has no direct long cast; via TIMESTAMP under the
-        # session's pinned UTC zone = plain epoch seconds (matches DuckDB
-        # epoch()).
-        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        # epoch seconds via pure NTZ arithmetic (timestampdiff from the NTZ
+        # epoch), NEVER a cast through TIMESTAMP: that cast interprets the
+        # naive value in the SESSION zone, and a DST transition inside a
+        # 7-day window then stretches the shifted epochs by an hour —
+        # boundary orders flip in or out depending on the zone (caught by
+        # the America/New_York sweep at 1997-10-26, the US DST end).
+        .orderBy(
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', o_orderdate)"
+            )
+        )
         .rangeBetween(-7 * 86400, 0)
     )
     return orders.select(
