@@ -514,3 +514,29 @@ def test_repeated_spans_merged_matches_bruteforce(spark):
         for r in _q_repeated_spans_merged(spark, tmp).collect()
     ]
     assert got == top
+
+    # the removal ACTION over the same corpus: cut every covered token,
+    # rejoin the survivors in order
+    from yanwenxian_week3_data_pipeline_spark.plans.llm_ops import (
+        _q_remove_repeated_spans,
+    )
+
+    exp_trim = {}
+    for did, spans in enumerate(doc_spans):
+        cov = set()
+        for p, s in enumerate(spans):
+            if len(span_docs[s]) >= 2:
+                cov.update(range(p, p + N))
+        if not cov:
+            continue
+        toks = docs[did].split(" ")
+        kept_toks = [t for i, t in enumerate(toks) if i not in cov]
+        exp_trim[did] = (len(toks), len(kept_toks), " ".join(kept_toks))
+    exp_top = sorted(
+        exp_trim.items(), key=lambda kv: (-(kv[1][0] - kv[1][1]), kv[0])
+    )[:TOPK]
+    got_trim = [
+        (r.doc_id, (r.n_toks_before, r.n_toks_after, r.trimmed_text))
+        for r in _q_remove_repeated_spans(spark, tmp).collect()
+    ]
+    assert got_trim == exp_top

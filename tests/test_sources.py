@@ -90,3 +90,24 @@ def test_jsonl_audited_separates_corrupt_lines(spark, tmp_path):
     plain = load_articles_jsonl(spark, str(p))
     assert plain.count() == 4
     assert plain.where("title IS NULL AND content IS NULL AND url IS NULL").count() == 2
+
+
+def test_load_articles_nonlist_wrapper_falls_through(spark, tmp_path):
+    """{"articles": <non-list>} must follow the reference's dispatch
+    (cleaner.py:137-142): NOT an empty frame — the whole dict becomes one
+    record, same as the bare-object shape. Pinned on the multiLine batch
+    path; the DataSource path pins the same rule in its pure-helper test."""
+    import json as _json
+
+    from yanwenxian_week3_data_pipeline_spark.sources.articles_json import (
+        load_articles,
+    )
+
+    p = tmp_path / "weird.json"
+    p.write_text(
+        _json.dumps({"articles": 42, "title": "T", "content": "c", "url": "https://x"}),
+        encoding="utf-8",
+    )
+    rows = load_articles(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].title == "T"

@@ -1483,6 +1483,104 @@ ORDER BY covered_toks DESC, doc_id ASC LIMIT {REPEATED_SPAN_TOPK}
 
 
 # ---------------------------------------------------------------------------
+# docs_remove_repeated_spans — the curation ACTION the two span queries
+# exist for: per affected document, every token covered by a
+# cross-document-repeated span is cut and the remaining tokens are
+# rejoined — output is the TRIMMED TEXT itself (hash-compared against the
+# oracle, so the byte-level edit is what's certified), plus before/after
+# token counts. Scale shape: the token stream and the span stream are both
+# linear in corpus tokens; covered positions come from exploding each
+# repeated span to its N token indices (N× a linear stream); the cut is a
+# left-anti join on (doc_id, token_pos) and the rebuild is a per-doc
+# collect_list + array_sort — per-group memory bounded by one document,
+# the same bound any whole-doc transform already has.
+# ---------------------------------------------------------------------------
+
+
+def _q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    n = REPEATED_SPAN_N
+    d = _cleaned_docs(spark, sf_dir).select("doc_id", "c")
+    toks_arr = tokens_expr(F.col("c"))
+    toks = d.select("doc_id", F.posexplode(toks_arr).alias("tpos", "tok"))
+    spans = d.select(
+        "doc_id", F.posexplode(_word_grams(toks_arr, n, as_hash=True)).alias("pos", "gh")
+    )
+    w_gh = Window.partitionBy("gh")
+    rep = (
+        spans.withColumn(
+            "is_rep", F.min("doc_id").over(w_gh) != F.max("doc_id").over(w_gh)
+        )
+        .where("is_rep")
+        .select("doc_id", "pos")
+    )
+    covered = rep.select(
+        "doc_id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("tpos")
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    trimmed = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("trimmed_text"),
+        F.count(F.lit(1)).alias("n_toks_after"),
+    )
+    totals = d.select("doc_id", F.size(toks_arr).cast("long").alias("n_toks_before"))
+    affected = rep.select("doc_id").distinct()
+    return (
+        affected.join(totals, "doc_id")
+        .join(trimmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks_before",
+            F.coalesce("n_toks_after", F.lit(0)).cast("long").alias("n_toks_after"),
+            F.coalesce("trimmed_text", F.lit("")).alias("trimmed_text"),
+        )
+        .orderBy(
+            F.desc(F.col("n_toks_before") - F.col("n_toks_after")), F.asc("doc_id")
+        )
+        .limit(REPEATED_SPAN_TOPK)
+    )
+
+
+_SQL_REMOVE_REPEATED_SPANS = f"""
+WITH d AS ({_CLEANED}),
+t AS (SELECT doc_id, {tokens_sql('c')} AS toks FROM d),
+t2 AS (SELECT doc_id, toks, {_grams_sql(REPEATED_SPAN_N, hashed=True)} AS gl FROM t),
+g AS (SELECT doc_id, unnest(gl) AS gh, unnest(range(len(gl))) AS pos FROM t2),
+x AS (SELECT gh FROM g GROUP BY gh HAVING min(doc_id) != max(doc_id)),
+r AS (SELECT g.doc_id, g.pos FROM g JOIN x USING (gh)),
+cov AS (SELECT DISTINCT doc_id, pos + i AS tpos
+        FROM r, UNNEST(range(0, {REPEATED_SPAN_N})) AS u(i)),
+tk AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS tpos FROM t),
+kept AS (SELECT tk.doc_id, tk.tok, tk.tpos
+         FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.tpos = cov.tpos
+         WHERE cov.doc_id IS NULL),
+tr AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS trimmed_text,
+              count(*) AS n_toks_after
+       FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, len(toks) AS n_toks_before FROM t),
+rd AS (SELECT DISTINCT doc_id FROM r),
+-- final projection in its own CTE so ORDER BY sees the COALESCED counts:
+-- inside the joining select, n_toks_after would bind to tr's pre-coalesce
+-- column, and a fully-trimmed doc (NULL) would sort NULLS-LAST out of the
+-- top-K instead of ranking by its full removal
+fin AS (SELECT rd.doc_id AS doc_id,
+               CAST(n_toks_before AS BIGINT) AS n_toks_before,
+               CAST(coalesce(n_toks_after, 0) AS BIGINT) AS n_toks_after,
+               coalesce(trimmed_text, '') AS trimmed_text
+        FROM rd JOIN tot USING (doc_id) LEFT JOIN tr USING (doc_id))
+SELECT * FROM fin
+ORDER BY n_toks_before - n_toks_after DESC, doc_id ASC
+LIMIT {REPEATED_SPAN_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
 # docs_sample_mixture — corpus mixture sampling: each source stratum keeps a
 # deterministic hash-fraction of its docs (the data-mixing step that weights
 # sources in a pretraining corpus). Keep fractions derive from the source
@@ -1657,6 +1755,11 @@ QUERIES = [
         "dedup_repeated_spans_merged",
         _q_repeated_spans_merged,
         _SQL_REPEATED_SPANS_MERGED,
+    ),
+    QuerySpec(
+        "docs_remove_repeated_spans",
+        _q_remove_repeated_spans,
+        _SQL_REMOVE_REPEATED_SPANS,
     ),
     QuerySpec("sim_cosine_topk", _q_cosine_topk, _SQL_COSINE_TOPK, headline=True),
     QuerySpec("sim_cosine_topk_arrow", _q_cosine_topk_arrow, _SQL_COSINE_TOPK),
