@@ -698,6 +698,111 @@ def _q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mm_extract_features_checked — ORACLE-CERTIFIED twin of the multimodal
+# feature extraction. The stub codec is a pure per-byte computation
+# (polynomial rolling hash over the first 4096 payload bytes → width /
+# height / n_frames / crc), so for ASCII payloads (byte == code point;
+# gated identically on both sides via octet_length = char_length) DuckDB
+# can replay it with a list_reduce fold — the hash check then certifies
+# the whole mapInPandas path BYTE-FOR-BYTE: Arrow batching, binary-column
+# transfer, per-row decode, schema mapping. The rows-only
+# mm_extract_features keeps exercising the unrestricted payload path.
+# ---------------------------------------------------------------------------
+
+
+def _q_mm_features_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull()
+        & (F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length("text"))
+    )
+    return extract_features(documents_as_media(d))
+
+
+_SQL_MM_FEATURES_CHECKED = """
+WITH a AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)),
+h AS (SELECT doc_id, text,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, least(length(text), 4096) + 1),
+                           i -> CAST(unicode(text[i]) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 2147483648) AS hv
+      FROM a)
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+       CAST(length(text) AS BIGINT) AS byte_len,
+       CAST(16 + hv % 1024 AS INT) AS width,
+       CAST(16 + (hv // 1024) % 1024 AS INT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + hv % 300 END AS INT) AS n_frames,
+       CAST(hv AS BIGINT) AS feature_crc
+FROM h
+"""
+
+# shared ASCII-gated hash CTE for the three checked multimodal twins
+_MM_H_CTE = """
+WITH a AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND octet_length(encode(text)) = length(text)),
+h AS (SELECT doc_id, text,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, least(length(text), 4096) + 1),
+                           i -> CAST(unicode(text[i]) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 2147483648) AS hv
+      FROM a),
+f AS (SELECT doc_id,
+        (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+        CAST(length(text) AS BIGINT) AS byte_len,
+        16 + hv % 1024 AS w,
+        16 + (hv // 1024) % 1024 AS hgt,
+        CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + hv % 300 END AS n_frames,
+        hv
+      FROM h)
+"""
+
+
+def _q_mm_frame_sample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull()
+        & (F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length("text"))
+    )
+    return frame_sample(documents_as_media(d), stride=10)
+
+
+_SQL_MM_FRAME_SAMPLE_CHECKED = f"""{_MM_H_CTE}
+SELECT doc_id AS media_id, media_type,
+       CAST(n_frames AS INT) AS n_frames,
+       CAST(i AS INT) AS frame_idx,
+       CAST((hv + i * 2654435761) % 2147483648 AS BIGINT) AS frame_crc
+FROM f, UNNEST(range(0, n_frames, 10)) AS u(i)
+"""
+
+
+def _q_mm_resize_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_media
+
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull()
+        & (F.octet_length(F.encode(F.col("text"), "UTF-8")) == F.length("text"))
+    )
+    return resize_media(documents_as_media(d)).drop("payload")
+
+
+_SQL_MM_RESIZE_CHECKED = f"""{_MM_H_CTE}
+SELECT doc_id AS media_id, media_type,
+       CAST(w AS INT) AS width, CAST(hgt AS INT) AS height,
+       CAST(224 AS INT) AS target_w, CAST(224 AS INT) AS target_h,
+       CAST(least(
+         greatest(1, CAST(trunc(byte_len * least(
+           1.0, CAST(224 * 224 AS DOUBLE) / CAST(greatest(w * hgt, 1) AS DOUBLE)
+         )) AS BIGINT)),
+         byte_len) AS BIGINT) AS byte_len
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_cc_clusters — pairs → clusters → canonical survivors.
 # LSH gives PAIRS; dedup needs GROUPS (duplicate chains A~B~C must collapse
 # to one survivor even when A~C was never emitted). Connected components
@@ -1769,6 +1874,9 @@ QUERIES = [
     QuerySpec("emb_label_norms", _q_emb_norms, _SQL_EMB_NORMS),
     QuerySpec("mm_binary_meta", _q_mm_binary_meta, _SQL_MM_BINARY_META),
     QuerySpec("mm_extract_features", _q_mm_features, None),
+    QuerySpec(
+        "mm_extract_features_checked", _q_mm_features_checked, _SQL_MM_FEATURES_CHECKED
+    ),
     QuerySpec("dedup_cc_clusters", _q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
     QuerySpec("text_chunking", _q_text_chunks, _SQL_TEXT_CHUNKS),
     QuerySpec("text_chunking_udtf", _q_text_chunks_udtf, _SQL_TEXT_CHUNKS),
@@ -1878,5 +1986,11 @@ QUERIES.extend(
         QuerySpec("docs_domain_stats", _q_domain_stats, _domain_stats_sql()),
         QuerySpec("mm_frame_sample", _q_mm_frame_sample, None),
         QuerySpec("mm_resize", _q_mm_resize, None),
+        QuerySpec(
+            "mm_frame_sample_checked",
+            _q_mm_frame_sample_checked,
+            _SQL_MM_FRAME_SAMPLE_CHECKED,
+        ),
+        QuerySpec("mm_resize_checked", _q_mm_resize_checked, _SQL_MM_RESIZE_CHECKED),
     ]
 )
