@@ -39,7 +39,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SCALES = [1, 3, 10]
-QUERIES = ["dedup_minhash_lsh", "dedup_embedding_lsh", "sim_cosine_topk"]
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "sim_cosine_topk",
+    # span-grain substring dedup: the token renaming preserves every
+    # within-replica repeated span exactly, so the answer stays TOPK-sized
+    # while the span stream grows k× — pure engine scaling
+    "dedup_repeated_spans_merged",
+]
 
 
 def generate(spark, base_dir: str, out_dir: str, k: int) -> None:
