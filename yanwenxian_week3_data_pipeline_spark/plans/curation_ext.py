@@ -665,8 +665,107 @@ FROM documents GROUP BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_temperature_mixture — temperature-based source re-weighting (the
+# mT5/multilingual-corpus recipe: sample stratum s proportional to
+# w_s = mass_s^(1/T), here T = 2 so w = sqrt — chosen deliberately because
+# IEEE sqrt is CORRECTLY ROUNDED on every engine, unlike pow/exp, so the
+# keep thresholds are bit-identical with no libm slack). Per source:
+# target char budget = (sqrt-share of total mass) × (50 % global budget),
+# capped at the stratum's own mass; docs kept by the same deterministic
+# doc_id-hash-bucket rule as docs_sample_mixture (re-run-stable, engine-
+# independent). The sqrt terms are summed as DECIMALS (exact, associative)
+# and cast to double ONCE, so the normalizer does not depend on partition
+# order — the same determinism trick as emb_label_centroids.
+# Scale shape: two aggregates over the corpus + a broadcast of one row
+# per source; the keep decision is a map-side filter.
+# ---------------------------------------------------------------------------
+
+MIX_TEMP_BUDGET = 0.5  # fraction of total corpus chars to keep
+
+
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import MIX_BUCKETS, MIX_HASH_SEED
+
+    d = _docs(spark, sf_dir)
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    w_dec = F.sqrt(F.col("chars").cast("double")).cast("decimal(28,10)")
+    tot = s.agg(
+        F.sum(w_dec).cast("double").alias("wsum"),
+        F.sum("chars").cast("double").alias("totchars"),
+    )
+    fs = F.least(
+        F.lit(1.0),
+        F.sqrt(F.col("chars").cast("double"))
+        / F.col("wsum")
+        * (F.lit(MIX_TEMP_BUDGET) * F.col("totchars"))
+        / F.col("chars").cast("double"),
+    )
+    th = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "chars",
+        F.floor(F.lit(MIX_BUCKETS) * fs).cast("long").alias("thr"),
+        F.round(fs, 6).alias("keep_frac"),
+    )
+    h = hash60_expr(F.col("doc_id").cast("string"), seed=MIX_HASH_SEED) % MIX_BUCKETS
+    k = (
+        d.join(F.broadcast(th.select("source", "thr")), "source")
+        .where(h < F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+    return th.join(k, "source", "left").select(
+        "source",
+        "n_docs",
+        F.col("chars").alias("chars_total"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_chars", F.lit(0)).cast("long").alias("kept_chars"),
+        "keep_frac",
+    )
+
+
+def _temperature_mixture_sql() -> str:
+    from ..constants import MIX_BUCKETS, MIX_HASH_SEED
+
+    return f"""
+WITH s AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS chars
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(CAST(sqrt(CAST(chars AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) AS wsum,
+             CAST(sum(chars) AS DOUBLE) AS totchars
+      FROM s),
+th AS (SELECT source, n_docs, chars,
+         CAST(floor({MIX_BUCKETS} * least(1.0,
+           sqrt(CAST(chars AS DOUBLE)) / wsum * ({MIX_TEMP_BUDGET} * totchars)
+             / CAST(chars AS DOUBLE))) AS BIGINT) AS thr,
+         round(least(1.0,
+           sqrt(CAST(chars AS DOUBLE)) / wsum * ({MIX_TEMP_BUDGET} * totchars)
+             / CAST(chars AS DOUBLE)), 6) AS keep_frac
+       FROM s, t),
+k AS (SELECT d.source, count(*) AS n_kept, sum(d.n_chars) AS kept_chars
+      FROM documents d JOIN th ON d.source = th.source
+      WHERE ({hash60_sql("CAST(doc_id AS VARCHAR)", seed=MIX_HASH_SEED)}
+             % {MIX_BUCKETS}) < th.thr
+      GROUP BY d.source)
+SELECT th.source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(chars AS BIGINT) AS chars_total,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(kept_chars, 0) AS BIGINT) AS kept_chars,
+       keep_frac
+FROM th LEFT JOIN k ON th.source = k.source
+"""
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
+    QuerySpec(
+        "docs_temperature_mixture", _q_temperature_mixture, _temperature_mixture_sql()
+    ),
     QuerySpec("docs_equidepth_histogram", _q_equidepth_histogram, _SQL_EQUIDEPTH_HISTOGRAM),
     QuerySpec("docs_median_length_by_lang", _q_median_by_lang, _SQL_MEDIAN_BY_LANG),
     QuerySpec("text_winnowing_overlap", _q_winnowing_overlap, _SQL_WINNOWING_OVERLAP),

@@ -850,6 +850,73 @@ FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# dedup_survivors_by_priority — POLICY-driven survivor selection: when a
+# duplicate cluster spans sources of different trust (curated wiki vs
+# common crawl), production dedup keeps the copy from the most trusted
+# source, not the lowest id. Priority here derives deterministically from
+# the source number (src_num % 5 — the fixture's stand-in for a curated
+# source ranking); survivor per multi-member cluster = highest priority,
+# ties to the lowest doc_id. The ranking window partitions by CLUSTER —
+# cardinality linear in docs, nothing global. Oracle reuses the recursive
+# min-label walk, so the star-contraction clusters and the policy pick are
+# certified together.
+# ---------------------------------------------------------------------------
+
+
+def _q_survivors_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    clusters = _q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    prio = (
+        F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("long") % 5
+    ).alias("priority")
+    memb = clusters.join(docs, "doc_id").select("doc_id", "cluster_id", prio)
+    multi = (
+        memb.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") > 1)
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("priority"), F.asc("doc_id")
+    )
+    ranked = memb.join(multi, "cluster_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return ranked.where(F.col("rk") == 1).select(
+        "cluster_id",
+        "n_members",
+        F.col("doc_id").alias("survivor_id"),
+        F.col("priority").alias("survivor_priority"),
+    )
+
+
+_SQL_SURVIVORS_BY_PRIORITY = f"""
+WITH RECURSIVE pairs AS ({_SQL_DEDUP_MINHASH}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, comp) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+),
+cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+memb AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster_id,
+                CAST(regexp_extract(d.source, '([0-9]+)', 1) AS BIGINT) % 5 AS priority
+         FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+multi AS (SELECT cluster_id, count(*) AS n_members FROM memb
+          GROUP BY cluster_id HAVING count(*) > 1),
+ranked AS (SELECT m.cluster_id, mu.n_members, m.doc_id, m.priority,
+             row_number() OVER (PARTITION BY m.cluster_id
+                                ORDER BY m.priority DESC, m.doc_id ASC) AS rk
+           FROM memb m JOIN multi mu ON m.cluster_id = mu.cluster_id)
+SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS survivor_id, CAST(priority AS BIGINT) AS survivor_priority
+FROM ranked WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # text_chunking — overlapping fixed-width character windows (the LLM
 # context-window prep step), entirely in native expressions: sequence +
 # explode + substring; no UDF. Chunk text is reported as (len, md5) so the
@@ -1878,6 +1945,11 @@ QUERIES = [
         "mm_extract_features_checked", _q_mm_features_checked, _SQL_MM_FEATURES_CHECKED
     ),
     QuerySpec("dedup_cc_clusters", _q_dedup_clusters, _SQL_DEDUP_CLUSTERS),
+    QuerySpec(
+        "dedup_survivors_by_priority",
+        _q_survivors_by_priority,
+        _SQL_SURVIVORS_BY_PRIORITY,
+    ),
     QuerySpec("text_chunking", _q_text_chunks, _SQL_TEXT_CHUNKS),
     QuerySpec("text_chunking_udtf", _q_text_chunks_udtf, _SQL_TEXT_CHUNKS),
     QuerySpec("docs_train_split", _q_train_split, _SQL_TRAIN_SPLIT),
