@@ -482,3 +482,23 @@ def test_equidepth_no_single_partition_sort(spark, sf_dir):
     assert node_count(plan, "Window") == 0
     assert "Exchange SinglePartition" not in plan, plan
     assert "MapInPandas" in plan
+
+
+def test_temperature_mixture_broadcasts_thresholds(spark, sf_dir):
+    """The keep decision must be a map-side filter: per-source thresholds
+    arrive broadcast (one row per source), never a shuffle join of the
+    corpus against the stratum table, and nothing falls back to a
+    cartesian product (the 1-row normalizer crossJoin must plan as a
+    broadcast nested loop, which is O(n) for a single-row build side)."""
+    plan = plan_of(spark, "docs_temperature_mixture", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_survivors_window_is_cluster_partitioned(spark, sf_dir):
+    """Survivor ranking must partition by cluster_id — a global window here
+    would serialize every clustered doc through one task. formatted plans
+    print the window spec with its partition expression."""
+    plan = plan_of(spark, "dedup_survivors_by_priority", sf_dir)
+    m = re.search(r"windowspecdefinition\(([^,]+),", plan)
+    assert m is not None and "cluster_id" in m.group(1), m
