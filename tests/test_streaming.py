@@ -681,3 +681,63 @@ def test_watermarked_neardup_stream_drops_late_docs(spark, tmp_path):
     assert pairs2 == {(2, 1), (4, 1), (4, 2)}, pairs2
     assert not any(3 in p for p in pairs2)
     assert dropped2 > 0, "late doc rows must be counted as watermark drops"
+
+
+def test_watermarked_embedding_stream_drops_late_vectors(spark, tmp_path):
+    """Same late-data contract as the minhash twin, on the hyperplane-LSH
+    vector stream: a late vector pairs with nothing and is counted in
+    numRowsDroppedByWatermark; an in-watermark duplicate still pairs."""
+    import json as _json
+
+    from yanwenxian_week3_data_pipeline_spark.streaming.neardup import (
+        embedding_candidates_stream_watermarked,
+    )
+
+    feed = tmp_path / "vecs"
+    feed.mkdir()
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    vec = [round(0.1 * ((i % 7) - 3), 4) for i in range(64)]
+    other = [round(0.2 * ((i % 5) - 2), 4) for i in range(64)]
+
+    def write_file(name, rows):
+        with open(feed / name, "w") as f:
+            for vid, ts, v in rows:
+                f.write(_json.dumps({"vec_id": vid, "embedding": v, "ts": ts}) + "\n")
+
+    def drain():
+        q = (
+            embedding_candidates_stream_watermarked(spark, str(feed), delay="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            so["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+        pairs = {(r.id_new, r.id_seen) for r in spark.read.parquet(out).collect()}
+        return pairs, dropped
+
+    iso = "2024-01-01T{}:00.000Z"
+    write_file("a.jsonl", [
+        (1, iso.format("10:00"), vec),
+        (2, iso.format("10:10"), vec),
+        (9, iso.format("12:00"), other),
+    ])
+    pairs1, dropped1 = drain()
+    assert (2, 1) in pairs1 and not any(3 in p or 4 in p for p in pairs1)
+    assert dropped1 == 0
+
+    write_file("b.jsonl", [
+        (3, iso.format("10:05"), vec),   # late -> dropped
+        (4, iso.format("11:45"), vec),   # in-watermark -> pairs
+    ])
+    pairs2, dropped2 = drain()
+    assert (4, 1) in pairs2 and (4, 2) in pairs2, pairs2
+    assert not any(3 in p for p in pairs2)
+    assert dropped2 > 0

@@ -237,6 +237,55 @@ def read_embedding_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     return spark.readStream.schema(EMB_STREAM_SCHEMA).json(src_dir)
 
 
+EMB_TS_STREAM_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), True),
+        StructField("embedding", ArrayType(FloatType()), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
+
+def embedding_candidates_stream_watermarked(
+    spark: SparkSession, src_dir: str, delay: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked twin of the embedding-LSH stream — same late-data
+    contract as ``minhash_candidates_stream_watermarked``: EventTimeTimeout
+    arms the pre-matcher late-row filter, so a vector older than the
+    watermark emits no pairs, touches no band state, and is counted in
+    ``numRowsDroppedByWatermark``."""
+    from ..constants import (
+        EMB_DIM,
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS_PER_BAND,
+        EMB_LSH_PLANES,
+        EMB_LSH_SEED,
+    )
+    from ..functions.vectors import embedding_band_vals_udf, hyperplane_matrix
+
+    planes = hyperplane_matrix(EMB_LSH_PLANES, EMB_DIM, EMB_LSH_SEED)
+    _band_vals = embedding_band_vals_udf(planes, EMB_LSH_BANDS, EMB_LSH_BITS_PER_BAND)
+
+    vecs = (
+        spark.readStream.schema(EMB_TS_STREAM_SCHEMA)
+        .json(src_dir)
+        .where(F.col("embedding").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", delay)
+    )
+    banded = vecs.select(
+        "ts",
+        F.col("vec_id").alias("id"),
+        F.posexplode(_band_vals(F.col("embedding"))).alias("band_idx", "band_val"),
+    ).select("ts", "id", "band_idx", F.col("band_val").cast("string").alias("band_key"))
+    return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
+        _band_match_fn,
+        outputStructType=CAND_OUT_SCHEMA,
+        stateStructType=CAND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def embedding_candidates_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     """(band_idx, band_key, id_new, id_seen) candidate pairs from
     hyperplane-LSH bands over a vector stream."""
