@@ -611,6 +611,75 @@ FROM embeddings GROUP BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_emb_length_norm_corr — cross-modal sanity analytics: Pearson
+# correlation between a document's length and its embedding's L2 norm over
+# the documents ⋈ embeddings join (the "are my embeddings accidentally
+# encoding length?" check run before using cosine for dedup). Exact
+# sufficient statistics, not F.corr: corr()'s streaming float formula is
+# engine- and partition-order-dependent, so x stays integral, the norm is
+# quantized to DECIMAL(18,9) once, and all five sums are exact decimal
+# arithmetic cast to double ONCE at the end with the identical IEEE
+# expression tree on both engines (the OLS-trend recipe). One equi-join
+# shuffle + one scalar aggregate — nothing wide.
+# ---------------------------------------------------------------------------
+
+
+def _q_doc_emb_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import norm_expr
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    e = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        norm_expr(F.col("embedding")).cast("decimal(18,9)").alias("yq"),
+    )
+    j = d.join(e, "doc_id")
+    xd = F.col("n_chars").cast("decimal(10,0)")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+        F.sum(xd * F.col("yq")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    sy, syy = F.col("sy").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(sx / nd, 6).alias("avg_chars"),
+        F.round(sy / nd, 6).alias("avg_norm"),
+        F.round(corr, 6).alias("corr_len_norm"),
+    )
+
+
+_SQL_DOC_EMB_CORR = f"""
+WITH j AS (
+  SELECT CAST(d.n_chars AS DECIMAL(10,0)) AS xd,
+         CAST({norm_sql('e.embedding')} AS DECIMAL(18,9)) AS yq
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+s AS (SELECT count(*) AS n, sum(xd) AS sx, sum(xd * xd) AS sxx,
+             sum(yq) AS sy, sum(yq * yq) AS syy, sum(xd * yq) AS sxy
+      FROM j),
+c AS (SELECT CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx,
+             CAST(sxx AS DOUBLE) AS sxx, CAST(sy AS DOUBLE) AS sy,
+             CAST(syy AS DOUBLE) AS syy, CAST(sxy AS DOUBLE) AS sxy, n
+      FROM s)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       round(sx / nd, 6) AS avg_chars,
+       round(sy / nd, 6) AS avg_norm,
+       round((nd * sxy - sx * sy)
+             / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 6)
+         AS corr_len_norm
+FROM c
+"""
+
+
 # --- Embedding near-dup ------------------------------------------------------
 
 def _q_emb_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1939,6 +2008,7 @@ QUERIES = [
     QuerySpec("dedup_embedding_cosine", _q_emb_cosine_pairs, _SQL_EMB_COSINE_PAIRS),
     QuerySpec("dedup_embedding_lsh", _q_dedup_emb_lsh, _SQL_DEDUP_EMB_LSH, headline=True),
     QuerySpec("emb_label_norms", _q_emb_norms, _SQL_EMB_NORMS),
+    QuerySpec("docs_emb_length_norm_corr", _q_doc_emb_corr, _SQL_DOC_EMB_CORR),
     QuerySpec("mm_binary_meta", _q_mm_binary_meta, _SQL_MM_BINARY_META),
     QuerySpec("mm_extract_features", _q_mm_features, None),
     QuerySpec(
