@@ -612,26 +612,39 @@ FROM embeddings GROUP BY label
 
 
 # ---------------------------------------------------------------------------
-# docs_emb_length_norm_corr — cross-modal sanity analytics: Pearson
-# correlation between a document's length and its embedding's L2 norm over
-# the documents ⋈ embeddings join (the "are my embeddings accidentally
-# encoding length?" check run before using cosine for dedup). Exact
-# sufficient statistics, not F.corr: corr()'s streaming float formula is
-# engine- and partition-order-dependent, so x stays integral, the norm is
-# quantized to DECIMAL(18,9) once, and all five sums are exact decimal
-# arithmetic cast to double ONCE at the end with the identical IEEE
-# expression tree on both engines (the OLS-trend recipe). One equi-join
-# shuffle + one scalar aggregate — nothing wide.
+# docs_emb_length_mass_corr — cross-modal sanity analytics: Pearson
+# correlation between a document's length and its embedding's COMPONENT
+# SUM (the mean-activation "mass" — the "is my embedding accidentally
+# encoding length as a bias term?" check run before trusting cosine for
+# dedup). Exact sufficient statistics, not F.corr: corr()'s streaming
+# float formula is engine- and partition-order-dependent, so x stays
+# integral and y is built EXACTLY — each float component cast
+# double→DECIMAL(25,10) (shortest-repr rounding, agreed by both engines —
+# the emb_label_centroids recipe) and summed as a posexplode + decimal SUM
+# aggregate (SUM gets the p+10 precision promotion, so it stays exact;
+# a per-element `aggregate` fold cannot — decimal '+' caps at 38 and
+# silently drops a scale digit per step). Exact decimal addition is
+# associative, so partition/fold order is irrelevant. (The first cut of
+# this query correlated against the L2 NORM: unit-norm embeddings make
+# that pure float noise at the quantization grid, and one engine-ulp in
+# sqrt flipped the whole statistic at sf0.1 — mass is exact by
+# construction.) All five sums are exact decimal/integer, cast to double
+# ONCE at the end with the identical IEEE expression tree on both engines
+# (the OLS-trend recipe). One equi-join shuffle + one scalar aggregate.
 # ---------------------------------------------------------------------------
 
 
 def _q_doc_emb_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import norm_expr
-
     d = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    e = _emb(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"),
-        norm_expr(F.col("embedding")).cast("decimal(18,9)").alias("yq"),
+    e = (
+        _emb(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), F.posexplode("embedding"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("col").cast("double").cast("decimal(25,10)"))
+            .cast("decimal(18,10)")
+            .alias("yq")
+        )
     )
     j = d.join(e, "doc_id")
     xd = F.col("n_chars").cast("decimal(10,0)")
@@ -653,15 +666,18 @@ def _q_doc_emb_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         F.col("n").cast("long").alias("n_pairs"),
         F.round(sx / nd, 6).alias("avg_chars"),
-        F.round(sy / nd, 6).alias("avg_norm"),
-        F.round(corr, 6).alias("corr_len_norm"),
+        F.round(sy / nd, 6).alias("avg_mass"),
+        F.round(corr, 6).alias("corr_len_mass"),
     )
 
 
-_SQL_DOC_EMB_CORR = f"""
+_SQL_DOC_EMB_CORR = """
 WITH j AS (
   SELECT CAST(d.n_chars AS DECIMAL(10,0)) AS xd,
-         CAST({norm_sql('e.embedding')} AS DECIMAL(18,9)) AS yq
+         CAST(list_aggregate(
+                list_transform(e.embedding,
+                               v -> CAST(CAST(v AS DOUBLE) AS DECIMAL(25,10))),
+                'sum') AS DECIMAL(18,10)) AS yq
   FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
 s AS (SELECT count(*) AS n, sum(xd) AS sx, sum(xd * xd) AS sxx,
              sum(yq) AS sy, sum(yq * yq) AS syy, sum(xd * yq) AS sxy
@@ -672,10 +688,10 @@ c AS (SELECT CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sx,
       FROM s)
 SELECT CAST(n AS BIGINT) AS n_pairs,
        round(sx / nd, 6) AS avg_chars,
-       round(sy / nd, 6) AS avg_norm,
+       round(sy / nd, 6) AS avg_mass,
        round((nd * sxy - sx * sy)
              / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 6)
-         AS corr_len_norm
+         AS corr_len_mass
 FROM c
 """
 
@@ -2008,7 +2024,7 @@ QUERIES = [
     QuerySpec("dedup_embedding_cosine", _q_emb_cosine_pairs, _SQL_EMB_COSINE_PAIRS),
     QuerySpec("dedup_embedding_lsh", _q_dedup_emb_lsh, _SQL_DEDUP_EMB_LSH, headline=True),
     QuerySpec("emb_label_norms", _q_emb_norms, _SQL_EMB_NORMS),
-    QuerySpec("docs_emb_length_norm_corr", _q_doc_emb_corr, _SQL_DOC_EMB_CORR),
+    QuerySpec("docs_emb_length_mass_corr", _q_doc_emb_corr, _SQL_DOC_EMB_CORR),
     QuerySpec("mm_binary_meta", _q_mm_binary_meta, _SQL_MM_BINARY_META),
     QuerySpec("mm_extract_features", _q_mm_features, None),
     QuerySpec(
