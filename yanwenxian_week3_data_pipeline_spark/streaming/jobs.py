@@ -401,7 +401,10 @@ def stream_stream_purchase_attribution(
         "view_id",
         "purchase_id",
         F.col("v_user").alias("user_id"),
-        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("delay_s"),
+        # timestamp_diff, not unix_timestamp subtraction: unix_timestamp
+        # reads an NTZ value in the SESSION zone, so a DST transition
+        # between view and purchase would shift the delay by an hour
+        F.timestamp_diff("SECOND", F.col("v_ts"), F.col("p_ts")).alias("delay_s"),
     )
 
 
