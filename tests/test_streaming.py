@@ -488,7 +488,11 @@ def test_stream_stream_join_matches_batch(spark, stream_src):
             "view_id",
             "purchase_id",
             F.col("v_user").alias("user_id"),
-            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("delay_s"),
+            # same zone-proof NTZ arithmetic as the streaming job — NOT
+            # unix_timestamp subtraction, which floors each operand to the
+            # second (off by one on sub-second timestamps) and reads the
+            # session zone
+            F.timestamp_diff("SECOND", F.col("v_ts"), F.col("p_ts")).alias("delay_s"),
         )
     )
     got_rows = sorted(map(tuple, got.collect()))
