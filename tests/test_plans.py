@@ -502,3 +502,34 @@ def test_survivors_window_is_cluster_partitioned(spark, sf_dir):
     plan = plan_of(spark, "dedup_survivors_by_priority", sf_dir)
     m = re.search(r"windowspecdefinition\(([^,]+),", plan)
     assert m is not None and "cluster_id" in m.group(1), m
+
+
+def test_plan_audit_classifier_detects_global_window(spark, sf_dir):
+    """The registry-wide audit's single-partition classifier must actually
+    catch the failure mode it claims to: a global (unpartitioned) window's
+    Exchange SinglePartition over a scan is flagged, a scalar aggregate's
+    legitimate single-partition collapse is not."""
+    import contextlib
+    import io
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.plan_audit import _unbounded_single_partition_children
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    def simple_plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bad = orders.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    assert _unbounded_single_partition_children(simple_plan(bad))
+    ok = orders.agg(F.sum("o_totalprice"))
+    assert not _unbounded_single_partition_children(simple_plan(ok))

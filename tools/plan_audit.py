@@ -65,13 +65,43 @@ ALLOW: dict[str, dict[str, str]] = {
     },
 }
 
-# single-partition exchanges that are K-BOUNDED (limit/top-k outputs or
-# scalar aggregates), never data-proportional
-SP_ALLOW: dict[str, str] = {
-    "_default_scalar": "final 1-row aggregate or K-row limit ordering",
-}
-
 NODES = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+# child node classes under which an Exchange SinglePartition is K-BOUNDED:
+# a keyless (scalar) partial aggregate, a limit, or a per-task top-K — the
+# exchange then moves O(partitions·K) rows, never the data
+_SP_BOUNDED_CHILD = re.compile(
+    r"HashAggregate\(keys=\[\]"
+    r"|SortAggregate\(key=\[\]"
+    r"|ObjectHashAggregate\(keys=\[\]"
+    r"|TakeOrderedAndProject"
+    r"|LocalLimit|GlobalLimit"
+)
+
+
+def _unbounded_single_partition_children(simple_plan: str) -> list[str]:
+    """Children of every `Exchange SinglePartition` in a simple-mode plan
+    that are NOT K-bounded — i.e. the exchange would drag a
+    data-proportional row set through one task. Returns the offending
+    child lines (empty = all bounded)."""
+    lines = simple_plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        indent = len(line) - len(line.lstrip(" +-:*"))
+        for nxt in lines[i + 1 :]:
+            stripped = nxt.lstrip(" +-:*")
+            if not stripped:
+                continue
+            nindent = len(nxt) - len(stripped)
+            if nindent <= indent:
+                break  # sibling/parent — exchange had no printed child
+            # first deeper line = the exchange's input operator
+            if not _SP_BOUNDED_CHILD.search(stripped):
+                bad.append(stripped[:90])
+            break
+    return bad
 
 
 def main() -> None:
@@ -99,11 +129,15 @@ def main() -> None:
             n = len(re.findall(rf"^\(\d+\) {node}", plan, flags=re.M))
             if n:
                 found[node] = n
-        # single-partition exchange: flag only when its child is a
-        # data-proportional operator (scan/join/generate); the 1-row
-        # aggregate / K-row TakeOrdered cases collapse to SinglePartition
-        # legitimately
-        sp = len(re.findall(r"Exchange SinglePartition", plan))
+        # single-partition exchanges: classify each one's CHILD — a keyless
+        # partial aggregate / limit / per-task top-K is K-bounded (the
+        # exchange moves O(partitions·K) rows); anything else would drag a
+        # data-proportional row set through one task and is a violation
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            df.explain()  # simple mode: inline tree with full node text
+        sp_bad = _unbounded_single_partition_children(buf2.getvalue())
+        sp = len(re.findall(r"Exchange SinglePartition", buf2.getvalue()))
         notes = []
         for node, n in found.items():
             just = ALLOW.get(name, {}).get(node)
@@ -112,8 +146,15 @@ def main() -> None:
                 notes.append(f"{node}×{n} ← UNEXPLAINED")
             else:
                 notes.append(f"{node}×{n} ({just})")
-        if sp:
-            notes.append(f"Exchange SinglePartition×{sp} (scalar/top-K bounded)")
+        if sp_bad:
+            violations.append(
+                (name, "ExchangeSinglePartition", f"unbounded child: {sp_bad[0]}")
+            )
+            notes.append(f"Exchange SinglePartition ← UNBOUNDED CHILD {sp_bad[0]}")
+        elif sp:
+            notes.append(
+                f"Exchange SinglePartition×{sp} (children verified K-bounded)"
+            )
         rows.append((name, "; ".join(notes) if notes else "clean"))
 
     # a justification that no longer matches any plan is a stale claim —
