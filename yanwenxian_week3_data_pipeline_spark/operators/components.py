@@ -20,8 +20,11 @@ Per round, on edges oriented larger-endpoint-first ``(u, v), u > v``:
     small-star:  for each u, m = min of its smaller neighbors;
                  (x, m) for x ∈ smaller-neighbors ∪ {u}, x ≠ m
 
-Each phase is one shuffle aggregate (min per node) plus one shuffle join —
-the same per-round cost the propagation loop paid, but log-many rounds.
+Each phase computes its per-node minimum with a WINDOW over the node
+partition — one shuffle, where a groupBy + re-join would pay two — and the
+small-star phase emits both of its output families (re-attached smaller
+neighbors and the center's own root edge) from a single exploded pass, so
+one round is one linear pipeline with exactly one materialization.
 Fixpoint = the edge set is a star forest rooted at each component's min;
 detected by an (edge-count, hash-sum) fingerprint — one lightweight action
 per round, with the hash summed in DECIMAL(38,0) so a billion-edge
@@ -44,6 +47,7 @@ from __future__ import annotations
 import logging
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
 from pyspark.storagelevel import StorageLevel
 
 log = logging.getLogger(__name__)
@@ -59,7 +63,14 @@ def star_contraction(
     ``((node, comp) labels, rounds_to_fixpoint)``. Every node appearing in
     ``edges`` (including self-loop-only nodes) is labeled; isolated nodes
     (absent from ``edges``) are absent — callers coalesce to the node id."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # checkpoint the raw pair stream ONCE up front: both the node set and
+    # the oriented edge set derive from it, and the caller's edge lineage
+    # is typically an expensive LSH pipeline — without the cut it would be
+    # recomputed for each derivation (measured ~2× the pair-generation
+    # cost on dedup_cc_clusters)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
@@ -75,31 +86,43 @@ def star_contraction(
         .localCheckpoint(eager=True)
     )
     prev_fp = _fingerprint(cur)
+    w_u = W.partitionBy("u")
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        # large-star: m(u) = min(Γ(u) ∪ {u}); larger neighbors re-attach to m
+        # large-star: m(u) = min(Γ(u) ∪ {u}); larger neighbors re-attach to
+        # m. The per-node minimum comes from a WINDOW over the u-partition
+        # (one shuffle), not a groupBy + re-join (two); and both small-star
+        # outputs are emitted from ONE pass over the large-star stream (an
+        # exploded 2-struct array), so the round is a single linear
+        # pipeline with exactly one checkpoint materialization — round
+        # wall-time is dominated by serial job count on small graphs.
         sym = cur.select("u", "v").union(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m_ls = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
-            "u", F.least("mn", "u").alias("m")
-        )
         large = (
-            sym.where(F.col("v") > F.col("u"))
-            .join(m_ls, "u")
+            sym.withColumn("m", F.least(F.min("v").over(w_u), F.col("u")))
+            .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)  # small-star reads it twice
         )
         # small-star on the large-star output (still oriented u > v):
         # m(u) = min of u's smaller neighbors; they and u collapse onto m
-        m_ss = large.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            large.join(m_ss, "u")
-            .where(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(m_ss.select("u", F.col("m").alias("v")))
+            large.withColumn("m", F.min("v").over(w_u))
+            .select(
+                F.explode(
+                    F.array(
+                        F.when(
+                            F.col("v") != F.col("m"),
+                            F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                        ),
+                        F.struct(F.col("u"), F.col("m").alias("v")),
+                    )
+                ).alias("e")
+            )
+            .where(F.col("e").isNotNull())
+            .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
             .distinct()
             .localCheckpoint(eager=True)
         )
