@@ -318,6 +318,52 @@ def test_connected_components_adversarial_long_chain(spark):
     assert rounds <= 12, rounds  # O(log n), nowhere near diameter 256
 
 
+def test_connected_components_hub_skew_path_same_labels(spark):
+    """A celebrity hub (one node with thousands of neighbors — the
+    boilerplate-page shape of real near-dup graphs) must be routed down the
+    skew path (broadcast-agg minima; the hub's edge list never shuffles on
+    u) and produce labels IDENTICAL to the window path. hub_min_rows is
+    lowered so detection triggers at test scale; the same graph also runs
+    with detection disabled as the ground-truth twin."""
+    from yanwenxian_week3_data_pipeline_spark.operators.components import (
+        star_contraction,
+    )
+
+    hub = 999_999
+    edges = [(hub, i) for i in range(1, 2001)]  # hub degree 2000
+    edges += [(10_000 + i, 10_001 + i) for i in range(50)]  # background chain
+    df = spark.createDataFrame(edges, "src long, dst long")
+    skewed, r1 = star_contraction(df, "src", "dst", hub_min_rows=64)
+    plain, r2 = star_contraction(df, "src", "dst", hub_min_rows=10**12)
+    got_s = {r.node: r.comp for r in skewed.collect()}
+    got_p = {r.node: r.comp for r in plain.collect()}
+    assert got_s == got_p
+    assert got_s[hub] == 1 and got_s[2000] == 1
+    assert got_s[10_050] == 10_000
+
+
+def test_star_contraction_strict_raises_on_round_cap(spark):
+    """Unconverged labels must never be silently consumed by dedup: the
+    default strict mode raises when max_iter is exhausted; strict=False
+    restores the log-and-return escape hatch."""
+    import random
+
+    from yanwenxian_week3_data_pipeline_spark.operators.components import (
+        star_contraction,
+    )
+
+    rng = random.Random(3)
+    ids = list(range(400))
+    rng.shuffle(ids)
+    chain = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        star_contraction(chain, "src", "dst", max_iter=1)
+    labels, rounds = star_contraction(chain, "src", "dst", max_iter=1, strict=False)
+    assert rounds == 1 and labels.count() == 400
+
+
 def test_partitioned_parquet_roundtrip_prunes(spark, sf_dir, tmp_path):
     from yanwenxian_week3_data_pipeline_spark.sinks.columnar import (
         read_partitioned_parquet,

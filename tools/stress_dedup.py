@@ -100,10 +100,45 @@ def main() -> None:
     labels, rounds = star_contraction(chain, "src", "dst", max_iter=40)
     n_comp = labels.select("comp").distinct().count()
     ok = n_comp == 1 and labels.agg(F.min("comp")).collect()[0][0] == 0
+    t_chain = time.time() - t0
     print(
-        f"cc_long_chain: {time.time() - t0:.1f}s nodes={n_docs} "
+        f"cc_long_chain: {t_chain:.1f}s nodes={n_docs} "
         f"diameter={n_docs - 1} rounds={rounds} correct={ok}"
     )
+
+    # celebrity-hub stress: ONE node with n_docs neighbors (the
+    # boilerplate-page shape of real near-dup graphs) plus a background
+    # chain — equal edge count to cc_long_chain, but the per-node min
+    # window serializes the hub's whole neighbor list into a single task.
+    # Run it twice, forcing each route: the gate is BOTH paths landing
+    # within ~2× of the uniform-chain wall at equal edges, and identical
+    # labels. Measured economics (2026-08-14, local[32]): at a 4.2M-
+    # neighbor hub the window path is ~1.7× FASTER than the skew path
+    # (77 s vs 132 s; single-box sorts are memory-bandwidth-bound, so one
+    # task sorting 8M longs costs less than the skew route's extra
+    # sample/broadcast/anti-join scans) — the skew path is MULTI-NODE
+    # insurance, where the hub partition means one executor fetches and
+    # sorts the whole neighbor list over the network while the rest of
+    # the cluster idles; hence the high default HUB_MIN_ROWS floor.
+    hub = 10**9
+    hub_ids = list(range(n_docs))
+    _r.shuffle(hub_ids)
+    n_bg = max(2, n_docs // 10)
+    star_edges = [(hub, i) for i in hub_ids]
+    star_edges += [(2 * 10**9 + i, 2 * 10**9 + i + 1) for i in range(n_bg - 1)]
+    star = spark.createDataFrame(star_edges, "src long, dst long")
+    for tag, hmr in (("skew_path", 4096), ("window_path", 10**15)):
+        t0 = time.time()
+        labels, rounds = star_contraction(
+            star, "src", "dst", max_iter=40, hub_min_rows=hmr
+        )
+        n_comp = labels.select("comp").distinct().count()
+        ok = n_comp == 2 and labels.agg(F.min("comp")).collect()[0][0] == 0
+        wall = time.time() - t0
+        print(
+            f"cc_hub[{tag}]: {wall:.1f}s hub_degree={n_docs} rounds={rounds} "
+            f"correct={ok} vs_chain={wall / t_chain:.2f}x"
+        )
 
 
 if __name__ == "__main__":

@@ -175,15 +175,20 @@ def run_cleaning_pipeline(
     # the kept rows on record_id, collect one subtotal row per partition,
     # and add each partition's global offset to its local row_number — no
     # unpartitioned window (the old shape dragged every kept row through a
-    # single task). Both jobs recompute the range exchange from the cached
-    # `flagged`, and RangePartitioner sampling is deterministic per input
-    # partition, so the pid assignment is identical across the two jobs.
+    # single task). The ranged frame is cut to an EAGER LOCAL CHECKPOINT
+    # before the offsets collect: RangePartitioner's reservoir sample is
+    # seeded with the rdd id, which changes per job, so re-executing the
+    # range exchange in the later failed-detail jobs could assign different
+    # range bounds once input partitions exceed the per-partition sample
+    # size — the checkpoint pins one physical pid assignment for both jobs
+    # (same discipline as plans/curation_ext.py _q_equidepth_histogram).
     nparts = max(2, spark.sparkContext.defaultParallelism)
     ranged = (
         flagged.where(kept)
         .select(RECORD_ID, "passed", "reason", "message")
         .repartitionByRange(nparts, F.col(RECORD_ID).asc())
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     off_rows, off_acc = [], 0
     for pid, cnt in sorted(

@@ -987,7 +987,7 @@ walk(node, comp) AS (
 ),
 cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
 memb AS (SELECT d.doc_id, coalesce(cc.comp, d.doc_id) AS cluster_id,
-                CAST(regexp_extract(d.source, '([0-9]+)', 1) AS BIGINT) % 5 AS priority
+                TRY_CAST(NULLIF(regexp_extract(d.source, '([0-9]+)', 1), '') AS BIGINT) % 5 AS priority
          FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
 multi AS (SELECT cluster_id, count(*) AS n_members FROM memb
           GROUP BY cluster_id HAVING count(*) > 1),
@@ -1871,7 +1871,7 @@ def _q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SAMPLE_MIXTURE = f"""
 WITH s AS (SELECT source, n_chars,
   ({hash60_sql('CAST(doc_id AS VARCHAR)', seed=MIX_HASH_SEED)} % {MIX_BUCKETS}) AS h,
-  ((CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1) * {MIX_BUCKETS // 4}) AS frac_bp
+  ((TRY_CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '') AS BIGINT) % 4 + 1) * {MIX_BUCKETS // 4}) AS frac_bp
   FROM documents)
 SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
 FROM s WHERE h < frac_bp GROUP BY source
