@@ -364,6 +364,107 @@ def test_star_contraction_strict_raises_on_round_cap(spark):
     assert rounds == 1 and labels.count() == 400
 
 
+def _brute_lrs(token_lists):
+    """Reference longest repeated token-substring: max L with some L-span at
+    >=2 distinct (doc, pos); returns (L, lexicographically smallest text)."""
+    from collections import Counter
+
+    best = (0, "")
+    max_len = max((len(t) for t in token_lists), default=0)
+    for L in range(1, max_len + 1):
+        spans = Counter(
+            " ".join(t[i : i + L])
+            for t in token_lists
+            for i in range(len(t) - L + 1)
+        )
+        rep = sorted(s for s, c in spans.items() if c >= 2)
+        if not rep:
+            break
+        best = (L, rep[0])
+    return best
+
+
+def test_lrs_planted_repeat(spark):
+    """A planted 6-token span shared by two docs (all other tokens unique)
+    must be found exactly by BOTH formulations, with matching tie-break."""
+    from yanwenxian_week3_data_pipeline_spark.operators.substrings import (
+        longest_repeated_substring,
+        lrs_capped_sorted,
+    )
+
+    planted = "zeta yank whisk vict unif tango"
+    rows = [
+        (0, f"a0 b0 c0 {planted} d0 e0"),
+        (1, f"a1 b1 {planted} c1 d1 e1 f1"),
+        (2, "g0 g1 g2 g3 g4 g5 g6 g7"),
+    ]
+    t = spark.createDataFrame(rows, "doc_id long, text string").select(
+        F.split("text", " ").alias("toks")
+    )
+    got_u = longest_repeated_substring(t).collect()[0]
+    assert (got_u["lrs_len"], got_u["lrs_text"], got_u["n_occurrences"]) == (
+        6, planted, 2,
+    )
+    got_c = lrs_capped_sorted(t).collect()[0]
+    assert (got_c["lrs_len"], got_c["lrs_text"]) == (6, planted)
+
+
+def test_lrs_matches_brute_force_random(spark):
+    """Seeded random corpora (tiny vocab -> dense accidental repeats):
+    uncapped == brute force, capped == min(uncapped, cap) with the same
+    winner text whenever the answer is under the cap."""
+    import random
+
+    from yanwenxian_week3_data_pipeline_spark.operators.substrings import (
+        LRS_CAP,
+        longest_repeated_substring,
+        lrs_capped_sorted,
+    )
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    for trial in range(3):
+        token_lists = [
+            [vocab[rng.randrange(len(vocab))] for _ in range(rng.randint(5, 40))]
+            for _ in range(6)
+        ]
+        want_len, want_text = _brute_lrs(token_lists)
+        t = spark.createDataFrame(
+            [(" ".join(toks),) for toks in token_lists], "text string"
+        ).select(F.split("text", " ").alias("toks"))
+        got = longest_repeated_substring(t).collect()[0]
+        assert (got["lrs_len"], got["lrs_text"]) == (want_len, want_text), trial
+        got_c = lrs_capped_sorted(t).collect()[0]
+        if want_len <= LRS_CAP:
+            assert (got_c["lrs_len"], got_c["lrs_text"]) == (want_len, want_text)
+        else:
+            assert got_c["lrs_len"] == LRS_CAP
+
+
+def test_lrs_cap_and_empty_semantics(spark):
+    """True repeat longer than the cap: capped reports exactly LRS_CAP,
+    uncapped the true length. Corpus with no repeated token at all: empty
+    result from the uncapped form."""
+    from yanwenxian_week3_data_pipeline_spark.operators.substrings import (
+        LRS_CAP,
+        longest_repeated_substring,
+        lrs_capped_sorted,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(50))
+    t = spark.createDataFrame([(long_doc,), (long_doc,)], "text string").select(
+        F.split("text", " ").alias("toks")
+    )
+    assert lrs_capped_sorted(t).collect()[0]["lrs_len"] == LRS_CAP
+    u = longest_repeated_substring(t).collect()[0]
+    assert (u["lrs_len"], u["n_occurrences"]) == (50, 2)
+
+    uniq = spark.createDataFrame([("q0 q1 q2",), ("q3 q4 q5",)], "text string").select(
+        F.split("text", " ").alias("toks")
+    )
+    assert longest_repeated_substring(uniq).collect() == []
+
+
 def test_partitioned_parquet_roundtrip_prunes(spark, sf_dir, tmp_path):
     from yanwenxian_week3_data_pipeline_spark.sinks.columnar import (
         read_partitioned_parquet,

@@ -47,6 +47,12 @@ QUERIES = [
     # within-replica repeated span exactly, so the answer stays TOPK-sized
     # while the span stream grows k× — pure engine scaling
     "dedup_repeated_spans_merged",
+    # suffix-grain LRS: renaming preserves every within-replica repeat
+    # exactly (answer LENGTH is scale-invariant); the capped sort's span
+    # stream and the hash-probe passes both grow k× — linearity here is
+    # the substring-dedup scale proof
+    "docs_lrs_capped",
+    "docs_longest_repeated_substring",
 ]
 
 

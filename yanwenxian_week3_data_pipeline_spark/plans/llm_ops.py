@@ -1994,8 +1994,65 @@ SELECT CAST(unnest({SIM_QUERY_IDS}) AS BIGINT) AS query_id,
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_lrs_capped / docs_longest_repeated_substring — arbitrary-length
+# repeated-substring discovery (suffix grain, the Lee-et-al. substring-dedup
+# upgrade of the fixed-8-token span queries). The capped form is the
+# SQL-expressible oracle twin (capped-suffix sort + adjacent LCP — exact
+# for answers < LRS_CAP, reports LRS_CAP when the true repeat is longer);
+# the uncapped form is the scale path (hash-probe binary search, no sort)
+# and is rows-only for the driver, with pytest pinning capped==min(uncapped,
+# cap) plus a brute-force property test. See operators/substrings.py.
+# ---------------------------------------------------------------------------
+
+def _toks_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cleaned_docs(spark, sf_dir).select(
+        tokens_expr(F.col("c")).alias("toks")
+    )
+
+
+def _q_lrs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.substrings import lrs_capped_sorted
+
+    return lrs_capped_sorted(_toks_frame(spark, sf_dir))
+
+
+def _q_lrs_uncapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.substrings import longest_repeated_substring
+
+    return longest_repeated_substring(_toks_frame(spark, sf_dir))
+
+
+def _sql_lrs_capped() -> str:
+    from ..operators.substrings import LRS_CAP
+
+    return f"""
+WITH d AS ({_CLEANED}),
+t AS (SELECT {tokens_sql('c')} AS toks FROM d),
+sfx AS (SELECT unnest(list_transform(range(1, len(toks) + 1),
+                i -> array_to_string(toks[i:i+{LRS_CAP - 1}], ' '))) AS sstr
+        FROM t WHERE len(toks) > 0),
+g AS (SELECT sstr, count(*) AS c FROM sfx GROUP BY sstr),
+o AS (SELECT sstr, c, string_split(sstr, ' ') AS s,
+             lag(string_split(sstr, ' ')) OVER (ORDER BY sstr) AS prev
+      FROM g),
+adj AS (SELECT len(list_filter(range(1, least(len(s), len(prev)) + 1),
+                 i -> s[1:i] = prev[1:i])) AS l, s
+        FROM o WHERE prev IS NOT NULL),
+cand AS (
+  SELECT CAST(l AS BIGINT) AS l, array_to_string(s[1:CAST(l AS INT)], ' ') AS sub
+  FROM adj WHERE l > 0
+  UNION ALL
+  SELECT CAST(len(s) AS BIGINT) AS l, sstr AS sub FROM o WHERE c >= 2
+)
+SELECT l AS lrs_len, sub AS lrs_text FROM cand ORDER BY l DESC, sub ASC LIMIT 1
+"""
+
+
 QUERIES = [
     QuerySpec("text_token_count", _q_token_count, _SQL_TOKEN_COUNT),
+    QuerySpec("docs_lrs_capped", _q_lrs_capped, _sql_lrs_capped()),
+    QuerySpec("docs_longest_repeated_substring", _q_lrs_uncapped, None),
     QuerySpec("text_quality_score", _q_quality, _SQL_QUALITY, headline=True),
     QuerySpec("docs_unigram_logprob", _q_unigram_logprob, _SQL_UNIGRAM_LOGPROB),
     QuerySpec("text_lang_id", _q_lang_id, _SQL_LANG_ID),
