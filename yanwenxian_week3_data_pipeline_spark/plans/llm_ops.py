@@ -1995,6 +1995,108 @@ SELECT CAST(unnest({SIM_QUERY_IDS}) AS BIGINT) AS query_id,
 
 
 # ---------------------------------------------------------------------------
+# sim_ivf_kmeans_clustered_* — the fixture where k-means IVF SHOULD win,
+# and a gate that fails the sweep if it ever stops winning. The driver's
+# embeddings are near-random (no cluster structure), where
+# sim_ivf_kmeans_recall honestly reports trained centroids LOSING to the
+# lowest-id heuristic; this pair plants real cluster structure — a
+# deterministic transform (no new fixture files): cluster c(vec_id),
+# new_vec = 0.35·orig + block-indicator center (coords 8c..8c+7 = 1/√8) —
+# same-cluster cosines ≈ 0.9, cross-cluster ≲ 0.12. The assignment puts
+# the 8 LOWEST ids — exactly the seed heuristic's centroid picks — all in
+# cluster 0 (the production failure mode in miniature: ids correlate with
+# collection order, so "first vectors seen" under-cover the space), and
+# every other vector in cluster vec_id % 8. With n_cells=8 / nprobe=1 and
+# probe queries in clusters 1-5, the heuristic's near-parallel centroids
+# split every cluster arbitrarily (recall ≈ 1/cells) while k-means
+# recovers the planted centers. `_recalls` (rows-only) carries the
+# measured numbers; `_ahead` is oracled against a literal `true`, so the
+# correctness sweep itself fails if trained-IVF recall ever drops
+# to/below the heuristic's at equal nprobe.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_CELLS = 8
+_CLUSTER_NPROBE = 1
+_CLUSTER_QUERY_IDS = [9, 10, 11, 12, 13]  # clusters 1-5: none covered by ids 0-7
+
+
+def _clustered_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    c = F.when(F.col("vec_id") < 8, F.lit(0)).otherwise(
+        F.col("vec_id") % _CLUSTER_CELLS
+    )
+    idx = F.sequence(F.lit(0), F.lit(EMB_DIM - 1))
+    newvec = F.transform(
+        idx,
+        lambda i: (
+            F.element_at(F.col("embedding"), i + 1) * F.lit(0.35)
+            + F.when(F.floor(i / 8) == c, F.lit(0.35355339059327373)).otherwise(
+                F.lit(0.0)
+            )
+        ).cast("float"),
+    )
+    return e.select("vec_id", newvec.alias("embedding"), "label")
+
+
+def _clustered_recall_scalars(spark: SparkSession, sf_dir: str) -> tuple:
+    from ..operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_ivf_kmeans,
+    )
+
+    # one materialization feeds the exact baseline, both IVF variants and
+    # k-means training (4 traversals of the transform otherwise)
+    e = _clustered_emb(spark, sf_dir).localCheckpoint(eager=True)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in cosine_topk(e, _CLUSTER_QUERY_IDS, k=SIM_K).collect()
+    }  # |Q|·k rows — bounded collect
+
+    def recall(df: DataFrame) -> float:
+        hits = sum(
+            (r["query_id"], r["cand_id"]) in exact
+            for r in df.collect()  # |Q|·k rows
+        )
+        return round(hits / max(len(exact), 1), 6)
+
+    heur = recall(
+        cosine_topk_ivf(
+            e, _CLUSTER_QUERY_IDS, k=SIM_K,
+            n_cells=_CLUSTER_CELLS, nprobe=_CLUSTER_NPROBE,
+        )
+    )
+    km = recall(
+        cosine_topk_ivf_kmeans(
+            e, _CLUSTER_QUERY_IDS, k=SIM_K,
+            n_cells=_CLUSTER_CELLS, nprobe=_CLUSTER_NPROBE,
+        )
+    )
+    return len(_CLUSTER_QUERY_IDS), heur, km
+
+
+def _q_ivf_kmeans_clustered_recalls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_q, heur, km = _clustered_recall_scalars(spark, sf_dir)
+    return spark.createDataFrame(
+        [(n_q, heur, km, km > heur)],
+        "n_queries long, heuristic_recall double, kmeans_recall double, "
+        "kmeans_ahead boolean",
+    )
+
+
+def _q_ivf_kmeans_clustered_ahead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_q, heur, km = _clustered_recall_scalars(spark, sf_dir)
+    return spark.createDataFrame(
+        [(n_q, km > heur)], "n_queries long, kmeans_ahead boolean"
+    )
+
+
+_SQL_IVF_KMEANS_CLUSTERED_AHEAD = f"""
+SELECT CAST({len(_CLUSTER_QUERY_IDS)} AS BIGINT) AS n_queries, true AS kmeans_ahead
+"""
+
+
+# ---------------------------------------------------------------------------
 # docs_lrs_capped / docs_longest_repeated_substring — arbitrary-length
 # repeated-substring discovery (suffix grain, the Lee-et-al. substring-dedup
 # upgrade of the fixed-8-token span queries). The capped form is the
@@ -2110,6 +2212,14 @@ QUERIES = [
     QuerySpec("dedup_lsh_recall", _q_lsh_recall, _SQL_LSH_RECALL),
     QuerySpec("sim_cosine_topk_ivf_kmeans", _q_cosine_topk_ivf_kmeans, None),
     QuerySpec("sim_ivf_kmeans_recall", _q_ivf_kmeans_recall, _SQL_IVF_KMEANS_RECALL),
+    QuerySpec(
+        "sim_ivf_kmeans_clustered_recalls", _q_ivf_kmeans_clustered_recalls, None
+    ),
+    QuerySpec(
+        "sim_ivf_kmeans_clustered_ahead",
+        _q_ivf_kmeans_clustered_ahead,
+        _SQL_IVF_KMEANS_CLUSTERED_AHEAD,
+    ),
 ]
 
 
