@@ -745,3 +745,111 @@ def test_watermarked_embedding_stream_drops_late_vectors(spark, tmp_path):
     assert (4, 1) in pairs2 and (4, 2) in pairs2, pairs2
     assert not any(3 in p for p in pairs2)
     assert dropped2 > 0
+
+
+def test_neardup_stream_restart_backpressure_watermark_composite(spark, tmp_path):
+    """The three round-3 hardening proofs composed into ONE lifecycle:
+    source backpressure (maxFilesPerTrigger=1 -> one file per micro-batch,
+    asserted on every drain), a kill with data still arriving while the
+    stream is DOWN (the realistic crash window: a watermark-late document
+    and a fresh duplicate land in the backlog), and a checkpoint restart
+    that drains that backlog in capped batches. Exactly-once gate: the
+    parquet sink must hold NO duplicate pair rows across the three runs,
+    the late doc must pair with nothing (counted in
+    numRowsDroppedByWatermark), and the final distinct pairs must equal
+    the all-pairs oracle over the non-late duplicate docs.
+
+    (A trigger-once mid-backlog stop was tried first and rejected:
+    Trigger.Once IGNORES maxFilesPerTrigger and swallows the whole backlog
+    in one batch - the documented reason availableNow replaced it.)"""
+    import json as _json
+    import os
+
+    from yanwenxian_week3_data_pipeline_spark.streaming.neardup import (
+        minhash_candidates_stream_watermarked,
+    )
+
+    feed = tmp_path / "docs"
+    feed.mkdir()
+    ck, out = str(tmp_path / "ck"), str(tmp_path / "out")
+    text = (
+        "the quick brown fox jumps over the lazy dog while cold rain "
+        "falls on the quiet hill"
+    )
+    iso = "2024-01-01T{}:00.000Z"
+
+    def write_file(name, rows, mtime):
+        p = feed / name
+        with open(p, "w") as f:
+            for did, ts, tx in rows:
+                f.write(_json.dumps({"doc_id": did, "text": tx, "ts": ts}) + "\n")
+        os.utime(p, (mtime, mtime))  # pin source file order deterministically
+
+    def run(trigger_kwargs):
+        cands = minhash_candidates_stream_watermarked(
+            spark, str(feed), delay="30 minutes",
+            reader_options={"maxFilesPerTrigger": 1},
+        )
+        q = (
+            cands.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+        q.awaitTermination()
+        batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        dropped = sum(
+            so["numRowsDroppedByWatermark"]
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+        return batches, dropped
+
+    # run 1 (capped availableNow): two files, two micro-batches — dup pair
+    # (2,1) and the watermark advancer; checkpointed watermark = 11:30
+    write_file("a.jsonl", [
+        (1, iso.format("10:00"), text),
+        (2, iso.format("10:10"), text),
+    ], mtime=1_000_000)
+    write_file("b.jsonl", [
+        (9, iso.format("12:00"),
+         "completely different words about spark shuffles and arrow batches"),
+    ], mtime=1_000_010)
+    batches1, dropped1 = run({"availableNow": True})
+    assert len(batches1) == 2, [p["numInputRows"] for p in batches1]
+    assert dropped1 == 0
+    pairs1 = {(r.id_new, r.id_seen) for r in spark.read.parquet(out).collect()}
+    assert pairs1 == {(2, 1)}
+
+    # run 2: one new file; the drain finishes and the stream is DOWN
+    write_file("c.jsonl", [(4, iso.format("11:45"), text)], mtime=1_000_020)
+    batches2, dropped2 = run({"availableNow": True})
+    assert len(batches2) == 1, [p["numInputRows"] for p in batches2]
+    pairs2 = {(r.id_new, r.id_seen) for r in spark.read.parquet(out).collect()}
+    assert pairs2 == {(2, 1), (4, 1), (4, 2)}, pairs2
+
+    # while down, two more files arrive: a watermark-LATE duplicate (doc 3
+    # at 10:05 < checkpointed 11:30) and a fresh duplicate (doc 5)
+    write_file("d.jsonl", [(3, iso.format("10:05"), text)], mtime=1_000_030)
+    write_file("e.jsonl", [(5, iso.format("11:50"), text)], mtime=1_000_040)
+
+    # restart from checkpoint: the 2-file backlog drains in 2 capped
+    # batches; doc 3 is dropped by the RECOVERED watermark (no pairs,
+    # counted in the metric), doc 5 pairs against every standing copy
+    # exactly once
+    batches3, dropped3 = run({"availableNow": True})
+    assert len(batches3) == 2, [p["numInputRows"] for p in batches3]
+    assert dropped3 > 0, "late doc rows must be counted as watermark drops"
+    rows = spark.read.parquet(out).collect()
+    # exactly-once is at the emission grain: one row per (band, pair) —
+    # identical docs legitimately collide in every band, so the pair
+    # (5, 1) appears once per band, but NEVER twice for the same band
+    emissions = [(r.band_idx, r.band_key, r.id_new, r.id_seen) for r in rows]
+    assert len(emissions) == len(set(emissions)), "re-emitted band rows across restarts"
+    all_pairs = {(r.id_new, r.id_seen) for r in rows}
+    assert all_pairs == {
+        (2, 1), (4, 1), (4, 2), (5, 1), (5, 2), (5, 4),
+    }, sorted(all_pairs)
+    assert not any(3 in p for p in all_pairs)

@@ -174,7 +174,10 @@ DOC_TS_STREAM_SCHEMA = StructType(
 
 
 def minhash_candidates_stream_watermarked(
-    spark: SparkSession, src_dir: str, delay: str = "30 minutes"
+    spark: SparkSession,
+    src_dir: str,
+    delay: str = "30 minutes",
+    reader_options: dict | None = None,
 ) -> DataFrame:
     """Watermarked variant for long-running deployments: documents carry an
     event time, the watermark bounds how late a document may arrive, and a
@@ -185,10 +188,14 @@ def minhash_candidates_stream_watermarked(
     ``applyInPandasWithState``; the ``ts`` column therefore rides through
     the banding projection so every exploded band row still carries its
     event time. Groups never set a timeout timestamp here — eviction of
-    stale bands is the documented production extension."""
+    stale bands is the documented production extension. ``reader_options``
+    passes through to the file-stream reader (e.g. ``maxFilesPerTrigger``
+    for source backpressure)."""
+    reader = spark.readStream.schema(DOC_TS_STREAM_SCHEMA)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
     docs = (
-        spark.readStream.schema(DOC_TS_STREAM_SCHEMA)
-        .json(src_dir)
+        reader.json(src_dir)
         .where(F.col("ts").isNotNull())
         .withWatermark("ts", delay)
     )
