@@ -34,15 +34,34 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def _as_single_file(out: str, t: str) -> None:
+    """Replace the Spark output DIRECTORY {out}/{t}.parquet with a single
+    parquet FILE of the same name — the driver's testdata layout, which
+    both spark.read.parquet and DuckDB read_parquet accept verbatim."""
+    import shutil
+    from glob import glob
+
+    d = Path(out) / f"{t}.parquet"
+    tmp = Path(out) / f"_{t}_dir"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    d.rename(tmp)
+    parts = sorted(glob(str(tmp / "part-*.parquet")))
+    assert len(parts) == 1, (t, parts)
+    shutil.move(parts[0], d)
+    shutil.rmtree(tmp)
+
+
 def make(spark, base: str, out: str, k: int) -> None:
     from pyspark.sql import functions as F  # noqa: N812
 
     from tools.stress_llm import generate as gen_docs_emb
 
     for t in ("region", "nation"):
-        spark.read.parquet(f"{base}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{out}/{t}.parquet"
-        )
+        spark.read.parquet(f"{base}/{t}.parquet").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+        _as_single_file(out, t)
 
     def load(t):
         return spark.read.parquet(f"{base}/{t}.parquet")
@@ -61,9 +80,10 @@ def make(spark, base: str, out: str, k: int) -> None:
         ).alias(col)
 
     def write(df, t):
-        df.drop("rep").repartition(32).write.mode("overwrite").parquet(
+        df.drop("rep").coalesce(1).write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
+        _as_single_file(out, t)
 
     write(
         load("customer").crossJoin(reps).select(
@@ -114,6 +134,23 @@ def make(spark, base: str, out: str, k: int) -> None:
         "events",
     )
     gen_docs_emb(spark, base, out, k)
+    # stress_llm's generator writes Spark directories; flatten to the
+    # driver's single-file layout (documents/embeddings)
+    import shutil
+
+    for t in ("documents", "embeddings"):
+        d = Path(out) / f"{t}.parquet"
+        tmp_dir = Path(out) / f"_{t}_flat"
+        spark.read.parquet(str(d)).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_dir)
+        )
+        shutil.rmtree(d)
+        from glob import glob
+
+        parts = sorted(glob(str(tmp_dir / "part-*.parquet")))
+        assert len(parts) == 1, (t, parts)
+        shutil.move(parts[0], d)
+        shutil.rmtree(tmp_dir)
 
 
 def main() -> None:

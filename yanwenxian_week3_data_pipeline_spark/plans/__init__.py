@@ -14,8 +14,13 @@ column becomes ``float64`` on the DuckDB side but an object column of
 differently (``Decimal('137431.00')`` vs ``137431.0``). Internal arithmetic
 stays decimal (exact, deterministic under parallel reduction — double sums
 are partial-order dependent), and ``canonical_projection`` casts only the
-FINAL top-level decimal outputs to double; decimal→double conversion is
-correctly rounded in both engines, so equal decimals yield bit-equal doubles.
+FINAL top-level decimal outputs to double. CAVEAT (found by the sf1
+sweep): decimal→double is correctly rounded in Spark, but DuckDB converts
+scaled-int→double then divides — two roundings, so equal decimals yield
+bit-DIFFERENT doubles once the scaled integer exceeds 2^53. Any final
+decimal whose scaled magnitude can cross 2^53 at plausible volumes must
+go through ``dec_as_double`` / ``dec_as_double_sql`` (identical two-step
+on both engines) instead of relying on the implicit cast.
 Oracle SQL carries the dual fix: integer ``sum()`` in DuckDB is HUGEINT
 (→float64 in pandas), so oracle sums over integers are wrapped in
 ``CAST(... AS BIGINT)`` at the final projection.
@@ -51,6 +56,31 @@ def canonical_projection(df: DataFrame) -> DataFrame:
             else F.col(f.name)
             for f in df.schema.fields
         ]
+    )
+
+
+def dec_as_double(col: F.Column, scale: int) -> F.Column:
+    """Decimal→double that stays BIT-EQUAL across engines once the scaled
+    integer exceeds 2^53. The sf1 sweep caught q1's sum_charge (DECIMAL
+    38,6 ≈ 2.8e10 → scaled int 2.8e16 > 2^53) hash-mismatching: Spark's
+    decimal→double cast is correctly rounded (single rounding), but
+    DuckDB converts scaled-int→double THEN divides (two roundings, both
+    in its in-engine CAST and in the pandas .df() path), which can land
+    1 ulp away. Fix: make BOTH engines run the identical two-step —
+    exact scaled integer as DECIMAL(38,0), one correctly-rounded cast to
+    double, then an IEEE double division — via this helper and its
+    ``dec_as_double_sql`` twin. Use for any final decimal whose scaled
+    magnitude can cross 2^53 at plausible data sizes."""
+    return (col * F.lit(10**scale)).cast("decimal(38,0)").cast("double") / F.lit(
+        float(10**scale)
+    )
+
+
+def dec_as_double_sql(expr: str, scale: int) -> str:
+    """DuckDB twin of ``dec_as_double`` — see its docstring."""
+    return (
+        f"CAST(CAST(({expr}) * {10 ** scale} AS DECIMAL(38,0)) AS DOUBLE)"
+        f" / {float(10 ** scale)}"
     )
 
 

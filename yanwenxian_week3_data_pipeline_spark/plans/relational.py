@@ -36,33 +36,61 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import dec_as_double
+
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast(DEC)
     price = F.col("l_extendedprice").cast(DEC)
     disc = F.col("l_discount").cast(DEC)
     tax = F.col("l_tax").cast(DEC)
+    # money/qty sums stay exact decimals through the aggregation; the FINAL
+    # projection goes through dec_as_double (scaled-int two-step) because
+    # sum_charge's scaled magnitude crosses 2^53 at sf1 — see
+    # plans.dec_as_double for the engine-rounding divergence it prevents
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).alias("sum_qty"),
-            F.sum(price).alias("sum_base_price"),
-            F.sum(price * (F.lit(1).cast(DEC) - disc)).alias("sum_disc_price"),
-            F.sum(price * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax)).alias("sum_charge"),
+            F.sum(qty).alias("_sum_qty"),
+            F.sum(price).alias("_sum_base_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).alias("_sum_disc_price"),
+            F.sum(price * (F.lit(1).cast(DEC) - disc) * (F.lit(1).cast(DEC) + tax)).alias("_sum_charge"),
             F.avg(qty).cast("decimal(18,4)").alias("avg_qty"),
             F.avg(price).cast("decimal(18,4)").alias("avg_price"),
             F.avg(disc).cast("decimal(18,4)").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            dec_as_double(F.col("_sum_qty"), 2).alias("sum_qty"),
+            dec_as_double(F.col("_sum_base_price"), 2).alias("sum_base_price"),
+            dec_as_double(F.col("_sum_disc_price"), 4).alias("sum_disc_price"),
+            dec_as_double(F.col("_sum_charge"), 6).alias("sum_charge"),
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
+        )
     )
 
 
-_SQL_Q1 = f"""
+def _sql_q1() -> str:
+    from . import dec_as_double_sql
+
+    sum_qty = f"sum(CAST(l_quantity AS {DEC}))"
+    sum_base = f"sum(CAST(l_extendedprice AS {DEC}))"
+    sum_disc = f"sum(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC})))"
+    sum_charge = (
+        f"sum(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))"
+        f" * (CAST(1 AS {DEC}) + CAST(l_tax AS {DEC})))"
+    )
+    return f"""
 SELECT l_returnflag, l_linestatus,
-  sum(CAST(l_quantity AS {DEC})) AS sum_qty,
-  sum(CAST(l_extendedprice AS {DEC})) AS sum_base_price,
-  sum(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS sum_disc_price,
-  sum(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC})) * (CAST(1 AS {DEC}) + CAST(l_tax AS {DEC}))) AS sum_charge,
+  {dec_as_double_sql(sum_qty, 2)} AS sum_qty,
+  {dec_as_double_sql(sum_base, 2)} AS sum_base_price,
+  {dec_as_double_sql(sum_disc, 4)} AS sum_disc_price,
+  {dec_as_double_sql(sum_charge, 6)} AS sum_charge,
   CAST(avg(CAST(l_quantity AS {DEC})) AS DECIMAL(18,4)) AS avg_qty,
   CAST(avg(CAST(l_extendedprice AS {DEC})) AS DECIMAL(18,4)) AS avg_price,
   CAST(avg(CAST(l_discount AS {DEC})) AS DECIMAL(18,4)) AS avg_disc,
@@ -71,6 +99,9 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+_SQL_Q1 = _sql_q1()
 
 
 # ---------------------------------------------------------------------------
