@@ -1054,3 +1054,152 @@ def test_rebalance_write_splits_hot_partition(spark, tmp_path):
     back = read_partitioned_parquet(spark, p_reb)
     assert back.count() == 20000
     assert back.select(F.sum("event_id")).first()[0] == sum(range(20000))
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def _semdedup_brute(ids, X, cells, eps):
+    """Numpy reference for the SemDeDup triangular rule: within each cell,
+    order by (round(cos-to-centroid, 6), id); drop i iff any EARLIER j
+    (dropped or not) has round(cos(i, j), 6) >= eps. Centroid cosine is
+    supplied by the caller via the ordering key in `cells`."""
+    import numpy as np
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    survivors = set()
+    for cell in sorted(set(c for c, _ in cells.values())):
+        members = sorted(
+            [i for i in range(len(ids)) if cells[ids[i]][0] == cell],
+            key=lambda i: (cells[ids[i]][1], ids[i]),
+        )
+        for pos, i in enumerate(members):
+            shadowed = any(
+                round(float(Xn[i] @ Xn[j]), 6) >= eps for j in members[:pos]
+            )
+            if not shadowed:
+                survivors.add(ids[i])
+    return survivors
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    """Property test on a seeded random mixture-of-Gaussians: the operator's
+    survivor set equals the numpy reference applying the same assignment,
+    ordering, and triangular drop rule."""
+    import numpy as np
+
+    from yanwenxian_week3_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    dim, n_cells, per = 16, 4, 40
+    centers = rng.normal(size=(n_cells, dim)) * 3
+    X = np.vstack([centers[c] + rng.normal(size=(per, dim)) * 0.45 for c in range(n_cells)])
+    ids = list(range(len(X)))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in ids],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(c, [float(x) for x in centers[c]]) for c in range(n_cells)],
+        "cell int, cell_vec array<float>",
+    )
+    eps = 0.92
+    got = semantic_dedup(emb, eps, centroids=cents).collect()
+
+    # replicate assignment + ordering keys with float32-cast inputs (the
+    # DataFrame stores array<float>), then run the reference rule
+    Xf = X.astype(np.float32).astype(np.float64)
+    Cf = centers.astype(np.float32).astype(np.float64)
+    Cn = Cf / np.linalg.norm(Cf, axis=1, keepdims=True)
+    Xn = Xf / np.linalg.norm(Xf, axis=1, keepdims=True)
+    sims = Xn @ Cn.T
+    cells = {}
+    for i in ids:
+        c = int(np.argmax(sims[i]))  # unique max on this fixture
+        cells[i] = (c, round(float(sims[i][c]), 6))
+    want = _semdedup_brute(ids, Xf, cells, eps)
+
+    assert {r["vec_id"] for r in got} == want
+    # every cell keeps at least one member and drops at least one (eps was
+    # chosen so the duplicate graph is nontrivial on this fixture)
+    kept_per_cell = {c: 0 for c in range(n_cells)}
+    for r in got:
+        kept_per_cell[r["cell"]] += 1
+    assert all(v >= 1 for v in kept_per_cell.values())
+    assert sum(kept_per_cell.values()) < len(ids)
+
+
+def test_semantic_dedup_max_cell_rows_guard(spark):
+    """Cells above the cap skip the quadratic pair stage: all members
+    survive (the DEDUP_MAX_BUCKET recall-trade semantics), smaller cells
+    still dedup."""
+    import numpy as np
+
+    from yanwenxian_week3_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    c0, c1 = rng.normal(size=dim) * 4, -rng.normal(size=dim) * 4
+    rows, cid = [], 0
+    for _ in range(10):  # big cell: 10 near-identical members
+        rows.append((cid, [float(x) for x in c0 + rng.normal(size=dim) * 0.01])); cid += 1
+    for _ in range(3):  # small cell: 3 near-identical members
+        rows.append((cid, [float(x) for x in c1 + rng.normal(size=dim) * 0.01])); cid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [(0, [float(x) for x in c0]), (1, [float(x) for x in c1])],
+        "cell int, cell_vec array<float>",
+    )
+    out = semantic_dedup(emb, 0.99, centroids=cents, max_cell_rows=5).collect()
+    by_cell = {0: 0, 1: 0}
+    for r in out:
+        by_cell[r["cell"]] += 1
+    assert by_cell[0] == 10  # capped cell: untouched
+    assert by_cell[1] == 1  # small cell: deduped to one survivor
+
+
+def test_semantic_dedup_trained_recovers_planted_assignment(spark, sf_dir):
+    """On the planted-cluster fixture the seeded k-means path must recover
+    the planted partition exactly (up to cell relabeling) — the premise of
+    registering dedup_semantic (trained, rows-only) next to
+    dedup_semantic_checked (planted centroids, oracled)."""
+    from yanwenxian_week3_data_pipeline_spark.plans.llm_ops import (
+        _CLUSTER_CELLS,
+        _planted_centroids,
+        _semdedup_input,
+        _SEMDEDUP_EPS,
+    )
+    from yanwenxian_week3_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    inp = _semdedup_input(spark, sf_dir).localCheckpoint(eager=True)
+    # eps > 1 disables the drop stage, so survivors = ALL vectors with
+    # their cell labels — i.e. the raw assignment under each centroid set
+    planted = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_dedup(inp, 1.01, centroids=_planted_centroids(spark)).collect()
+    }
+    trained = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_dedup(inp, 1.01, n_cells=_CLUSTER_CELLS, seed=42).collect()
+    }
+    assert set(planted) == set(trained)
+    mapping = {}
+    for vid in planted:
+        mapping.setdefault(trained[vid], set()).add(planted[vid])
+    # exact partition recovery: the relabeling is a bijection
+    assert len(mapping) == _CLUSTER_CELLS
+    assert all(len(v) == 1 for v in mapping.values())
+
+    # with the real eps both paths produce a nontrivial, same-order-of-
+    # magnitude dedup (survivor SETS may differ: ordering is cosine-to-
+    # centroid and the trained centroids are not the planted literals)
+    n_checked = semantic_dedup(
+        inp, _SEMDEDUP_EPS, centroids=_planted_centroids(spark)
+    ).count()
+    n_trained = semantic_dedup(
+        inp, _SEMDEDUP_EPS, n_cells=_CLUSTER_CELLS, seed=42
+    ).count()
+    assert 0 < n_checked < len(planted)
+    assert 0 < n_trained < len(planted)
+    assert abs(n_checked - n_trained) <= 0.5 * max(n_checked, n_trained)

@@ -49,6 +49,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "sim_cosine_topk_ivf_kmeans": {"BroadcastNestedLoopJoin": "broadcast trained centroids"},
     "sim_ivf_recall": {"BroadcastNestedLoopJoin": "tiny query side broadcast"},
     "sim_ivf_kmeans_recall": {"BroadcastNestedLoopJoin": "tiny query side broadcast"},
+    "dedup_semantic_checked": {
+        "BroadcastNestedLoopJoin": "n_cells-row planted-centroid table broadcast (assignment argmax)"
+    },
+    "dedup_semantic": {
+        "BroadcastNestedLoopJoin": "n_cells-row trained-centroid table broadcast (assignment argmax)"
+    },
     "agg_heavy_hitters_mg": {"BroadcastNestedLoopJoin": "1-row total-count threshold scalar"},
     "agg_hll_partial_union": {"BroadcastNestedLoopJoin": "1-row exact-count bound comparison"},
     "agg_kll_quantile_merge": {"BroadcastNestedLoopJoin": "1-row exact-quantile bound comparison"},

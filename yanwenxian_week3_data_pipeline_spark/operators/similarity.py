@@ -351,3 +351,95 @@ def cosine_topk_ivf_kmeans(
         vec_col=vec_col,
         centroids=centroids,
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    eps: float,
+    centroids: DataFrame | None = None,
+    n_cells: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, then inside each cluster greedily drop every example
+    whose cosine to an EARLIER-ordered cluster member reaches ``eps``.
+
+    Semantics (the paper's upper-triangular rule, made engine-independent):
+      - every vector is assigned to its max-cosine centroid (ties -> lowest
+        cell id, same row_number convention as ``cosine_topk_ivf``);
+      - cluster members are ordered by round(cosine-to-centroid, 6)
+        ASCENDING, ``id_col`` ascending as tiebreak — the paper's
+        best-performing keep policy retains the LEAST prototypical member
+        of each duplicate group ("keep low similarity to centroid");
+      - a vector is dropped iff ANY earlier-ordered same-cell vector has
+        round(pairwise cosine, 6) >= eps — earlier DROPPED vectors still
+        shadow later ones, exactly the paper's triangular max over the
+        cluster similarity matrix (not connected components, not greedy
+        over survivors only).
+
+    Returns the SURVIVORS: (id_col, cell, cent_cos).
+
+    Plan shape / 100 TB notes:
+      - centroid table is tiny (n_cells rows) and broadcast on both the
+        assignment and (via the planted-centroid callers) the oracle side;
+        training, when requested, is one seeded MLlib k-means job — at
+        100 TB you train on a sample and broadcast, identical plan.
+      - the intra-cell pair stage is an equi-join on ``cell`` followed by
+        the ordering predicate; production SemDeDup keeps cells ~O(1k) rows
+        by scaling n_cells with N (the paper uses 50k clusters for LAION),
+        so per-cell work is bounded and the shuffle key count grows with
+        data instead of the cell size;
+      - ``max_cell_rows`` is the mega-cell analogue of DEDUP_MAX_BUCKET:
+        cells larger than the cap skip the quadratic pair stage entirely
+        (all their members survive — a documented recall trade, never an
+        OOM). Left None here because callers in this repo bound the input;
+        set it whenever n_cells is not scaled with N.
+    """
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        spark = embeddings.sparkSession
+        feats = base.select(array_to_vector(F.col("vec").cast("array<double>")).alias("features"))
+        model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(feats)
+        cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+        centroids = spark.createDataFrame(cents, "cell int, cell_vec array<float>")
+
+    assign_w = Window.partitionBy("id").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    assigned = (
+        base.join(F.broadcast(centroids))
+        .withColumn("cell_cos", cosine_expr(F.col("vec"), F.col("cell_vec")))
+        .withColumn("_rn", F.row_number().over(assign_w))
+        .where(F.col("_rn") == 1)
+        .select("id", "vec", "cell", F.round("cell_cos", 6).alias("cent_cos"))
+    )
+    paired = assigned
+    if max_cell_rows is not None:
+        ok_cells = (
+            assigned.groupBy("cell").count()
+            .where(F.col("count") <= max_cell_rows)
+            .drop("count")
+        )
+        paired = assigned.join(ok_cells, "cell", "left_semi")
+    a, b = paired.alias("a"), paired.alias("b")
+    earlier = (F.col("a.cent_cos") < F.col("b.cent_cos")) | (
+        (F.col("a.cent_cos") == F.col("b.cent_cos")) & (F.col("a.id") < F.col("b.id"))
+    )
+    dropped = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & earlier)
+        .where(F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6) >= eps)
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "id", "left_anti")
+        .select(F.col("id").alias(id_col), "cell", "cent_cos")
+    )

@@ -73,6 +73,7 @@ from ..operators.similarity import (
     cosine_topk_ivf,
     dedup_embedding_lsh,
     embedding_cosine_pairs,
+    semantic_dedup,
 )
 from . import QuerySpec
 from .documents_domain import CLEAN_SQL
@@ -2097,6 +2098,101 @@ SELECT CAST({len(_CLUSTER_QUERY_IDS)} AS BIGINT) AS n_queries, true AS kmeans_ah
 
 
 # ---------------------------------------------------------------------------
+# dedup_semantic / dedup_semantic_checked — SemDeDup (Abbas et al. 2023,
+# arXiv:2303.09540): cluster the embedding space, then inside each cluster
+# greedily drop every example whose cosine to an earlier-ordered member
+# reaches eps (ordering = cosine-to-centroid ASC — keep the least
+# prototypical member of each duplicate group). Runs on the planted-cluster
+# fixture (the raw driver embeddings are near-random: max pairwise cosine
+# ≈ 0.51, so eps-level duplicates simply don't exist there). `_checked`
+# uses the PLANTED block-indicator centers as a literal centroid table, so
+# assignment + ordering + the triangular drop rule are all SQL-expressible
+# and the whole path is oracled; `dedup_semantic` runs the production path
+# — seeded MLlib k-means training — over the same input (rows-only, like
+# every k-means query). Input is capped at vec_id < _SEMDEDUP_CAP_ID so the
+# quadratic-in-cell-size pair stage does constant work at every sf; the
+# operator's n_cells-scales-with-N / max_cell_rows contract is documented
+# at operators/similarity.py::semantic_dedup. eps sits at the ~p70 of the
+# fixture's within-cluster cosine distribution (median 0.892, p95 0.916),
+# so the duplicate graph is nontrivial: some members shadow others, some
+# survive, and survivor counts move if ordering, assignment, rounding, or
+# the triangular rule drift in either engine.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_EPS = 0.9
+_SEMDEDUP_CAP_ID = 2000
+_CLUSTER_CENTER_COORD = 0.35355339059327373  # 1/sqrt(8), the planted center
+
+
+def _semdedup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clustered_emb(spark, sf_dir).where(F.col("vec_id") < _SEMDEDUP_CAP_ID)
+
+
+def _planted_centroids(spark: SparkSession) -> DataFrame:
+    cents = []
+    for c in range(_CLUSTER_CELLS):
+        vec = [0.0] * EMB_DIM
+        vec[8 * c : 8 * c + 8] = [_CLUSTER_CENTER_COORD] * 8
+        cents.append((c, vec))
+    return spark.createDataFrame(cents, "cell int, cell_vec array<float>")
+
+
+def _q_dedup_semantic_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(
+        _semdedup_input(spark, sf_dir),
+        _SEMDEDUP_EPS,
+        centroids=_planted_centroids(spark),
+    )
+
+
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semantic_dedup(
+        _semdedup_input(spark, sf_dir),
+        _SEMDEDUP_EPS,
+        n_cells=_CLUSTER_CELLS,
+        seed=42,
+    )
+
+
+# The oracle replays the full path: the planted-cluster transform (same
+# double-arithmetic-then-float-cast as _clustered_emb, so vectors are
+# bit-identical), centroid literals cast to FLOAT (matching the Spark
+# array<float> centroid table — cosine then widens float->double in the
+# same places on both engines), argmax assignment with the same
+# (cos DESC, cell ASC) row_number convention, and the triangular drop.
+_SQL_DEDUP_SEMANTIC_CHECKED = f"""
+WITH e AS (
+  SELECT vec_id,
+    list_transform(range(1, {EMB_DIM} + 1), i -> CAST(
+      CAST(embedding[i] AS DOUBLE) * 0.35 +
+      CASE WHEN (i - 1) // 8 = (CASE WHEN vec_id < 8 THEN 0 ELSE vec_id % 8 END)
+           THEN {_CLUSTER_CENTER_COORD} ELSE 0.0 END AS FLOAT)) AS vec
+  FROM embeddings WHERE vec_id < {_SEMDEDUP_CAP_ID}),
+cen AS (
+  SELECT c.cell AS cell,
+    list_transform(range(1, {EMB_DIM} + 1), i -> CAST(
+      CASE WHEN (i - 1) // 8 = c.cell THEN {_CLUSTER_CENTER_COORD}
+           ELSE 0.0 END AS FLOAT)) AS cell_vec
+  FROM (SELECT CAST(unnest(range({_CLUSTER_CELLS})) AS INT) AS cell) c),
+assigned AS (
+  SELECT id, vec, cell, round(cc, 6) AS cent_cos FROM (
+    SELECT e.vec_id AS id, e.vec AS vec, cen.cell,
+      {cosine_sql('e.vec', 'cen.cell_vec')} AS cc,
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cosine_sql('e.vec', 'cen.cell_vec')} DESC,
+                                  cen.cell ASC) AS rn
+    FROM e, cen) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.id AS id
+  FROM assigned a JOIN assigned b ON a.cell = b.cell
+   AND (a.cent_cos < b.cent_cos OR (a.cent_cos = b.cent_cos AND a.id < b.id))
+  WHERE round({cosine_sql('a.vec', 'b.vec')}, 6) >= {_SEMDEDUP_EPS})
+SELECT s.id AS vec_id, s.cell, s.cent_cos
+FROM assigned s WHERE s.id NOT IN (SELECT id FROM dropped)
+"""
+
+
+# ---------------------------------------------------------------------------
 # docs_lrs_capped / docs_longest_repeated_substring — arbitrary-length
 # repeated-substring discovery (suffix grain, the Lee-et-al. substring-dedup
 # upgrade of the fixed-8-token span queries). The capped form is the
@@ -2220,6 +2316,10 @@ QUERIES = [
         _q_ivf_kmeans_clustered_ahead,
         _SQL_IVF_KMEANS_CLUSTERED_AHEAD,
     ),
+    QuerySpec(
+        "dedup_semantic_checked", _q_dedup_semantic_checked, _SQL_DEDUP_SEMANTIC_CHECKED
+    ),
+    QuerySpec("dedup_semantic", _q_dedup_semantic, None),
 ]
 
 
