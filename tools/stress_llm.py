@@ -53,7 +53,50 @@ QUERIES = [
     # the substring-dedup scale proof
     "docs_lrs_capped",
     "docs_longest_repeated_substring",
+    # SemDeDup under the production discipline: n_cells scales with N
+    # (constant expected cell size ≈250), so the quadratic-in-cell pair
+    # stage does ~constant work per cell and TOTAL work grows ~k. The
+    # registered dedup_semantic runs on the capped fixture (constant work
+    # by design); this entry is the uncapped scale proof. eps-level
+    # matches barely exist in the near-random corpus, but the engine cost
+    # (assignment + intra-cell scoring) is match-independent. k-means
+    # training with k ∝ N over N points is itself superlinear — at real
+    # scale you train on a bounded sample; the scoring path is what this
+    # harness measures, so training time is EXCLUDED from the wall (the
+    # centroid table is built once, outside the timer).
+    "dedup_semantic_scaled",
 ]
+
+
+_SEMDEDUP_CENTS: dict[str, object] = {}
+
+
+def _semdedup_scaled_build(spark, sf_dir: str):
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from yanwenxian_week3_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _SEMDEDUP_CENTS:
+        n = emb.count()
+        feats = emb.select(
+            array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+        )
+        model = KMeans(k=max(8, n // 250), seed=42, maxIter=10).fit(feats)
+        _SEMDEDUP_CENTS[sf_dir] = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cell int, cell_vec array<float>",
+        )
+    return semantic_dedup(
+        emb, 0.9, centroids=_SEMDEDUP_CENTS[sf_dir], max_cell_rows=4000
+    )
+
+
+EXTRA_BUILDS = {"dedup_semantic_scaled": _semdedup_scaled_build}
 
 
 def generate(spark, base_dir: str, out_dir: str, k: int) -> None:
@@ -131,9 +174,10 @@ def main() -> None:
         n_vecs = spark.read.parquet(f"{out}/embeddings.parquet").count()
         print(f"-- scale {k}x: {n_docs} docs / {n_vecs} vectors")
         for name in QUERIES:
-            qs[name].build(spark, out).count()  # warm (plan + shuffle files)
+            build = EXTRA_BUILDS.get(name) or qs[name].build
+            build(spark, out).count()  # warm (plan + shuffle files)
             t0 = time.time()
-            rows = qs[name].build(spark, out).count()
+            rows = build(spark, out).count()
             dt = time.time() - t0
             walls[name][k] = dt
             print(f"{name}: {dt:.2f}s rows={rows} docs_per_s={n_docs / dt:,.0f}")
