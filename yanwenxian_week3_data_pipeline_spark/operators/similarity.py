@@ -201,11 +201,22 @@ def embedding_cosine_pairs(
 
     ``dedup_embedding_lsh`` is the scale path; this brute-force form is for
     small/medium tables and for recall evaluation of the approximate one.
+
+    The STREAMED side is explicitly repartitioned to the session's default
+    parallelism: the whole table is a few MB, so the file scan yields ONE
+    split and the nested-loop condition (an interpreted per-pair cosine
+    fold) would otherwise run on a single core — measured 32 min for 20k
+    vectors (200M pairs) at sf1 vs ~1 min fanned out. The explicit
+    numPartitions makes this a user-specified shuffle AQE will not
+    coalesce away (a bare repartition() would be folded back to 1 because
+    the data is tiny — it's the PAIR work, invisible to size estimates,
+    that needs the fan-out).
     """
     nrm = norm_expr(F.col(vec_col))
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
     a = embeddings.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), nrm.alias("n_a")
-    )
+    ).repartition(par, F.col("id_a"))
     b = embeddings.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), nrm.alias("n_b")
     )
