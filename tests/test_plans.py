@@ -533,3 +533,23 @@ def test_plan_audit_classifier_detects_global_window(spark, sf_dir):
     assert _unbounded_single_partition_children(simple_plan(bad))
     ok = orders.agg(F.sum("o_totalprice"))
     assert not _unbounded_single_partition_children(simple_plan(ok))
+
+
+def test_semantic_dedup_pair_stage_is_equi_join_on_cell(spark, sf_dir):
+    """The SemDeDup intra-cluster pair stage must reach the join as an
+    EQUI join keyed on the cell (SortMergeJoin/ShuffledHashJoin/
+    BroadcastHashJoin with the ordering+threshold as post-join condition),
+    never a cartesian/nested-loop over the corpus: only the two
+    n_cells-row centroid-assignment BNLJs (broadcast build, O(n) probe)
+    may appear. At 100 TB n_cells scales with N, so the cell key is what
+    keeps the shuffle fine-grained."""
+    plan = plan_of(spark, "dedup_semantic_checked", sf_dir)
+    assert node_count(plan, "CartesianProduct") == 0, plan
+    # exactly the two centroid-assignment broadcasts (survivor projection +
+    # pair stage reuse assignment subtrees; exchange reuse may dedupe)
+    assert 0 < node_count(plan, "BroadcastNestedLoopJoin") <= 3, plan
+    equi = sum(
+        node_count(plan, j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert equi >= 2, plan  # cell-keyed pair join + the left_anti survivors
