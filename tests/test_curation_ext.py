@@ -99,3 +99,97 @@ def test_bloom_superset_invariant(spark, sf_dir):
     out = _q_bloom_decontaminate(spark, sf_dir)
     assert out.where(~F.col("bloom_superset_ok")).count() == 0
     assert out.where(F.col("n_bloom_hits") < F.col("n_exact_hits")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# docs_weighted_sample — Efraimidis–Spirakis A-ES
+# ---------------------------------------------------------------------------
+
+
+def _es_sample_python(sf_dir: str, k: int) -> list[tuple[int, float]]:
+    """Engine-independent replication of the whole docs_weighted_sample
+    pipeline (clean → quality score → seeded uniform → E-S key → top-k) in
+    pure Python: hashlib md5, Decimal arithmetic for the score, math.log.
+    Independent of Spark AND DuckDB — a third implementation of the spec."""
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        HTML_ENTITIES,
+        QUALITY_STOPWORDS,
+        WHITESPACE_CLASS,
+        WSAMPLE_SEED,
+    )
+    import hashlib
+
+    ws = re.compile(WHITESPACE_CLASS + "+")
+    stop = set(QUALITY_STOPWORDS)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        c = text or ""
+        for ent, ch in HTML_ENTITIES:
+            c = c.replace(ent, ch)
+        c = ws.sub(" ", c).strip()
+        toks = c.split(" ") if c else []
+        n_chars, n_tokens = len(c), len(toks)
+        nz, nzt = max(n_chars, 1), max(n_tokens, 1)
+        # ratios: round-half-up to 4, as Spark's round() does on doubles
+        alpha = len(re.sub("[^A-Za-z]", "", c))
+        r4 = lambda x: Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        alpha_ratio = r4(alpha / nz)
+        stop_ratio = r4(sum(1 for x in toks if x in stop) / nzt)
+        len_term = min(
+            (Decimal(n_chars) / Decimal(500)).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            ),
+            Decimal("1.0"),
+        )
+        q = (
+            len_term * Decimal("0.3")
+            + alpha_ratio * Decimal("0.4")
+            + stop_ratio * Decimal("0.3")
+        ).quantize(Decimal("0.00001"), ROUND_HALF_UP)
+        if q <= 0:
+            continue
+        h = int(
+            hashlib.md5(f"{WSAMPLE_SEED}:{doc_id}".encode()).hexdigest()[:13], 16
+        )
+        u = (h + 1) / 2.0**52
+        key = float(
+            Decimal(repr(math.log(u) / float(q))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+        out.append((doc_id, float(q), key))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    return [(d, k_) for d, _, k_ in out[:k]]
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """The full E-S sample on the sf0.001 fixture equals a pure-Python third
+    implementation — engine-independent selection, keys, and ordering."""
+    from yanwenxian_week3_data_pipeline_spark.constants import WSAMPLE_K
+    from yanwenxian_week3_data_pipeline_spark.plans.curation_ext import (
+        _q_weighted_sample,
+    )
+
+    got = [
+        (r["doc_id"], r["es_key"])
+        for r in _q_weighted_sample(spark, sf_dir).collect()
+    ]
+    assert got == _es_sample_python(sf_dir, WSAMPLE_K)
+
+
+def test_weighted_sample_weight_monotone(spark, sf_dir):
+    """With the uniform held fixed, the E-S key ln(u)/w is increasing in w:
+    duplicating one doc's u across two weights must rank the heavier one
+    first. Sanity-pins the direction of the weighting (a 1/w-vs-w slip flips
+    the whole sampler toward LOW quality)."""
+    import math
+
+    u = 0.25
+    assert math.log(u) / 0.9 > math.log(u) / 0.2

@@ -178,6 +178,11 @@ REPEATED_SPAN_TOPK = 20
 # mixture sampling: doc_id-hash buckets and the seed namespacing them
 MIX_BUCKETS = 10_000
 MIX_HASH_SEED = 11
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES): sample
+# size and the seed namespacing its per-doc uniforms away from the other
+# md5 families
+WSAMPLE_K = 100
+WSAMPLE_SEED = 104729
 # sequence packing: per-bin token budget
 PACK_TOKEN_BUDGET = 256
 

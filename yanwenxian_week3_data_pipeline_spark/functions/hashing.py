@@ -30,6 +30,21 @@ def hash60_sql(expr: str, seed: int | None = None) -> str:
     return f"(('0x' || substr(md5({s}), 1, {HASH64_HEX_CHARS}))::BIGINT)"
 
 
+def hash52_expr(col: Column, seed: int | None = None) -> Column:
+    """52-bit md5 hash (13 hex chars). Every value is EXACTLY representable
+    as an IEEE double, so (h + 1) / 2^52 is a bit-identical uniform in
+    (0, 1] on both engines — the 60-bit variant would round long→double
+    first and the two engines' rounded doubles, while equal, would carry
+    less entropy than the hash. Use for anything that feeds libm."""
+    s = col if seed is None else F.concat(F.lit(f"{seed}:"), col)
+    return F.conv(F.substring(F.md5(s), 1, 13), 16, 10).cast("long")
+
+
+def hash52_sql(expr: str, seed: int | None = None) -> str:
+    s = expr if seed is None else f"('{seed}:' || {expr})"
+    return f"(('0x' || substr(md5({s}), 1, 13))::BIGINT)"
+
+
 def hash56_expr(col: Column, seed: int | None = None) -> Column:
     """56-bit md5 hash (14 hex chars) — the h2 of the Kirsch-Mitzenmacher
     MinHash family; 56 bits keep i·h2 (i < 32) inside signed-64."""

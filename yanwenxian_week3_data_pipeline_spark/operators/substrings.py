@@ -25,6 +25,21 @@ independent of both the partition boundaries and the engine's collation
 one sort — the cap bounds the blowup; this is the SQL-expressible form
 (DuckDB oracle mirrors it with a plain window sort).
 
+Exactness precondition (adjacency-witnesses-the-max): suffixes are
+compared as SPACE-joined strings, and string-lex order agrees with
+token-grain suffix order only while every token character sorts above
+the U+0020 separator. A token containing a C0 control char (regex
+``\\s`` does not strip e.g. ``\\x01``, so cleaning can let one through)
+can sort BETWEEN two occurrences of a longer repeat and hide it from
+the adjacent-pair scan — the reported repeat is then still a true
+repeated substring (every emitted pair is a sound witness), just not
+provably the longest. Whitespace-tokenized natural text satisfies the
+precondition; the uncapped probe formulation below has no such
+precondition (it never orders suffixes) and is the scale path anyway.
+Both engines use binary collation, so the oracle computes the
+IDENTICAL function either way — the caveat bounds the math claim, not
+the cross-engine match.
+
 ``longest_repeated_substring`` — UNCAPPED, via exponential + binary
 search on the span length L: "some L-token span occurs ≥ 2 times" is
 monotone in L, and each probe is one linear pass hashing every L-span

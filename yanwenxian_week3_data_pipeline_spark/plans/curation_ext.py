@@ -48,10 +48,17 @@ from ..constants import (
     WINNOW_HASH_SEED,
     WINNOW_MIN_SHARED,
     WINNOW_WINDOW,
+    WSAMPLE_K,
+    WSAMPLE_SEED,
 )
-from ..functions.hashing import hash60_expr, hash60_sql
+from ..functions.hashing import hash52_expr, hash52_sql, hash60_expr, hash60_sql
 from ..functions.text import clean_text_expr
-from ..functions.textstats import tokens_expr, tokens_sql
+from ..functions.textstats import (
+    quality_features_expr,
+    quality_features_sql,
+    tokens_expr,
+    tokens_sql,
+)
 from . import QuerySpec
 from .documents_domain import CLEAN_SQL
 
@@ -761,6 +768,63 @@ FROM th LEFT JOIN k ON th.source = k.source
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_weighted_sample — weighted sampling WITHOUT replacement
+# (Efraimidis–Spirakis A-ES, Inf. Process. Lett. 2006): each doc draws
+# u ~ U(0,1] and gets key u^(1/w); the k largest keys are exactly a
+# weight-proportional sample without replacement. This is the
+# quality-weighted training-mix subsample ("take k docs proportional to
+# quality") in ONE scan with no RNG state: u is a seeded md5 of doc_id
+# (hash52 — 52 bits so (h+1)/2^52 is a bit-identical double on both
+# engines), so the sample is reproducible and independent of partitioning,
+# task order, and engine. Ranking uses the monotone transform ln(u)/w of
+# the E-S key (same ordering, no underflow for tiny weights), rounded to 6
+# as everywhere libm enters the output; w = the exact-decimal quality
+# score, and zero-weight docs are unsampleable (the estimator's own
+# contract — u^(1/0+) → 0).
+# Scale shape: map-only feature/key computation, then orderBy().limit(k)
+# = TakeOrderedAndProject: per-partition k-row heaps and one k-row merge —
+# no global sort, no corpus shuffle; at 100 TB this is one scan plus a
+# k-row reduce, and the same plan serves any k that fits the driver.
+# ---------------------------------------------------------------------------
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", clean_text_expr(F.col("text")).alias("c")
+    )
+    q = quality_features_expr(F.col("c"))["quality_score"]
+    u = (hash52_expr(F.col("doc_id").cast("string"), seed=WSAMPLE_SEED) + 1) / F.lit(
+        float(2**52)
+    )
+    keyed = (
+        d.select("doc_id", q.alias("q"), u.alias("u"))
+        .where(F.col("q") > 0)
+        .select(
+            "doc_id",
+            F.col("q").cast("double").alias("weight"),
+            F.round(F.log("u") / F.col("q").cast("double"), 6).alias("es_key"),
+        )
+    )
+    return keyed.orderBy(F.desc("es_key"), F.asc("doc_id")).limit(WSAMPLE_K)
+
+
+def _sql_weighted_sample() -> str:
+    q = quality_features_sql("c")["quality_score"]
+    u = f"(({hash52_sql('CAST(doc_id AS VARCHAR)', seed=WSAMPLE_SEED)} + 1) / {float(2**52)})"
+    # the final projection sits in its own CTE before ORDER BY: DuckDB
+    # binds ORDER BY expressions against INPUT columns, not output aliases
+    return f"""
+WITH d AS ({_CLEANED}),
+f AS (SELECT doc_id, {q} AS q, {u} AS u FROM d),
+k AS (SELECT doc_id, CAST(q AS DOUBLE) AS weight,
+             round(ln(u) / CAST(q AS DOUBLE), 6) AS es_key
+      FROM f WHERE q > 0)
+SELECT doc_id, weight, es_key FROM k
+ORDER BY es_key DESC, doc_id ASC LIMIT {WSAMPLE_K}
+"""
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
     QuerySpec(
@@ -775,4 +839,5 @@ QUERIES = [
     ),
     QuerySpec("join_fuzzy_part_names", _q_fuzzy_part_names, _SQL_FUZZY_PART_NAMES),
     QuerySpec("docs_vocab_coverage", _q_vocab_coverage, _SQL_VOCAB_COVERAGE),
+    QuerySpec("docs_weighted_sample", _q_weighted_sample, _sql_weighted_sample()),
 ]
