@@ -553,3 +553,47 @@ def test_semantic_dedup_pair_stage_is_equi_join_on_cell(spark, sf_dir):
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
     assert equi >= 2, plan  # cell-keyed pair join + the left_anti survivors
+
+
+def test_weighted_sample_no_shuffle_no_python(spark, sf_dir):
+    """The global A-ES sample must be a scan into TakeOrderedAndProject:
+    per-partition k-heaps + a k-row merge — no Exchange of the corpus, no
+    Python worker in the path."""
+    plan = plan_of(spark, "docs_weighted_sample", sf_dir)
+    assert node_count(plan, "TakeOrderedAndProject") == 1, plan
+    assert node_count(plan, "Exchange") == 0, plan
+    assert node_count(plan, "BatchEvalPython") == 0, plan
+
+
+def test_weighted_sample_by_source_rank_limit_pushdown(spark, sf_dir):
+    """The stratified sampler's scale guarantee is Catalyst's rank-limit
+    pushdown: the row_number() <= k filter must materialize as a PARTIAL
+    WindowGroupLimit before the source exchange (each map task forwards at
+    most k rows per source) plus the final one after it — so the hot-source
+    task sorts nparts*k survivors, never the source's whole corpus slice.
+    If a refactor breaks the pushdown (e.g. filtering on a derived column
+    instead of the rank itself), this test fails before the plan does at
+    scale."""
+    plan = plan_of(spark, "docs_weighted_sample_by_source", sf_dir)
+    assert node_count(plan, "WindowGroupLimit") == 2, plan
+    # exactly one true Window node (node_count("Window") prefix-matches the
+    # WindowGroupLimit nodes too)
+    assert node_count(plan, "Window") - node_count(plan, "WindowGroupLimit") == 1, plan
+    # the partial limit must sit BELOW the shuffle: formatted mode numbers
+    # nodes leaf-first, so the first WindowGroupLimit id < the Exchange id
+    import re
+
+    ids = {
+        m.group(2): int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) (WindowGroupLimit|Exchange)", plan, flags=re.M)
+        if m.group(2) not in {}
+    }
+    first_wgl = min(
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) WindowGroupLimit", plan, flags=re.M)
+    )
+    first_ex = min(
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) Exchange", plan, flags=re.M)
+    )
+    assert first_wgl < first_ex, plan

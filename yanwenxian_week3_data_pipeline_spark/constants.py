@@ -183,6 +183,8 @@ MIX_HASH_SEED = 11
 # md5 families
 WSAMPLE_K = 100
 WSAMPLE_SEED = 104729
+# stratified variant: independent per-source sample size
+WSAMPLE_PER_SOURCE_K = 5
 # sequence packing: per-bin token budget
 PACK_TOKEN_BUDGET = 256
 

@@ -49,6 +49,7 @@ from ..constants import (
     WINNOW_MIN_SHARED,
     WINNOW_WINDOW,
     WSAMPLE_K,
+    WSAMPLE_PER_SOURCE_K,
     WSAMPLE_SEED,
 )
 from ..functions.hashing import hash52_expr, hash52_sql, hash60_expr, hash60_sql
@@ -825,6 +826,72 @@ ORDER BY es_key DESC, doc_id ASC LIMIT {WSAMPLE_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_weighted_sample_by_source — the STRATIFIED form of the A-ES sampler:
+# an independent weight-proportional sample of k docs per source (the
+# "balanced quota per domain" curation op; per-stratum E-S with a shared
+# seed is still exact per stratum since uniforms are independent across
+# docs). Scale shape: source cardinality is tiny, so a naive window over
+# source would seem to sort each source's whole corpus slice in ONE task —
+# but Catalyst's rank-limit pushdown (WindowGroupLimit, Spark 3.5+) turns
+# the ``row_number() <= k`` filter into a PER-INPUT-PARTITION top-k cut
+# BEFORE the exchange: each map task forwards at most k rows per source,
+# so the hot-source task only ever sorts nparts·k survivors. A first draft
+# hand-rolled exactly that two-level top-k via a (spark_partition_id,
+# source) pre-window; the explain showed Catalyst already emits the
+# Partial/Final WindowGroupLimit pair for the single-window form, and the
+# manual level only added a redundant sort + exchange — so the declarative
+# form wins (plan test pins the pushdown so a regression can't silently
+# restore the unbounded sort).
+# ---------------------------------------------------------------------------
+
+
+def _q_weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", clean_text_expr(F.col("text")).alias("c")
+    )
+    q = quality_features_expr(F.col("c"))["quality_score"]
+    u = (hash52_expr(F.col("doc_id").cast("string"), seed=WSAMPLE_SEED) + 1) / F.lit(
+        float(2**52)
+    )
+    keyed = (
+        d.select("doc_id", "source", q.alias("q"), u.alias("u"))
+        .where(F.col("q") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("q").cast("double").alias("weight"),
+            F.round(F.log("u") / F.col("q").cast("double"), 6).alias("es_key"),
+        )
+    )
+    w_src = Window.partitionBy("source").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w_src).cast("long"))
+        .where(F.col("sample_rank") <= WSAMPLE_PER_SOURCE_K)
+        .select("source", "sample_rank", "doc_id", "weight", "es_key")
+        .orderBy("source", "sample_rank")
+    )
+
+
+def _sql_weighted_sample_by_source() -> str:
+    q = quality_features_sql("c")["quality_score"]
+    u = f"(({hash52_sql('CAST(doc_id AS VARCHAR)', seed=WSAMPLE_SEED)} + 1) / {float(2**52)})"
+    return f"""
+WITH d AS (SELECT doc_id, source, {CLEAN_SQL} AS c FROM documents),
+f AS (SELECT doc_id, source, {q} AS q, {u} AS u FROM d),
+k AS (SELECT doc_id, source, CAST(q AS DOUBLE) AS weight,
+             round(ln(u) / CAST(q AS DOUBLE), 6) AS es_key
+      FROM f WHERE q > 0),
+r AS (SELECT source, doc_id, weight, es_key,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY es_key DESC, doc_id ASC) AS BIGINT) AS sample_rank
+      FROM k)
+SELECT source, sample_rank, doc_id, weight, es_key FROM r
+WHERE sample_rank <= {WSAMPLE_PER_SOURCE_K}
+ORDER BY source, sample_rank
+"""
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
     QuerySpec(
@@ -840,4 +907,9 @@ QUERIES = [
     QuerySpec("join_fuzzy_part_names", _q_fuzzy_part_names, _SQL_FUZZY_PART_NAMES),
     QuerySpec("docs_vocab_coverage", _q_vocab_coverage, _SQL_VOCAB_COVERAGE),
     QuerySpec("docs_weighted_sample", _q_weighted_sample, _sql_weighted_sample()),
+    QuerySpec(
+        "docs_weighted_sample_by_source",
+        _q_weighted_sample_by_source,
+        _sql_weighted_sample_by_source(),
+    ),
 ]
