@@ -27,6 +27,8 @@ from pyspark.sql.window import Window
 
 from ..functions.hashing import hash60_expr, hash60_sql
 from . import QuerySpec
+from ..constants import SCAN_FANOUT_TABLE_MIN_BYTES
+from ..sources.tables import read_parquet_fanout
 
 DEC = "decimal(18,2)"
 # Moment sums: inputs cast to (25,6). Width >19 forces DuckDB's product
@@ -38,7 +40,10 @@ DEC6 = "decimal(25,6)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # size-gated under-split-scan fan-out (sources/tables.py)
+    return read_parquet_fanout(
+        spark, f"{sf_dir}/{name}.parquet", SCAN_FANOUT_TABLE_MIN_BYTES
+    )
 
 
 # ---------------------------------------------------------------------------

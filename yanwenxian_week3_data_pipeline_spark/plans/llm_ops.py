@@ -85,7 +85,12 @@ _CLEANED = f"SELECT doc_id, {CLEAN_SQL} AS c FROM documents"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # size-gated under-split-scan fan-out: the signature/tokenize map work
+    # over a one-split documents file serializes on one core without it
+    # (sources/tables.py; no-op at sf0.01 test scale and at multi-split scale)
+    return read_parquet_fanout(
+        spark, f"{sf_dir}/documents.parquet", SCAN_FANOUT_TEXT_MIN_BYTES
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1852,6 +1857,8 @@ LIMIT {REPEATED_SPAN_TOPK}
 # ---------------------------------------------------------------------------
 
 from ..constants import MIX_BUCKETS, MIX_HASH_SEED, PACK_TOKEN_BUDGET  # noqa: E402
+from ..constants import SCAN_FANOUT_TEXT_MIN_BYTES
+from ..sources.tables import read_parquet_fanout
 
 
 def _q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:

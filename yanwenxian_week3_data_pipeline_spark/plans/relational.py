@@ -23,12 +23,20 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from . import QuerySpec
+from ..constants import SCAN_FANOUT_TABLE_MIN_BYTES
+from ..sources.tables import read_parquet_fanout
 
 DEC = "decimal(18,2)"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # size-gated fan-out: single-file tables are one input split (one
+    # row group), so Q1-class scan+partial-agg work serializes on one
+    # core without it; no-op at sf0.01 test scale and at real multi-split
+    # scale (see sources/tables.py)
+    return read_parquet_fanout(
+        spark, f"{sf_dir}/{name}.parquet", SCAN_FANOUT_TABLE_MIN_BYTES
+    )
 
 
 # ---------------------------------------------------------------------------

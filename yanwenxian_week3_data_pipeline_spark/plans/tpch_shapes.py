@@ -24,13 +24,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from . import QuerySpec
+from ..constants import SCAN_FANOUT_TABLE_MIN_BYTES
+from ..sources.tables import read_parquet_fanout
 
 DEC = "decimal(18,2)"
 TS = "timestamp_ntz"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # size-gated under-split-scan fan-out (sources/tables.py)
+    return read_parquet_fanout(
+        spark, f"{sf_dir}/{name}.parquet", SCAN_FANOUT_TABLE_MIN_BYTES
+    )
 
 
 def _revenue() -> F.Column:
