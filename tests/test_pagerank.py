@@ -1,0 +1,89 @@
+"""PageRank operator tests: independent pure-Python replay of the integer
+recurrence, mass conservation, dangling redistribution, and float-PR
+order agreement (the scaled-integer recurrence must not distort ranking)."""
+
+from __future__ import annotations
+
+import random
+
+from yanwenxian_week3_data_pipeline_spark.operators.pagerank import (
+    DAMP_DEN,
+    DAMP_NUM,
+    MASS,
+    pagerank,
+)
+
+
+def _python_pagerank(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    """Third implementation (after the Spark build and the DuckDB oracle)
+    of the exact same integer recurrence — plain dicts, serial order."""
+    es = sorted(set(edges))
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    n = len(nodes)
+    deg: dict[int, int] = {}
+    for u, _ in es:
+        deg[u] = deg.get(u, 0) + 1
+    base = (MASS * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // n
+    r = {u: MASS // n for u in nodes}
+    for _ in range(iters):
+        dm = sum(r[u] for u in nodes if u not in deg)
+        inc = {u: 0 for u in nodes}
+        for u, v in es:
+            inc[v] += r[u] // deg[u]
+        r = {
+            u: base + DAMP_NUM * (inc[u] + dm // n) // DAMP_DEN
+            for u in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_python_reference_random_graph(spark):
+    rng = random.Random(7)
+    edges = list(
+        {(rng.randrange(30), rng.randrange(30)) for _ in range(120)}
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        row["node"]: row["rank_scaled"]
+        for row in pagerank(df, iters=6).collect()
+    }
+    assert got == _python_pagerank(edges, iters=6)
+
+
+def test_pagerank_mass_conserved_and_dangling_redistributed(spark):
+    # star into a sink: 1..5 -> 0; node 0 dangles, its mass must come back
+    edges = [(i, 0) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = {r["node"]: r["rank_scaled"] for r in pagerank(df, iters=10).collect()}
+    # floor losses only: <= 2 units per node per iteration
+    assert MASS - 6 * 2 * 10 <= sum(rows.values()) <= MASS
+    # the sink dominates; spokes are symmetric and nonzero (dangling +
+    # teleport mass flows back to them)
+    assert rows[0] > rows[1] > 0
+    assert len({rows[i] for i in range(1, 6)}) == 1
+
+
+def test_pagerank_order_agrees_with_float_power_iteration(spark):
+    rng = random.Random(13)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(200)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=12).collect()}
+
+    es = sorted(set(edges))
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    n = len(nodes)
+    deg: dict[int, int] = {}
+    for u, _ in es:
+        deg[u] = deg.get(u, 0) + 1
+    r = {u: 1.0 / n for u in nodes}
+    for _ in range(12):
+        dm = sum(r[u] for u in nodes if u not in deg)
+        inc = {u: 0.0 for u in nodes}
+        for u, v in es:
+            inc[v] += r[u] / deg[u]
+        r = {u: 0.15 / n + 0.85 * (inc[u] + dm / n) for u in nodes}
+
+    by_int = sorted(nodes, key=lambda u: (-got[u], u))
+    by_float = sorted(nodes, key=lambda u: (-r[u], u))
+    assert by_int == by_float
+    assert all(abs(got[u] - r[u]) < 1e-9 for u in nodes)

@@ -1,0 +1,177 @@
+"""PageRank over an edge table — exact scaled-integer power iteration.
+
+Why another graph operator (components.py already exists): connected
+components answers "which docs form one duplicate group"; PageRank answers
+"which node *matters*" — the standard centrality prior for corpus curation
+(rank-weighted sampling of crawl graphs, boilerplate-hub demotion, seed-set
+expansion). The reference has no graph surface at all, so like the LSH
+family this is EXT scope, built Spark-first.
+
+Determinism contract
+--------------------
+Classic float PageRank cannot be oracled cross-engine: double sums are
+partial-order dependent, so Spark's parallel reduction and DuckDB's serial
+one drift in the last ulp and the drift compounds per iteration. This
+implementation runs the whole recurrence in **scaled 64-bit integers**
+(total mass ``MASS = 10^15``), with floor division everywhere:
+
+    deg(u)   = out-degree of u
+    r0(u)    = MASS div N
+    contrib  = r(u) div deg(u)              per edge (u, v)
+    dangling = sum r(u) over deg(u) = 0
+    r'(v)    = (15·MASS div 100) div N
+             + 85·( incoming(v) + dangling div N ) div 100
+
+Every operation is exact integer arithmetic on non-negative values, so the
+result is BIT-IDENTICAL regardless of partitioning, reduction order, or
+engine — the DuckDB oracle replays the same recurrence with ``//``. Sums
+stay far inside BIGINT range (total mass 10^15; the 85· step peaks below
+9·10^16). The final ``rank`` column divides the exact integer by the float
+literal 1e15 — one IEEE division of exactly-representable operands, bit
+-equal on both engines (the dec_as_double discipline).
+
+Scale shape (100 TB)
+--------------------
+- The degree-annotated edge table is built once, hash-partitioned on src,
+  and cut to an eager local checkpoint: each round's join re-uses that
+  exchange; only the (node, rank) side — N rows, not |E| — reshuffles.
+- One round = join on src + groupBy dst, both with map-side partial
+  aggregation; a high in-degree hub therefore combines per-partition before
+  the shuffle (no single-task sort — the skew failure mode components.py
+  guards against does not arise here).
+- The dangling-mass scalar is a 1-row aggregate cross-joined back
+  (BroadcastNestedLoopJoin over exactly one row — the sanctioned scalar
+  class, same as docs_unigram_logprob).
+- Each round ends in ``localCheckpoint(eager=True)``: one star round
+  references its input several times and iterative lineage otherwise grows
+  exponentially (the components.py lesson).
+- Fixed iteration count (the web-graph standard; Brin & Page report ~50
+  iterations for 322M links, and rank ORDER stabilizes far earlier) — no
+  data-dependent convergence actions beyond the per-round checkpoint job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MASS = 10**15
+DAMP_NUM = 85
+DAMP_DEN = 100
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+) -> DataFrame:
+    """Exact integer PageRank; returns ``(node, rank_scaled, rank)`` for
+    every node appearing in ``edges`` (either endpoint). ``rank_scaled`` is
+    the bit-exact integer (sums to ~MASS up to floor losses), ``rank`` the
+    single-division double. Parallel edges are collapsed (edge SET
+    semantics); self-loops count as ordinary edges."""
+    e = edges.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    ).distinct()
+
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    # degree-annotated edges, partitioned on the join key once; every
+    # round's rank-join reuses this exchange (only the N-row rank side
+    # moves per round)
+    ed = (
+        e.join(deg, "s")
+        .repartition("s")
+        .localCheckpoint(eager=True)
+    )
+    # dangling node set (no out-edges) is static; checkpoint so the
+    # per-round mass aggregate is a scan, not a re-derived anti-join
+    dangling_nodes = nodes.join(
+        deg.select(F.col("s").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+
+    base = (MASS * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // n
+    rank = nodes.select("node", F.lit(MASS // n).cast("long").alias("r"))
+
+    for _ in range(iters):
+        dang = dangling_nodes.join(rank, "node").agg(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
+        )
+        incoming = (
+            ed.join(rank, ed["s"] == rank["node"])
+            .select("d", F.expr("r div deg").alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").cast("long").alias("inc"))
+        )
+        rank = (
+            nodes.join(incoming, nodes["node"] == incoming["d"], "left")
+            .crossJoin(dang)
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{DAMP_NUM} * (coalesce(inc, 0L) + (dm div {n}))"
+                        f" div {DAMP_DEN}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    return rank.select(
+        "node",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r") / F.lit(float(MASS))).alias("rank"),
+    )
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iters: int = 10,
+) -> str:
+    """DuckDB replay of the identical integer recurrence, iterations
+    unrolled as chained CTEs (recursive CTEs forbid aggregates in the
+    recursive term, and a fixed-K unroll is exactly as deterministic).
+    ``edges_sql`` must yield columns ``s, d``. Column semantics mirror
+    :func:`pagerank` 1:1 — same floor divisions, same constants."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT s, d FROM ({edges_sql})),",
+        "nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),",
+        "deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),",
+        "dnodes AS MATERIALIZED (SELECT node FROM nodes WHERE node NOT IN (SELECT s FROM deg)),",
+        f"r0 AS MATERIALIZED (SELECT node, {MASS} // nn.n AS r FROM nodes, nn),",
+    ]
+    base = f"(({MASS} * {DAMP_DEN - DAMP_NUM} // {DAMP_DEN}) // nn.n)"
+    for i in range(iters):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"dm{i} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0) AS dm FROM {prev}"
+            f" WHERE node IN (SELECT node FROM dnodes)),"
+        )
+        parts.append(
+            f"inc{i} AS MATERIALIZED (SELECT e.d AS node, SUM({prev}.r // deg.deg) AS inc"
+            f" FROM e JOIN {prev} ON e.s = {prev}.node"
+            f" JOIN deg ON deg.s = e.s GROUP BY e.d),"
+        )
+        parts.append(
+            f"{cur} AS MATERIALIZED (SELECT nodes.node,"
+            f" {base} + {DAMP_NUM} * (COALESCE(inc{i}.inc, 0) + dm{i}.dm // nn.n)"
+            f" // {DAMP_DEN} AS r"
+            f" FROM nodes LEFT JOIN inc{i} USING (node), dm{i}, nn),"
+        )
+    # strip the trailing comma of the last CTE and project the final frame
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, CAST(r AS BIGINT) AS rank_scaled,"
+        f" CAST(r AS BIGINT) / {float(MASS)} AS rank FROM r{iters}"
+    )
+    return "\n".join(parts)

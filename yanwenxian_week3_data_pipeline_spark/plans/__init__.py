@@ -98,6 +98,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from . import (
         analytic_ext,
         curation_ext,
+        graph_ext,
         lakehouse_ext,
         llm_ops,
         reference_surface,
@@ -116,6 +117,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops,
         curation_ext,
         lakehouse_ext,
+        graph_ext,
     ):
         for spec in mod.QUERIES:
             if spec.name in specs:
