@@ -55,6 +55,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "dedup_semantic": {
         "BroadcastNestedLoopJoin": "n_cells-row trained-centroid table broadcast (assignment argmax)"
     },
+    "docs_dsir_select": {
+        "BroadcastNestedLoopJoin": "1-row target/pool feature-total crossJoins (DSIR normalizers)"
+    },
     "agg_heavy_hitters_mg": {"BroadcastNestedLoopJoin": "1-row total-count threshold scalar"},
     "agg_hll_partial_union": {"BroadcastNestedLoopJoin": "1-row exact-count bound comparison"},
     "agg_kll_quantile_merge": {"BroadcastNestedLoopJoin": "1-row exact-quantile bound comparison"},

@@ -197,6 +197,18 @@ SCAN_FANOUT_TEXT_MIN_BYTES = 2 << 20
 SCAN_FANOUT_TABLE_MIN_BYTES = 8 << 20
 # stratified variant: independent per-source sample size
 WSAMPLE_PER_SOURCE_K = 5
+
+# DSIR (Data Selection via Importance Resampling, Xie et al. 2023,
+# arXiv:2302.03169): hashed unigram+bigram features, Laplace-smoothed
+# target/raw bucket distributions, Gumbel top-k resampling. The bucket
+# count bounds the broadcast log-ratio table; log-ratios and Gumbel noise
+# are scaled to exact MICRO-NAT integers so the per-doc weight sum is
+# order-independent (a double sum over a doc's buckets would be
+# association-order dependent under parallel reduction).
+DSIR_BUCKETS = 512
+DSIR_SEED = 271828
+DSIR_K = 50
+DSIR_TARGET_LANG = "en"
 # sequence packing: per-bin token budget
 PACK_TOKEN_BUDGET = 256
 

@@ -51,6 +51,10 @@ from ..constants import (
     WSAMPLE_K,
     WSAMPLE_PER_SOURCE_K,
     WSAMPLE_SEED,
+    DSIR_BUCKETS,
+    DSIR_K,
+    DSIR_SEED,
+    DSIR_TARGET_LANG,
 )
 from ..functions.hashing import hash52_expr, hash52_sql, hash60_expr, hash60_sql
 from ..functions.text import clean_text_expr
@@ -899,6 +903,151 @@ ORDER BY source, sample_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_dsir_select — DSIR: Data Selection via Importance Resampling (Xie et
+# al. 2023, arXiv:2302.03169). Selects the K raw-pool docs (lang != target)
+# whose hashed-n-gram profile looks most like the TARGET slice (lang =
+# target): the standard "pick web data that resembles the high-quality
+# domain" curation op.
+#
+#   features   hashed unigram + adjacent-bigram counts into B buckets
+#   weights    log p̂(b)/q̂(b) per bucket, Laplace-smoothed (+1 / +B)
+#   per doc    log w(doc) = Σ_b n_b(doc) · log-ratio(b)
+#   resample   Gumbel top-k: argmax-k of log w + Gumbel(0,1), which draws
+#              k docs ~ softmax(log w) WITHOUT replacement in one pass
+#
+# Cross-engine exactness: the smoothed ratio is a quotient of exact integer
+# products (each < 2^53, so the double division is bit-identical), and ln
+# enters the output only through round(·×10⁶) → BIGINT micro-nats. The
+# per-doc weight is then an INTEGER sum — exact under any reduction order —
+# and the Gumbel key likewise (seeded hash52 uniform, the A-ES recipe).
+# Selection orders by the exact integer key with doc_id tie-break.
+#
+# Scale shape (100 TB): one token-explode pass builds both distributions
+# and the per-doc counts; the log-ratio table is B-bounded (512 rows) and
+# BROADCAST, so per-doc scoring is map-side; the two corpus totals ride
+# 1-row cross joins (sanctioned scalar class); the final top-k is
+# TakeOrderedAndProject (per-partition heaps, k-row merge) — no corpus
+# shuffle anywhere after the (doc_id, bucket) partial-agg. Docs with no
+# tokens have no feature rows and are unsampleable on both engines.
+# ---------------------------------------------------------------------------
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b_lit = F.lit(DSIR_BUCKETS)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", clean_text_expr(F.col("text")).alias("c")
+    )
+    tk = tokens_expr(F.col("c"))
+    # adjacent bigrams; F.sequence on size<2 would yield a DESCENDING range
+    # ([0,-1]), so gate it (the F.sequence-on-empty pitfall)
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat_ws(
+                "_", F.element_at(tk, i + 1), F.element_at(tk, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = d.select(
+        "doc_id", "lang", F.explode(F.concat(tk, bigrams)).alias("g")
+    ).select("doc_id", "lang", F.pmod(hash60_expr(F.col("g")), b_lit).alias("b"))
+
+    is_tgt = F.col("lang") == DSIR_TARGET_LANG
+    tgt_b = feats.where(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("np"))
+    pool = feats.where(~is_tgt)
+    pool_b = pool.groupBy("b").agg(F.count(F.lit(1)).alias("nq"))
+    tp = tgt_b.agg(F.coalesce(F.sum("np"), F.lit(0)).alias("tp"))
+    tq = pool_b.agg(F.coalesce(F.sum("nq"), F.lit(0)).alias("tq"))
+
+    ratio = (
+        ((F.coalesce(F.col("np"), F.lit(0)) + 1) * (F.col("tq") + b_lit)).cast(
+            "double"
+        )
+        / ((F.col("nq") + 1) * (F.col("tp") + b_lit)).cast("double")
+    )
+    lr = (
+        pool_b.join(tgt_b, "b", "left")
+        .crossJoin(tp)
+        .crossJoin(tq)
+        .select(
+            "b",
+            F.round(F.log(ratio) * 1e6, 0).cast("long").alias("lr_micro"),
+        )
+    )
+
+    per_doc = pool.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    logw = per_doc.join(F.broadcast(lr), "b").groupBy("doc_id", "lang").agg(
+        F.sum(F.col("n") * F.col("lr_micro")).cast("long").alias("logw_micro")
+    )
+    u = (hash52_expr(F.col("doc_id").cast("string"), seed=DSIR_SEED) + 1) / F.lit(
+        float(2**52)
+    )
+    keyed = logw.select(
+        "doc_id",
+        "lang",
+        "logw_micro",
+        (
+            F.col("logw_micro")
+            + F.round(-F.log(-F.log(u)) * 1e6, 0).cast("long")
+        ).alias("key_micro"),
+    )
+    return (
+        keyed.orderBy(F.desc("key_micro"), F.asc("doc_id"))
+        .limit(DSIR_K)
+        .select(
+            "doc_id",
+            "lang",
+            "logw_micro",
+            (F.col("logw_micro") / F.lit(1e6)).alias("logw"),
+            (F.col("key_micro") / F.lit(1e6)).alias("gumbel_key"),
+        )
+    )
+
+
+def _sql_dsir_select() -> str:
+    b = DSIR_BUCKETS
+    tgt = DSIR_TARGET_LANG
+    u = f"(({hash52_sql('CAST(doc_id AS VARCHAR)', seed=DSIR_SEED)} + 1) / {float(2**52)})"
+    return f"""
+WITH d AS (SELECT doc_id, lang, {CLEAN_SQL} AS c FROM documents),
+t AS (SELECT doc_id, lang, {tokens_sql('c')} AS tk FROM d),
+grams AS (
+  SELECT doc_id, lang, g FROM t, UNNEST(tk) AS un(g)
+  UNION ALL
+  SELECT doc_id, lang, g
+  FROM (SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || '_' || tk[i + 1])) AS g
+        FROM t)),
+feats AS (SELECT doc_id, lang, ({hash60_sql('g')}) % {b} AS b FROM grams),
+tgtb AS (SELECT b, count(*) AS np FROM feats WHERE lang = '{tgt}' GROUP BY b),
+poolf AS (SELECT * FROM feats WHERE NOT (lang = '{tgt}')),
+poolb AS (SELECT b, count(*) AS nq FROM poolf GROUP BY b),
+tp AS (SELECT COALESCE(SUM(np), 0) AS tp FROM tgtb),
+tq AS (SELECT COALESCE(SUM(nq), 0) AS tq FROM poolb),
+lr AS (SELECT poolb.b,
+              CAST(round(ln(CAST((COALESCE(np, 0) + 1) * (tq + {b}) AS DOUBLE)
+                            / CAST((nq + 1) * (tp + {b}) AS DOUBLE)) * 1e6,
+                         0) AS BIGINT) AS lr_micro
+       FROM poolb LEFT JOIN tgtb USING (b), tp, tq),
+pd AS (SELECT doc_id, lang, b, count(*) AS n
+       FROM poolf GROUP BY doc_id, lang, b),
+lw AS (SELECT doc_id, lang, CAST(SUM(n * lr_micro) AS BIGINT) AS logw_micro
+       FROM pd JOIN lr USING (b) GROUP BY doc_id, lang),
+k AS (SELECT doc_id, lang, logw_micro,
+             logw_micro + CAST(round(-ln(-ln({u})) * 1e6, 0) AS BIGINT)
+               AS key_micro
+      FROM lw)
+SELECT doc_id, lang, logw_micro,
+       logw_micro / 1e6 AS logw, key_micro / 1e6 AS gumbel_key
+FROM k ORDER BY key_micro DESC, doc_id ASC LIMIT {DSIR_K}
+"""
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
     QuerySpec(
@@ -914,6 +1063,7 @@ QUERIES = [
     QuerySpec("join_fuzzy_part_names", _q_fuzzy_part_names, _SQL_FUZZY_PART_NAMES),
     QuerySpec("docs_vocab_coverage", _q_vocab_coverage, _SQL_VOCAB_COVERAGE),
     QuerySpec("docs_weighted_sample", _q_weighted_sample, _sql_weighted_sample()),
+    QuerySpec("docs_dsir_select", _q_dsir_select, _sql_dsir_select()),
     QuerySpec(
         "docs_weighted_sample_by_source",
         _q_weighted_sample_by_source,
