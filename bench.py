@@ -61,7 +61,11 @@ def main() -> None:
     # WARM_RUNS timed warm runs reporting the MEDIAN, with the IQR and the
     # raw per-run samples persisted so two bench invocations can be
     # compared within their own measured spread instead of a point guess.
-    WARM_RUNS = 5
+    # warm-run count is env-tunable for BIG one-shot scale points (sf10:
+    # each warm run costs minutes, and the cross-run variance the 5-run
+    # median guards against is a sub-second phenomenon); the driver's
+    # default stays 5
+    WARM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "5"))
     specs = {name: s for name, s in all_queries().items() if s.headline}
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -98,7 +102,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "runs_per_query": 1 + WARM_RUNS,
-                "agg": "median_of_5_warm",
+                "agg": f"median_of_{WARM_RUNS}_warm",
                 "iqr_sec": iqr,
                 "warm_samples_sec": samples,
                 "cold_run_sec": cold,

@@ -87,3 +87,18 @@ def test_pagerank_order_agrees_with_float_power_iteration(spark):
     by_float = sorted(nodes, key=lambda u: (-r[u], u))
     assert by_int == by_float
     assert all(abs(got[u] - r[u]) < 1e-9 for u in nodes)
+
+
+def test_pagerank_plan_size_constant_across_iterations(spark):
+    # the per-round eager checkpoint must pin lineage: the FINAL plan is a
+    # checkpoint scan + projection whose size does not grow with iters
+    # (without the cut, one round references its input several times and
+    # plan size explodes exponentially — the components.py lesson)
+    import random
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(20), rng.randrange(20)) for _ in range(60)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    p2 = pagerank(df, iters=2)._jdf.queryExecution().simpleString()
+    p6 = pagerank(df, iters=6)._jdf.queryExecution().simpleString()
+    assert abs(len(p6) - len(p2)) < 200, (len(p2), len(p6))

@@ -597,3 +597,16 @@ def test_weighted_sample_by_source_rank_limit_pushdown(spark, sf_dir):
         for m in re.finditer(r"^\((\d+)\) Exchange", plan, flags=re.M)
     )
     assert first_wgl < first_ex, plan
+
+
+def test_dsir_scoring_is_broadcast_and_topk_bounded(spark, sf_dir):
+    """DSIR's per-doc scoring must join the B-bounded log-ratio table as a
+    BROADCAST (a shuffle join on bucket would move the corpus for a
+    512-row table), and the final selection must be TakeOrderedAndProject
+    (per-partition k-heaps), with no Python worker anywhere."""
+    plan = plan_of(spark, "docs_dsir_select", sf_dir)
+    assert node_count(plan, "TakeOrderedAndProject") == 1, plan
+    assert node_count(plan, "BroadcastHashJoin") >= 1, plan
+    assert node_count(plan, "BatchEvalPython") == 0, plan
+    # the only BNLJ occurrences are the two 1-row normalizer cross joins
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 2, plan

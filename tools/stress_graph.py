@@ -1,0 +1,72 @@
+"""Scale stress for the graph family: exact-integer PageRank at 1×/3×/10×
+the edge count on a skewed synthetic graph.
+
+Graph shape: in-degree follows a power-ish law (destination drawn as
+n·x³ for uniform x), so a few nodes absorb a large share of all edges —
+the celebrity-hub regime. PageRank's per-round shape is join-on-src +
+groupBy-dst; both carry map-side partial aggregation, so a hot DESTINATION
+combines per input partition before the shuffle and the wall ratio should
+track the edge count ~linearly (the contrast case is components.py, whose
+per-node window minima needed an explicit skew path).
+
+Printed at the end: wall(k)/wall(1) vs k — ~k is linear, ~k² means a round
+stopped scaling.
+
+Usage: python tools/stress_graph.py [base_edges] [n_nodes_divisor]
+  defaults: 2_000_000 edges at 1×, nodes = edges // 4
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SCALES = [1, 3, 10]
+ITERS = 10
+
+
+def main() -> None:
+    base_edges = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    div = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from yanwenxian_week3_data_pipeline_spark.operators.pagerank import pagerank
+    from yanwenxian_week3_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("stress_graph")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    walls: dict[int, float] = {}
+    for k in SCALES:
+        n_edges = base_edges * k
+        n_nodes = n_edges // div
+        # distributed synthetic generation (no driver-side lists):
+        # src uniform, dst ~ n·x³ for x uniform — heavy in-degree skew
+        x = (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1 << 30)) / F.lit(
+            float(1 << 30)
+        ))
+        edges = spark.range(n_edges).select(
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("src"),
+            F.floor(x * x * x * F.lit(float(n_nodes))).cast("long").alias("dst"),
+        )
+        t0 = time.time()
+        pr = pagerank(edges, iters=ITERS)
+        top = pr.orderBy(F.desc("rank_scaled"), F.asc("node")).limit(5).collect()
+        walls[k] = time.time() - t0
+        mass = pr.agg(F.sum("rank_scaled")).collect()[0][0]
+        print(
+            f"pagerank[{k}x]: {walls[k]:.1f}s edges={n_edges} nodes~{n_nodes} "
+            f"iters={ITERS} mass={mass} top={[(r['node'], r['rank_scaled']) for r in top[:3]]}"
+        )
+
+    print("-- linearity (wall(k)/wall(1) vs k; ~k = linear)")
+    w1 = walls[SCALES[0]]
+    print("pagerank: " + " ".join(f"{k}x:{walls[k] / w1:.2f}" for k in SCALES))
+
+
+if __name__ == "__main__":
+    main()

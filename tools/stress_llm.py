@@ -65,6 +65,12 @@ QUERIES = [
     # harness measures, so training time is EXCLUDED from the wall (the
     # centroid table is built once, outside the timer).
     "dedup_semantic_scaled",
+    # DSIR: the replica token renaming keeps per-replica bucket profiles
+    # structurally identical while the lang column is copied verbatim, so
+    # target/pool feature streams both grow exactly k×; the log-ratio
+    # table stays B-bounded (512 rows) regardless of scale, so the wall
+    # should track the explode+partial-agg stages ~linearly
+    "docs_dsir_select",
 ]
 
 
