@@ -1,0 +1,227 @@
+"""BPE learning, CCNet perplexity bucketing, triangle census, and the
+factored exact-rank-cuts helper. The oracle sweep certifies cross-engine
+equality; these pin behavior against independent pure-Python third
+implementations (the A-ES / pagerank discipline) plus the algebraic
+invariants."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from yanwenxian_week3_data_pipeline_spark.operators.bpe import (
+    END_MARK,
+    bpe_learn,
+    bpe_oracle_sql,
+)
+from yanwenxian_week3_data_pipeline_spark.operators.quantiles import (
+    exact_rank_cuts,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python reference BPE (sequential greedy — no window algebra)
+# ---------------------------------------------------------------------------
+
+def _py_greedy_pairs(syms: list[str]) -> list[tuple[str, str]]:
+    """PER-PAIR greedy non-overlapping occurrences — for each pair
+    independently, the number of merges applying it alone would produce
+    (the operator's documented semantics): every occurrence for x != y,
+    odd-trailing-run occurrences for x == y."""
+    out, run = [], 1
+    for i in range(len(syms) - 1):
+        run = run + 1 if i > 0 and syms[i] == syms[i - 1] else 1
+        if syms[i] != syms[i + 1] or run % 2 == 1:
+            out.append((syms[i], syms[i + 1]))
+    return out
+
+
+def _py_apply(syms: list[str], x: str, y: str) -> list[str]:
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == x and syms[i + 1] == y:
+            out.append(x + y)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_bpe(words: list[tuple[str, int]], n_merges: int):
+    vocab = {w: ([*w, END_MARK], c) for w, c in words}
+    merges = []
+    for it in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for syms, c in vocab.values():
+            for p in _py_greedy_pairs(syms):
+                counts[p] += c
+        if not counts:
+            break
+        (x, y), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((it, x, y, x + y, c))
+        vocab = {
+            w: (_py_apply(s, x, y), cnt) for w, (s, cnt) in vocab.items()
+        }
+    return merges
+
+
+def test_bpe_matches_python_reference_random_words(spark):
+    rng = random.Random(42)
+    words = [
+        (
+            "".join(rng.choice("abcab") for _ in range(rng.randint(1, 9))),
+            rng.randint(1, 9),
+        )
+        for _ in range(60)
+    ]
+    # dedup words, summing counts (the real input is a GROUPed table)
+    agg: Counter = Counter()
+    for w, c in words:
+        agg[w] += c
+    words = sorted(agg.items())
+    wdf = spark.createDataFrame(words, "word string, wcount long")
+    got = [tuple(r) for r in bpe_learn(spark, wdf, 8).collect()]
+    assert got == _py_bpe(words, 8)
+
+
+def test_bpe_equal_symbol_run_parity(spark):
+    # "aaaa"x3: greedy merges 2 (a,a) pairs per word (run parity), never
+    # 3 (the overlap-blind count); then (aa,</w>) and (aa,aa) tie at 3
+    # and the byte-order tie-break picks '</w>' < 'aa'
+    wdf = spark.createDataFrame([("aaaa", 3)], "word string, wcount long")
+    got = [tuple(r) for r in bpe_learn(spark, wdf, 2).collect()]
+    assert got[0] == (1, "a", "a", "aa", 6)
+    assert got[1] == (2, "aa", END_MARK, "aa" + END_MARK, 3)
+
+
+def test_bpe_stops_when_no_pairs_left(spark):
+    # single-char word: ["a", END] -> one pair, then a single symbol
+    wdf = spark.createDataFrame([("a", 5)], "word string, wcount long")
+    got = [tuple(r) for r in bpe_learn(spark, wdf, 4).collect()]
+    assert got == [(1, "a", END_MARK, "a" + END_MARK, 5)]
+
+
+def test_bpe_oracle_sql_matches_python_reference():
+    import duckdb
+
+    rng = random.Random(7)
+    agg: Counter = Counter()
+    for _ in range(40):
+        agg["".join(rng.choice("xyz") for _ in range(rng.randint(1, 7)))] += (
+            rng.randint(1, 5)
+        )
+    words = sorted(agg.items())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w(word VARCHAR, wcount BIGINT)")
+    con.executemany("INSERT INTO w VALUES (?, ?)", words)
+    got = con.execute(
+        bpe_oracle_sql("SELECT word, wcount FROM w", 6)
+    ).fetchall()
+    assert got == _py_bpe(words, 6)
+
+
+# ---------------------------------------------------------------------------
+# exact_rank_cuts
+# ---------------------------------------------------------------------------
+
+def test_exact_rank_cuts_match_sorted_order_statistics(spark):
+    rng = random.Random(3)
+    vals = [rng.randint(0, 50) for _ in range(977)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    fracs = [(1, 4), (1, 2), (3, 4), (9, 10)]
+    cuts = {
+        r["cut_id"]: r["cut"]
+        for r in exact_rank_cuts(df, "x", fracs).collect()
+    }
+    s = sorted(vals)
+    n = len(s)
+    for i, (num, den) in enumerate(fracs, start=1):
+        rank = max(1, (n * num + den - 1) // den)
+        assert cuts[i] == s[rank - 1], (i, num, den)
+
+
+def test_exact_rank_cuts_independent_of_partitioning(spark):
+    vals = list(range(100)) * 3
+    df1 = spark.createDataFrame([(v,) for v in vals], "x long").repartition(1)
+    df7 = spark.createDataFrame([(v,) for v in vals], "x long").repartition(7)
+    f = [(1, 3), (2, 3)]
+    c1 = sorted(map(tuple, exact_rank_cuts(df1, "x", f).collect()))
+    c7 = sorted(map(tuple, exact_rank_cuts(df7, "x", f).collect()))
+    assert c1 == c7
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets — statistical behavior + tertile invariant
+# ---------------------------------------------------------------------------
+
+def test_ccnet_buckets_tertile_sizes_and_score_sanity(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.plans.lm_ext import (
+        _q_ccnet_buckets,
+    )
+
+    rows = _q_ccnet_buckets(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    sizes = Counter(r["bucket"] for r in rows)
+    # value-based cuts put boundary ties in the lower bucket, so exact
+    # thirds are not guaranteed — but each bucket must be within a loose
+    # band and all three present on real data
+    assert set(sizes) == {"head", "middle", "tail"}
+    for b in sizes:
+        assert sizes[b] >= n // 6, (b, sizes)
+    # scores are positive (negative log-probs) and avg consistent
+    for r in rows[:50]:
+        assert r["nlp_micro"] > 0
+        assert r["avg_micro"] == r["nlp_micro"] // r["n_bigrams"]
+    # bucket ordering respects the score: max(head) <= min(tail)
+    head_max = max(r["avg_micro"] for r in rows if r["bucket"] == "head")
+    tail_min = min(r["avg_micro"] for r in rows if r["bucket"] == "tail")
+    assert head_max <= tail_min
+
+
+# ---------------------------------------------------------------------------
+# triangle census — pure-Python reference on the fixture
+# ---------------------------------------------------------------------------
+
+def test_triangles_match_python_reference(spark, sf_dir):
+    import duckdb
+
+    from yanwenxian_week3_data_pipeline_spark.plans.graph_ext import (
+        _TRI_MIN_SUPPORT,
+        _q_triangles_copurchase,
+    )
+
+    got = _q_triangles_copurchase(spark, sf_dir).collect()[0]
+
+    con = duckdb.connect()
+    pairs = con.execute(
+        f"""SELECT a.l_partkey, b.l_partkey
+            FROM read_parquet('{sf_dir}/lineitem.parquet') a
+            JOIN read_parquet('{sf_dir}/lineitem.parquet') b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}"""
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    n_edges = len(pairs)
+    n_nodes = len(adj)
+    n_wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    # each triangle is counted once per edge -> divide by 3
+    tri = sum(len(adj[u] & adj[v]) for u, v in pairs)
+    assert tri % 3 == 0
+    tri //= 3
+
+    assert got["n_nodes"] == n_nodes
+    assert got["n_edges"] == n_edges
+    assert got["n_wedges"] == n_wedges
+    assert got["n_triangles"] == tri
+    if n_wedges:
+        assert got["transitivity"] == pytest.approx(3 * tri / n_wedges)

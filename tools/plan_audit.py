@@ -68,6 +68,14 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     "q11_important_value": {"BroadcastNestedLoopJoin": "1-row multiplicative threshold scalar (TPC-H q11 shape)"},
     "q22_idle_customers": {"BroadcastNestedLoopJoin": "1-row avg-balance threshold scalar (TPC-H q22 shape)"},
+    "docs_ccnet_perplexity_buckets": {
+        "BroadcastNestedLoopJoin": "2-row tertile-cut table (non-equi "
+        "containment probe, the equidepth shape) + 1-row cut pivot crossJoin"
+    },
+    "graph_triangles_copurchase": {
+        "BroadcastNestedLoopJoin": "1-row census scalars "
+        "(nodes/edges/wedges counts) crossJoined into the single output row"
+    },
     "text_chunking_udtf": {
         "BatchEvalPython": "Python UDTF twin — pins the table-function API surface; "
         "text_chunking (pure expressions) is the scale path sharing the same oracle"

@@ -239,3 +239,19 @@ HIST_NUM_BUCKETS = 12
 BLOOM_BITS = 65536
 BLOOM_WORDS = BLOOM_BITS // 64
 BLOOM_PROBES = 3
+
+# BPE vocabulary learning (Sennrich et al. 2016, the word-frequency
+# formulation SentencePiece / HF trainers use): the corpus collapses to a
+# deterministic top-V word-count table (count DESC, word ASC), so every
+# merge round is V-bounded regardless of corpus size. Word-length cap
+# bounds the per-word window partitions.
+BPE_MERGES = 10
+BPE_VOCAB_TOP = 2000
+BPE_MAX_WORD_LEN = 24
+
+# CCNet-style bigram-LM perplexity bucketing (Wenzek et al. 2020,
+# arXiv:1911.00359): hashed-bucket conditional bigram model trained on the
+# target-language slice, per-doc mean negative log-prob in exact MICRO-NAT
+# integers, corpus split into head/middle/tail at exact rank tertiles.
+LM_BUCKETS = 256
+LM_TRAIN_LANG = "en"

@@ -101,6 +101,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph_ext,
         lakehouse_ext,
         llm_ops,
+        lm_ext,
         reference_surface,
         relational,
         tpch_depth,
@@ -118,6 +119,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation_ext,
         lakehouse_ext,
         graph_ext,
+        lm_ext,
     ):
         for spec in mod.QUERIES:
             if spec.name in specs:

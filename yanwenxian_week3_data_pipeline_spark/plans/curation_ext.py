@@ -549,54 +549,17 @@ FROM r WHERE rank <= {VOCAB_TOPK}
 # histogram row whose [cum_lo, cum_hi) span contains it. Every stage is
 # parallel; the only driver data is one row per partition. Plan-shape
 # pinned by tests/test_plans.py::test_equidepth_no_single_partition_sort.
+# The machinery is factored into operators/quantiles.py (exact_rank_cuts),
+# shared with the CCNet perplexity tertiles in plans/lm_ext.py.
 # ---------------------------------------------------------------------------
 
 def _q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-    import pandas as pd
+    from ..operators.quantiles import exact_rank_cuts
 
     d = _docs(spark, sf_dir).select("doc_id", "n_chars")
-    hist = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("cnt"))
-    nparts = max(2, spark.sparkContext.defaultParallelism)
-    ranged = (
-        hist.repartitionByRange(nparts, "n_chars")
-        .sortWithinPartitions("n_chars")
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    psums = {
-        int(r["_pid"]): int(r["s"])
-        for r in ranged.groupBy("_pid").agg(F.sum("cnt").alias("s")).collect()
-    }
-    n = sum(psums.values())
-    offsets, acc = {}, 0
-    for pid in sorted(psums):
-        offsets[pid] = acc
-        acc += psums[pid]
-
-    def running_cum(batches):
-        run = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            if run is None:
-                run = offsets.get(int(pdf["_pid"].iloc[0]), 0)
-            c = pdf["cnt"].to_numpy()
-            hi = run + np.cumsum(c)
-            run = int(hi[-1])
-            yield pd.DataFrame(
-                {"n_chars": pdf["n_chars"], "cnt": c, "cum_hi": hi}
-            )
-
-    cum = ranged.mapInPandas(running_cum, "n_chars long, cnt long, cum_hi long")
-    targets = spark.createDataFrame(
-        [((n * i + 9) // 10,) for i in range(1, 10)], "target long"
-    )
-    cuts = cum.join(
-        F.broadcast(targets),
-        (F.col("cum_hi") >= F.col("target"))
-        & (F.col("cum_hi") - F.col("cnt") < F.col("target")),
-    ).select(F.col("n_chars").alias("cut"))
+    cuts = exact_rank_cuts(
+        d, "n_chars", [(i, 10) for i in range(1, 10)]
+    ).select(F.col("cut"))
     bucketed = (
         d.join(F.broadcast(cuts), d.n_chars > cuts.cut, "left")
         .groupBy("doc_id", "n_chars")

@@ -69,6 +69,144 @@ _SQL_PAGERANK_PURCHASES = (
 )
 
 
+# ---------------------------------------------------------------------------
+# graph_triangles_copurchase — triangle census of the part co-purchase
+# graph (parts co-occurring on >= 2 orders). The standard distributed
+# formulation (Suri & Vassilvitskii WWW'11 / Cohen's MapReduce triangle
+# counting): orient every edge from the (degree, id)-smaller endpoint to
+# the larger, enumerate wedges at each node's out-neighborhood, and close
+# them with one equi-join back onto the oriented edge set. Orientation
+# bounds every out-degree by O(sqrt(m)), so the wedge blow-up is
+# m^(3/2)-bounded — never the naive sum of squared degrees; each triangle
+# is counted exactly once (at its orientation-minimal apex).
+#
+# Scale shape (100 TB): the corpus-sized work is the per-order pair
+# aggregation (group size bounded by lines-per-order — the
+# basket_part_pairs guard); the support>=2 threshold (how co-occurrence
+# graphs are always thinned at scale — association-rule min-support)
+# bounds the edge set, which is then eagerly checkpointed once and reused
+# by the degree, wedge, and closure stages (4 consumers, one
+# materialization). All joins are equi-joins on node keys; the final
+# census is a 1-row scalar combine. Transitivity = 3*triangles / wedges
+# as a quotient of exact integers < 2^53 — a single correctly-rounded
+# IEEE division, bit-identical on both engines.
+# ---------------------------------------------------------------------------
+
+_TRI_MIN_SUPPORT = 2
+
+
+def _q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # 4 consumers, one materialization
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        )
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    leg_lt = (F.col("w1.ddst") < F.col("w2.ddst")) | (
+        (F.col("w1.ddst") == F.col("w2.ddst"))
+        & (F.col("w1.dst") < F.col("w2.dst"))
+    )
+    wedges = (
+        w1.join(w2, F.col("w1.src") == F.col("w2.src"))
+        .where(F.col("w1.dst") < F.col("w2.dst"))
+        .select(
+            F.when(leg_lt, F.col("w1.dst")).otherwise(F.col("w2.dst")).alias("src"),
+            F.when(leg_lt, F.col("w2.dst")).otherwise(F.col("w1.dst")).alias("dst"),
+        )
+    )
+    n_tri = wedges.join(
+        oriented.select("src", "dst"), ["src", "dst"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_wedges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.col("n_triangles") * 3).cast("double")
+                / F.col("n_wedges").cast("double"),
+            ).alias("transitivity"),
+        )
+    )
+
+
+_SQL_TRIANGLES = f"""
+WITH e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}),
+deg AS MATERIALIZED (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) t GROUP BY n),
+o AS MATERIALIZED (
+  SELECT CASE WHEN lt THEN u ELSE v END AS src,
+         CASE WHEN lt THEN v ELSE u END AS dst,
+         CASE WHEN lt THEN dv ELSE du END AS ddst
+  FROM (SELECT e.u, e.v, a.d AS du, b.d AS dv,
+               (a.d < b.d OR (a.d = b.d AND e.u < e.v)) AS lt
+        FROM e JOIN deg a ON e.u = a.n JOIN deg b ON e.v = b.n)),
+w AS (
+  SELECT CASE WHEN lt THEN b1 ELSE b2 END AS src,
+         CASE WHEN lt THEN b2 ELSE b1 END AS dst
+  FROM (SELECT w1.dst AS b1, w2.dst AS b2,
+               (w1.ddst < w2.ddst OR (w1.ddst = w2.ddst AND w1.dst < w2.dst)) AS lt
+        FROM o w1 JOIN o w2 ON w1.src = w2.src AND w1.dst < w2.dst)),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM w JOIN o ON w.src = o.src AND w.dst = o.dst)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       n_triangles,
+       CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+            THEN CAST(n_triangles * 3 AS DOUBLE)
+                 / CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS DOUBLE)
+       END AS transitivity
+FROM tri
+"""
+
+
 QUERIES = [
     QuerySpec(
         name="graph_pagerank_purchases",
@@ -78,5 +216,15 @@ QUERIES = [
         "graph — exact scaled-integer power iteration (10 rounds, "
         "damping 0.85, dangling redistribution), bit-identical across "
         "engines and partitionings.",
+    ),
+    QuerySpec(
+        name="graph_triangles_copurchase",
+        build=_q_triangles_copurchase,
+        oracle=_SQL_TRIANGLES,
+        doc="Triangle census of the support-thresholded part co-purchase "
+        "graph: degree-ordered edge orientation, wedge enumeration + "
+        "one closure equi-join (each triangle counted once at its "
+        "orientation-minimal apex); nodes/edges/wedges/triangles + "
+        "transitivity.",
     ),
 ]
