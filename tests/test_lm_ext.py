@@ -225,3 +225,99 @@ def test_triangles_match_python_reference(spark, sf_dir):
     assert got["n_triangles"] == tri
     if n_wedges:
         assert got["transitivity"] == pytest.approx(3 * tri / n_wedges)
+
+
+# ---------------------------------------------------------------------------
+# NB language-ID — independent pure-Python third implementation
+# ---------------------------------------------------------------------------
+
+def test_nb_langid_matches_python_reference(spark, sf_dir):
+    import hashlib
+    import math
+
+    import duckdb
+
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        NB_BUCKETS,
+        NB_SPLIT_SEED,
+    )
+    from yanwenxian_week3_data_pipeline_spark.plans.documents_domain import (
+        CLEAN_SQL,
+    )
+    from yanwenxian_week3_data_pipeline_spark.plans.lm_ext import (
+        _q_nb_langid_confusion,
+    )
+
+    got = {
+        (r["actual"], r["predicted"]): r["n_docs"]
+        for r in _q_nb_langid_confusion(spark, sf_dir).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rows = con.execute(
+        f"SELECT doc_id, lang, {CLEAN_SQL} FROM documents WHERE lang IS NOT NULL"
+    ).fetchall()
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    train_counts: dict[tuple[str, int], int] = {}
+    t_l: dict[str, int] = {}
+    n_l: dict[str, int] = {}
+    test_docs = []
+    for doc_id, lang, c in rows:
+        toks = c.split(" ") if c else []
+        if not toks:
+            continue
+        buckets = [h60(g) % NB_BUCKETS for g in toks]
+        if h60(f"{NB_SPLIT_SEED}:{doc_id}") % 2 == 0:
+            n_l[lang] = n_l.get(lang, 0) + 1
+            for b in buckets:
+                train_counts[(lang, b)] = train_counts.get((lang, b), 0) + 1
+                t_l[lang] = t_l.get(lang, 0) + 1
+        else:
+            test_docs.append((doc_id, lang, buckets))
+
+    n_train, n_langs = sum(n_l.values()), len(n_l)
+    prior = {
+        l: round(math.log((n + 1) / (n_train + n_langs)) * 1e6)
+        for l, n in n_l.items()
+    }
+    exp: dict[tuple[str, str], int] = {}
+    for _doc_id, lang, buckets in test_docs:
+        best = None
+        for cand in sorted(t_l):
+            s = prior[cand] + sum(
+                round(
+                    math.log(
+                        (train_counts.get((cand, b), 0) + 1)
+                        / (t_l[cand] + NB_BUCKETS)
+                    )
+                    * 1e6
+                )
+                for b in buckets
+            )
+            if best is None or s > best[0]:
+                best = (s, cand)
+        exp[(lang, best[1])] = exp.get((lang, best[1]), 0) + 1
+
+    assert got == exp
+
+
+def test_nb_langid_beats_majority_class(spark, sf_dir):
+    rows = []
+    from yanwenxian_week3_data_pipeline_spark.plans.lm_ext import (
+        _q_nb_langid_confusion,
+    )
+
+    rows = _q_nb_langid_confusion(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in rows)
+    correct = sum(r["n_docs"] for r in rows if r["actual"] == r["predicted"])
+    per_actual: dict[str, int] = {}
+    for r in rows:
+        per_actual[r["actual"]] = per_actual.get(r["actual"], 0) + r["n_docs"]
+    majority = max(per_actual.values())
+    assert correct >= majority, (correct, majority, total)

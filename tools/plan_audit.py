@@ -68,6 +68,10 @@ ALLOW: dict[str, dict[str, str]] = {
     },
     "q11_important_value": {"BroadcastNestedLoopJoin": "1-row multiplicative threshold scalar (TPC-H q11 shape)"},
     "q22_idle_customers": {"BroadcastNestedLoopJoin": "1-row avg-balance threshold scalar (TPC-H q22 shape)"},
+    "docs_nb_langid_confusion": {
+        "BroadcastNestedLoopJoin": "L-row language-class grid (candidate "
+        "fan-out, L ≈ 6) + 1-row train-totals crossJoin (prior build)"
+    },
     "docs_ccnet_perplexity_buckets": {
         "BroadcastNestedLoopJoin": "2-row tertile-cut table (non-equi "
         "containment probe, the equidepth shape) + 1-row cut pivot crossJoin"

@@ -71,6 +71,18 @@ QUERIES = [
     # table stays B-bounded (512 rows) regardless of scale, so the wall
     # should track the explode+partial-agg stages ~linearly
     "docs_dsir_select",
+    # BPE: the replica token renaming grows the word VOCABULARY ~k×, so
+    # the corpus-sized word-count pass grows k× while the merge rounds
+    # stay top-V-bounded by construction — the wall should track the
+    # count pass, not the rounds
+    "text_bpe_learn",
+    # CCNet bigram LM: bigram stream grows k×; the model table stays
+    # B²-bounded and broadcast; tertile cut machinery moves one histogram
+    # row per distinct score — ~linear end to end
+    "docs_ccnet_perplexity_buckets",
+    # NB language-ID: feature stream grows k×; the (L·B)-bounded model is
+    # broadcast; argmax windows partition per doc — ~linear
+    "docs_nb_langid_confusion",
 ]
 
 

@@ -255,3 +255,9 @@ BPE_MAX_WORD_LEN = 24
 # integers, corpus split into head/middle/tail at exact rank tertiles.
 LM_BUCKETS = 256
 LM_TRAIN_LANG = "en"
+
+# Naive Bayes language-ID / quality-classifier analog: hashed-unigram
+# multinomial NB trained on a deterministic half split, evaluated on the
+# held-out half. All model math is exact-integer micro-nats (DSIR recipe).
+NB_BUCKETS = 512
+NB_SPLIT_SEED = 7919

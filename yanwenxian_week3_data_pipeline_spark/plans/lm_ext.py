@@ -9,6 +9,11 @@ counterpart for.
   V-bounded. Greedy non-overlap pair semantics are pure window algebra
   (see operators/bpe.py); the oracle unrolls the identical recurrence as
   MATERIALIZED CTEs (the pagerank.py discipline).
+- ``docs_nb_langid_confusion`` — multinomial Naive Bayes language-ID
+  (the classifier-filter primitive: fastText-style quality/lang
+  classification) trained on a deterministic half split, scored on the
+  held-out half by exact integer micro-nat argmax; outputs the confusion
+  matrix.
 - ``docs_ccnet_perplexity_buckets`` — CCNet-style head/middle/tail
   corpus split (Wenzek et al. 2020, arXiv:1911.00359): a hashed-bucket
   conditional bigram model is trained on the target-language slice,
@@ -37,6 +42,8 @@ from ..constants import (
     BPE_VOCAB_TOP,
     LM_BUCKETS,
     LM_TRAIN_LANG,
+    NB_BUCKETS,
+    NB_SPLIT_SEED,
     SCAN_FANOUT_TEXT_MIN_BYTES,
 )
 from ..functions.hashing import hash60_expr, hash60_sql
@@ -207,6 +214,159 @@ FROM av
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_nb_langid_confusion — multinomial Naive Bayes language-ID: the
+# classifier-based filtering primitive of curation pipelines (fastText
+# quality/lang filters), here trained and evaluated entirely in-engine.
+# Deterministic half split on a seeded doc_id hash; hashed-unigram
+# features; Laplace-smoothed class priors and per-class token
+# distributions; held-out docs classified by exact integer micro-nat
+# score argmax (prior + sum of per-bucket log-likelihoods — integer sums,
+# exact under any reduction order; ties broken by lang ASC via the
+# (score DESC, lang ASC) row_number window, partitioned per doc).
+# Output: the confusion matrix (actual, predicted, n_docs).
+#
+# Scale shape (100 TB): one tokenize → (doc, bucket) partial-agg pass;
+# the model is (L·B)-bounded and BROADCAST (L = distinct langs, B = 512
+# buckets); candidate-class fan-out is a broadcast of the L-row class
+# table (L ≈ 6); the argmax window partitions by doc_id — never global.
+# Docs with no tokens or null lang have no feature rows and are out of
+# scope on both engines identically.
+# ---------------------------------------------------------------------------
+
+def _q_nb_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    b_lit = F.lit(NB_BUCKETS)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", clean_text_expr(F.col("text")).alias("c")
+    ).where(F.col("lang").isNotNull())
+    feats = d.select(
+        "doc_id",
+        "lang",
+        (F.pmod(hash60_expr(F.col("doc_id").cast("string"), seed=NB_SPLIT_SEED), F.lit(2)) == 0).alias(
+            "is_train"
+        ),
+        F.explode(tokens_expr(F.col("c"))).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        "is_train",
+        F.pmod(hash60_expr(F.col("g")), b_lit).alias("b"),
+    )
+    train = feats.where(F.col("is_train"))
+    c_lb = train.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c_lb"))
+    t_l = c_lb.groupBy("lang").agg(F.sum("c_lb").alias("t_l"))
+    n_l = train.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_l")
+    )
+    totals = n_l.agg(
+        F.sum("n_l").alias("n_docs_train"), F.count(F.lit(1)).alias("n_langs")
+    )
+    prior = n_l.crossJoin(totals).select(
+        F.col("lang").alias("cand"),
+        F.round(
+            F.log(
+                (F.col("n_l") + 1).cast("double")
+                / (F.col("n_docs_train") + F.col("n_langs")).cast("double")
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("prior_micro"),
+    )
+    test_db = (
+        feats.where(~F.col("is_train"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cand = test_db.crossJoin(
+        F.broadcast(t_l.select(F.col("lang").alias("cand"), "t_l"))
+    )
+    ll = F.round(
+        F.log(
+            (F.coalesce(F.col("c_lb"), F.lit(0)) + 1).cast("double")
+            / (F.col("t_l") + NB_BUCKETS).cast("double")
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    scored = (
+        cand.join(
+            F.broadcast(
+                c_lb.select(F.col("lang").alias("cand"), "b", "c_lb")
+            ),
+            ["cand", "b"],
+            "left",
+        )
+        .withColumn("ll", ll)
+        .groupBy("doc_id", "lang", "cand")
+        .agg(F.sum(F.col("n") * F.col("ll")).cast("long").alias("lik_micro"))
+        .join(F.broadcast(prior), "cand")
+        .select(
+            "doc_id",
+            "lang",
+            "cand",
+            (F.col("lik_micro") + F.col("prior_micro")).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("cand")
+    )
+    pred = scored.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    return pred.groupBy(
+        F.col("lang").alias("actual"), F.col("cand").alias("predicted")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _sql_nb_langid_confusion() -> str:
+    b = NB_BUCKETS
+    split = hash60_sql("CAST(doc_id AS VARCHAR)", seed=NB_SPLIT_SEED)
+    return f"""
+WITH d AS (SELECT doc_id, lang, {CLEAN_SQL} AS c FROM documents
+           WHERE lang IS NOT NULL),
+feats AS (
+  SELECT doc_id, lang, ({split}) % 2 = 0 AS is_train,
+         ({hash60_sql('g')}) % {b} AS bk
+  FROM (SELECT doc_id, lang, c FROM d) t, UNNEST({tokens_sql('c')}) AS un(g)),
+train AS (SELECT * FROM feats WHERE is_train),
+c_lb AS (SELECT lang, bk, count(*) AS c_lb FROM train GROUP BY 1, 2),
+t_l AS (SELECT lang, CAST(sum(c_lb) AS BIGINT) AS t_l FROM c_lb GROUP BY 1),
+n_l AS (SELECT lang, count(DISTINCT doc_id) AS n_l FROM train GROUP BY 1),
+tot AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_docs_train,
+               count(*) AS n_langs FROM n_l),
+prior AS (
+  SELECT lang AS cand,
+         CAST(round(ln(CAST(n_l + 1 AS DOUBLE)
+                       / CAST(n_docs_train + n_langs AS DOUBLE)) * 1e6, 0)
+              AS BIGINT) AS prior_micro
+  FROM n_l, tot),
+test_db AS (SELECT doc_id, lang, bk, count(*) AS n
+            FROM feats WHERE NOT is_train GROUP BY 1, 2, 3),
+scored AS (
+  SELECT t.doc_id, t.lang, tl.lang AS cand,
+         CAST(sum(t.n * CAST(round(ln(CAST(COALESCE(c.c_lb, 0) + 1 AS DOUBLE)
+                                      / CAST(tl.t_l + {b} AS DOUBLE))
+                                   * 1e6, 0) AS BIGINT)) AS BIGINT)
+           AS lik_micro
+  FROM test_db t
+  CROSS JOIN t_l tl
+  LEFT JOIN c_lb c ON c.lang = tl.lang AND c.bk = t.bk
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT s.doc_id, s.lang, s.cand,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.lik_micro + p.prior_micro DESC,
+                                     s.cand ASC) AS rn
+  FROM scored s JOIN prior p ON p.cand = s.cand)
+SELECT lang AS actual, cand AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM ranked WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     QuerySpec(
         name="text_bpe_learn",
@@ -216,6 +376,14 @@ QUERIES = [
         f"word-frequency table, {BPE_MERGES} greedy merge rounds with "
         "exact window-algebra non-overlap semantics; oracle unrolls the "
         "identical recurrence as materialized CTEs.",
+    ),
+    QuerySpec(
+        name="docs_nb_langid_confusion",
+        build=_q_nb_langid_confusion,
+        oracle=_sql_nb_langid_confusion(),
+        doc="Multinomial Naive Bayes language-ID on a deterministic "
+        "half split: hashed-unigram features, Laplace smoothing, exact "
+        "micro-nat argmax; outputs the held-out confusion matrix.",
     ),
     QuerySpec(
         name="docs_ccnet_perplexity_buckets",
