@@ -321,3 +321,103 @@ def test_nb_langid_beats_majority_class(spark, sf_dir):
         per_actual[r["actual"]] = per_actual.get(r["actual"], 0) + r["n_docs"]
     majority = max(per_actual.values())
     assert correct >= majority, (correct, majority, total)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch — pure-Python third implementation + guarantee
+# ---------------------------------------------------------------------------
+
+def test_cms_matches_python_reference(spark, sf_dir):
+    import hashlib
+
+    import duckdb
+
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        CMS_DEPTH,
+        CMS_SEED,
+        CMS_TOPK,
+        CMS_WIDTH,
+    )
+    from yanwenxian_week3_data_pipeline_spark.plans.documents_domain import (
+        CLEAN_SQL,
+    )
+    from yanwenxian_week3_data_pipeline_spark.plans.lm_ext import (
+        _q_cms_token_counts,
+    )
+
+    got = {r["tok"]: tuple(r)[1:] for r in _q_cms_token_counts(spark, sf_dir).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    rows = con.execute(f"SELECT {CLEAN_SQL} FROM documents").fetchall()
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    exact: Counter = Counter()
+    grid: Counter = Counter()
+    for (c,) in rows:
+        for tok in (c.split(" ") if c else []):
+            exact[tok] += 1
+            for r in range(CMS_DEPTH):
+                grid[(r, h60(f"{CMS_SEED + r}:{tok}") % CMS_WIDTH)] += 1
+
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOPK]
+    exp = {}
+    for tok, n in top:
+        est = min(
+            grid[(r, h60(f"{CMS_SEED + r}:{tok}") % CMS_WIDTH)]
+            for r in range(CMS_DEPTH)
+        )
+        exp[tok] = (n, est, est - n, est >= n)
+    assert got == exp
+    assert all(v[3] for v in got.values())  # one-sided guarantee
+
+
+# ---------------------------------------------------------------------------
+# k-core — sequential Python peel on the fixture
+# ---------------------------------------------------------------------------
+
+def test_kcore_matches_python_full_peel(spark, sf_dir):
+    import duckdb
+
+    from yanwenxian_week3_data_pipeline_spark.constants import KCORE_K
+    from yanwenxian_week3_data_pipeline_spark.plans.graph_ext import (
+        _q_kcore_copurchase,
+    )
+
+    got = _q_kcore_copurchase(spark, sf_dir).collect()[0]
+
+    con = duckdb.connect()
+    edges = set(
+        con.execute(
+            f"""SELECT DISTINCT a.l_partkey, b.l_partkey
+                FROM read_parquet('{sf_dir}/lineitem.parquet') a
+                JOIN read_parquet('{sf_dir}/lineitem.parquet') b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey"""
+        ).fetchall()
+    )
+    # full peel to TRUE fixpoint (no round cap)
+    while True:
+        deg: Counter = Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        alive = {n for n, d in deg.items() if d >= KCORE_K}
+        nxt = {(u, v) for u, v in edges if u in alive and v in alive}
+        if nxt == edges:
+            break
+        edges = nxt
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+
+    # the bounded-round query must have converged on the fixture, and at
+    # the fixpoint it equals the exact k-core
+    assert got["converged"] is True
+    assert got["n_core_nodes"] == len(deg)
+    assert got["n_core_edges"] == len(edges)

@@ -261,3 +261,20 @@ LM_TRAIN_LANG = "en"
 # held-out half. All model math is exact-integer micro-nats (DSIR recipe).
 NB_BUCKETS = 512
 NB_SPLIT_SEED = 7919
+
+# Count-Min Sketch of token frequencies: depth x width integer counter
+# grid via independently-seeded hashes; estimates are min-over-rows.
+# Exact-integer construction, so the sketch and its one-sided error
+# guarantee (est >= exact, always) replay identically in the oracle.
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_SEED = 6151
+CMS_TOPK = 20
+
+# k-core: bounded-round peel of the part co-purchase graph. Degrees in
+# the co-purchase graph are scale-invariant (lines-per-order and
+# parts-per-order are SF-independent), so a fixed k selects a comparable
+# core at every SF; KCORE_ROUNDS bounds the peel (the output carries a
+# converged flag computed from the last two rounds).
+KCORE_K = 80
+KCORE_ROUNDS = 8

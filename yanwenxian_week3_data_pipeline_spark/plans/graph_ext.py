@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import QuerySpec
-from ..constants import SCAN_FANOUT_TABLE_MIN_BYTES
+from ..constants import KCORE_K, KCORE_ROUNDS, SCAN_FANOUT_TABLE_MIN_BYTES
 from ..operators.pagerank import pagerank, pagerank_oracle_sql
 from ..sources.tables import read_parquet_fanout
 
@@ -207,6 +207,133 @@ FROM tri
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_kcore_copurchase — bounded-round k-core peel of the (unthresholded)
+# part co-purchase graph: repeatedly remove nodes of degree < k, keeping
+# only edges with both endpoints alive. Co-purchase degrees are
+# SF-INVARIANT (lines-per-order and parts-per-order don't grow with the
+# corpus), so a fixed k selects a comparable core at every scale. The
+# peel is capped at KCORE_ROUNDS (at 100 TB you bound iterative rounds —
+# the components.py discipline); the output carries `converged`, computed
+# as round R-1 and round R having the same (count, xxhash-sum)
+# fingerprint, so the cap is honest in-band rather than a silent
+# approximation. Fixture graphs converge well inside the cap (pytest
+# pins full-peel equality against a sequential Python reference).
+#
+# Scale shape: each round is one degree aggregation (map-side combine)
+# plus two semi-joins of the edge list against the surviving-node set —
+# all shuffles on node keys; per-round eager localCheckpoint keeps
+# lineage flat. The oracle unrolls the identical rounds as MATERIALIZED
+# CTEs.
+# ---------------------------------------------------------------------------
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _kcore_degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def _kcore_fingerprint(edges: DataFrame):
+    # hash summed in DECIMAL(38,0) so a billion-edge fingerprint cannot
+    # overflow a long (the components.py discipline)
+    row = edges.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.coalesce(
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
+            F.lit(0),
+        ).alias("hs"),
+    ).collect()[0]
+    return int(row["cnt"]), int(row["hs"])
+
+
+def _q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    prev_fp = _kcore_fingerprint(edges)
+    converged = False
+    for _ in range(KCORE_ROUNDS):
+        alive = (
+            _kcore_degrees(edges)
+            .where(F.col("d") >= KCORE_K)
+            .select("n")
+        )
+        edges = (
+            edges.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        fp = _kcore_fingerprint(edges)
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    core_deg = _kcore_degrees(edges)
+    summary = core_deg.agg(
+        F.count(F.lit(1)).alias("n_core_nodes"),
+        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("deg_sum"),
+    )
+    return summary.select(
+        F.lit(KCORE_K).alias("k"),
+        "n_core_nodes",
+        (F.col("deg_sum") / 2).cast("long").alias("n_core_edges"),
+        F.lit(converged).alias("converged"),
+    )
+
+
+def _sql_kcore() -> str:
+    parts = [
+        "WITH e0 AS MATERIALIZED (",
+        "  SELECT a.l_partkey AS u, b.l_partkey AS v",
+        "  FROM lineitem a JOIN lineitem b",
+        "    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey",
+        "  GROUP BY 1, 2),",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        p = i - 1
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT n FROM (SELECT u AS n FROM e{p} UNION ALL SELECT v AS n FROM e{p}) t
+  GROUP BY n HAVING count(*) >= {KCORE_K}),
+e{i} AS MATERIALIZED (
+  SELECT u, v FROM e{p}
+  WHERE u IN (SELECT n FROM a{i}) AND v IN (SELECT n FROM a{i})),"""
+        )
+    r, q = KCORE_ROUNDS, KCORE_ROUNDS - 1
+    # peeling only removes edges (e_i ⊆ e_{i-1}), so consecutive-round
+    # set equality is exactly count equality — engine-independent, and it
+    # agrees with the Spark side's stricter (count, hash-sum) fingerprint
+    parts.append(
+        f"""deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e{r} UNION ALL SELECT v AS n FROM e{r}) t GROUP BY n)
+SELECT {KCORE_K} AS k,
+       CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_core_nodes,
+       CAST((SELECT COALESCE(sum(d), 0) FROM deg) // 2 AS BIGINT)
+         AS n_core_edges,
+       (SELECT count(*) FROM e{q}) = (SELECT count(*) FROM e{r}) AS converged"""
+    )
+    return "\n".join(parts)
+
+
 QUERIES = [
     QuerySpec(
         name="graph_pagerank_purchases",
@@ -216,6 +343,15 @@ QUERIES = [
         "graph — exact scaled-integer power iteration (10 rounds, "
         "damping 0.85, dangling redistribution), bit-identical across "
         "engines and partitionings.",
+    ),
+    QuerySpec(
+        name="graph_kcore_copurchase",
+        build=_q_kcore_copurchase,
+        oracle=_sql_kcore(),
+        doc=f"Bounded-round k-core peel (k={KCORE_K}, cap "
+        f"{KCORE_ROUNDS} rounds) of the part co-purchase graph with an "
+        "in-band convergence flag; oracle unrolls the identical rounds "
+        "as materialized CTEs.",
     ),
     QuerySpec(
         name="graph_triangles_copurchase",

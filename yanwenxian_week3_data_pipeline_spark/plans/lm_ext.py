@@ -14,6 +14,9 @@ counterpart for.
   classification) trained on a deterministic half split, scored on the
   held-out half by exact integer micro-nat argmax; outputs the confusion
   matrix.
+- ``agg_cms_token_counts`` — Count-Min Sketch of token frequencies,
+  exact-integer construction with the one-sided guarantee verified
+  in-band (completes the sketch family in plans/analytic_ext.py).
 - ``docs_ccnet_perplexity_buckets`` — CCNet-style head/middle/tail
   corpus split (Wenzek et al. 2020, arXiv:1911.00359): a hashed-bucket
   conditional bigram model is trained on the target-language slice,
@@ -40,6 +43,10 @@ from ..constants import (
     BPE_MAX_WORD_LEN,
     BPE_MERGES,
     BPE_VOCAB_TOP,
+    CMS_DEPTH,
+    CMS_SEED,
+    CMS_TOPK,
+    CMS_WIDTH,
     LM_BUCKETS,
     LM_TRAIN_LANG,
     NB_BUCKETS,
@@ -367,6 +374,112 @@ FROM ranked WHERE rn = 1 GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# agg_cms_token_counts — Count-Min Sketch (Cormode & Muthukrishnan 2005)
+# of corpus token frequencies, completing the sketch family (HLL / KLL /
+# Misra-Gries in plans/analytic_ext.py). The sketch is a DEPTH×WIDTH
+# integer counter grid built with independently-seeded hashes — the
+# streamable, mergeable frequency summary used where exact per-token
+# counts don't fit (per-shard sketches sum cell-wise at 100 TB). Unlike
+# library sketches, this construction is exact-integer end to end, so the
+# oracle rebuilds the identical grid and the query VERIFIES the CMS
+# guarantee in-band: est = min over rows >= exact count, always.
+#
+# Scale shape: one token explode feeding DEPTH (row, bucket) partial
+# aggregations (map-side combine; grid bounded at DEPTH·WIDTH rows,
+# broadcast); exact top-K via TakeOrderedAndProject; the probe joins K·D
+# rows against the broadcast grid.
+# ---------------------------------------------------------------------------
+
+def _q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(clean_text_expr(F.col("text")).alias("c"))
+    toks = d.select(F.explode(tokens_expr(F.col("c"))).alias("tok"))
+    rows = toks.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.pmod(
+                            hash60_expr(F.col("tok"), seed=CMS_SEED + r),
+                            F.lit(CMS_WIDTH),
+                        ).alias("b"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tok", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    grid = rows.groupBy("r", "b").agg(F.count(F.lit(1)).alias("cell"))
+    topk = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(CMS_TOPK)
+    )
+    probes = topk.select(
+        "tok",
+        "n_exact",
+        *[
+            F.pmod(
+                hash60_expr(F.col("tok"), seed=CMS_SEED + r), F.lit(CMS_WIDTH)
+            ).alias(f"b{r}")
+            for r in range(CMS_DEPTH)
+        ],
+    )
+    est = probes
+    for r in range(CMS_DEPTH):
+        g = F.broadcast(
+            grid.where(F.col("r") == r).select(
+                F.col("b").alias(f"b{r}"), F.col("cell").alias(f"c{r}")
+            )
+        )
+        est = est.join(g, f"b{r}")
+    return est.select(
+        "tok",
+        "n_exact",
+        F.least(*[F.col(f"c{r}") for r in range(CMS_DEPTH)]).alias("n_est"),
+    ).select(
+        "tok",
+        "n_exact",
+        "n_est",
+        (F.col("n_est") - F.col("n_exact")).alias("overcount"),
+        (F.col("n_est") >= F.col("n_exact")).alias("cms_guarantee_ok"),
+    )
+
+
+def _sql_cms_token_counts() -> str:
+    row_buckets = ", ".join(
+        f"({hash60_sql('tok', seed=CMS_SEED + r)}) % {CMS_WIDTH} AS b{r}"
+        for r in range(CMS_DEPTH)
+    )
+    grid_joins = "\n  ".join(
+        f"JOIN grid g{r} ON g{r}.r = {r} AND g{r}.b = p.b{r}"
+        for r in range(CMS_DEPTH)
+    )
+    least = ", ".join(f"g{r}.cell" for r in range(CMS_DEPTH))
+    union_rows = " UNION ALL ".join(
+        f"SELECT {r} AS r, ({hash60_sql('tok', seed=CMS_SEED + r)}) % {CMS_WIDTH} AS b FROM toks"
+        for r in range(CMS_DEPTH)
+    )
+    return f"""
+WITH d AS (SELECT {CLEAN_SQL} AS c FROM documents),
+toks AS MATERIALIZED (SELECT g AS tok FROM d, UNNEST({tokens_sql('c')}) AS un(g)),
+grid AS MATERIALIZED (
+  SELECT r, b, CAST(count(*) AS BIGINT) AS cell
+  FROM ({union_rows}) rb GROUP BY r, b),
+topk AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact FROM toks
+         GROUP BY tok ORDER BY n_exact DESC, tok ASC LIMIT {CMS_TOPK}),
+p AS (SELECT tok, n_exact, {row_buckets} FROM topk)
+SELECT p.tok, p.n_exact, LEAST({least}) AS n_est,
+       LEAST({least}) - p.n_exact AS overcount,
+       LEAST({least}) >= p.n_exact AS cms_guarantee_ok
+FROM p
+  {grid_joins}
+"""
+
+
 QUERIES = [
     QuerySpec(
         name="text_bpe_learn",
@@ -376,6 +489,14 @@ QUERIES = [
         f"word-frequency table, {BPE_MERGES} greedy merge rounds with "
         "exact window-algebra non-overlap semantics; oracle unrolls the "
         "identical recurrence as materialized CTEs.",
+    ),
+    QuerySpec(
+        name="agg_cms_token_counts",
+        build=_q_cms_token_counts,
+        oracle=_sql_cms_token_counts(),
+        doc="Count-Min Sketch of token frequencies (4x1024 exact-integer "
+        "grid): top-20 tokens probed against the sketch, min-over-rows "
+        "estimate, one-sided guarantee verified in-band.",
     ),
     QuerySpec(
         name="docs_nb_langid_confusion",
