@@ -421,3 +421,82 @@ def test_kcore_matches_python_full_peel(spark, sf_dir):
     assert got["converged"] is True
     assert got["n_core_nodes"] == len(deg)
     assert got["n_core_edges"] == len(edges)
+
+
+# ---------------------------------------------------------------------------
+# product quantization — python reference on a tiny synthetic set +
+# clustered-fixture behavior
+# ---------------------------------------------------------------------------
+
+def test_pq_adc_matches_python_reference(spark):
+    from yanwenxian_week3_data_pipeline_spark.operators.pq import (
+        pq_adc_recall,
+    )
+
+    rng = random.Random(11)
+    dim, m, kc, nq, k = 16, 4, 4, 2, 3
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["query_id"]: r["n_overlap"]
+        for r in pq_adc_recall(
+            df, n_codewords=kc, n_queries=nq, n_sub=m, k=k
+        ).collect()
+    }
+
+    import struct as _struct
+
+    def f32(x):  # float32 round-trip, matching array<float> storage
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    vecs32 = [(i, [f32(x) for x in v]) for i, v in vecs]
+    ds = dim // m
+    cb = {
+        (mm, c): vecs32[c][1][mm * ds : (mm + 1) * ds]
+        for mm in range(m)
+        for c in range(kc)
+    }
+
+    def l2(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    def code(v, mm):
+        return min(
+            range(kc), key=lambda c: (l2(v[mm * ds : (mm + 1) * ds], cb[(mm, c)]), c)
+        )
+
+    exp = {}
+    for qid, qv in vecs32[kc : kc + nq]:
+        tab = {
+            (mm, c): l2(qv[mm * ds : (mm + 1) * ds], cb[(mm, c)])
+            for mm in range(m)
+            for c in range(kc)
+        }
+        adc = {
+            i: sum(tab[(mm, code(v, mm))] for mm in range(m))
+            for i, v in vecs32
+            if i != qid
+        }
+        approx = set(sorted(adc, key=lambda i: (adc[i], i))[:k])
+        exact_d = {i: l2(qv, v) for i, v in vecs32 if i != qid}
+        exact = set(sorted(exact_d, key=lambda i: (exact_d[i], i))[:k])
+        exp[qid] = len(approx & exact)
+    assert got == exp
+
+
+def test_pq_clustered_precision_is_perfect(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.plans.llm_ops import (
+        _pq_clustered_precision,
+    )
+
+    rows = _pq_clustered_precision(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["cluster_precision"] == 1.0 for r in rows)

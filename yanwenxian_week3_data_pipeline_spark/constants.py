@@ -278,3 +278,11 @@ CMS_TOPK = 20
 # converged flag computed from the last two rounds).
 KCORE_K = 80
 KCORE_ROUNDS = 8
+
+# Product quantization (Jegou et al. 2011): M subspaces, K codewords per
+# subspace (seeded id-order heuristic codebook, the IVF recipe), ADC
+# recall probed on the next NQ ids against the exact L2^2 top-k.
+PQ_SUB = 8
+PQ_CODEWORDS = 16
+PQ_QUERIES = 5
+PQ_TOPK = 10

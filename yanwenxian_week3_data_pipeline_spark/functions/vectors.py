@@ -115,3 +115,25 @@ def embedding_band_vals_udf(planes: list[list[int]], bands: int, bits: int):
         return pd.Series(list(vals))
 
     return _band_vals
+
+
+def l2sq_expr(a: Column, b: Column) -> Column:
+    """Squared L2 distance under the same determinism contract as
+    ``dot_expr``: float→double cast per element, LEFT-TO-RIGHT sequential
+    fold — bit-identical to the DuckDB twin."""
+    diffs = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2sq_sql(a: str, b: str) -> str:
+    diffs = (
+        f"list_transform(range(1, len({a}) + 1),"
+        f" i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))"
+    )
+    return f"list_reduce(list_prepend(0.0, {diffs}), (acc, x) -> acc + x)"

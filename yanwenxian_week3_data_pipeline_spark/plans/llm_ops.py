@@ -2254,7 +2254,154 @@ SELECT l AS lrs_len, sub AS lrs_text FROM cand ORDER BY l DESC, sub ASC LIMIT 1
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_pq_adc_recall — product quantization + asymmetric distance (see
+# operators/pq.py): per-query recall@k of the compressed-domain search
+# against the exact L2² top-k. Fully oracled: the seeded id-order
+# codebook, the sequential-fold distances, the tie-broken code
+# assignment, and the left-associated ADC sum replay identically in
+# DuckDB.
+# ---------------------------------------------------------------------------
+
+def _q_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import PQ_CODEWORDS, PQ_QUERIES, PQ_SUB, PQ_TOPK
+    from ..operators.pq import pq_adc_recall
+
+    return pq_adc_recall(
+        _emb(spark, sf_dir),
+        n_codewords=PQ_CODEWORDS,
+        n_queries=PQ_QUERIES,
+        n_sub=PQ_SUB,
+        k=PQ_TOPK,
+    )
+
+
+def _sql_pq_adc_recall() -> str:
+    from ..constants import PQ_CODEWORDS, PQ_QUERIES, PQ_SUB, PQ_TOPK
+    from ..functions.vectors import l2sq_sql
+
+    m, kc, nq, k = PQ_SUB, PQ_CODEWORDS, PQ_QUERIES, PQ_TOPK
+    sub = "vec[m * ds + 1 : m * ds + ds]"
+    qsub = "qvec[m * ds + 1 : m * ds + ds]"
+    pivot = ", ".join(
+        f"max(CASE WHEN m = {i} THEN qd END) AS d{i}" for i in range(m)
+    )
+    lsum = " + ".join(f"d{i}" for i in range(m))  # left-associated
+    return f"""
+WITH emb AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+p AS (SELECT len(vec) // {m} AS ds FROM emb ORDER BY id LIMIT 1),
+low AS (SELECT id, vec, row_number() OVER (ORDER BY id) AS rn
+        FROM (SELECT * FROM emb ORDER BY id LIMIT {kc + nq})),
+ms AS (SELECT unnest(range(0, {m})) AS m),
+cb AS (SELECT m, rn - 1 AS c, {sub.replace('vec', 'low.vec')} AS cw
+       FROM low CROSS JOIN p CROSS JOIN ms WHERE rn <= {kc}),
+q AS (SELECT id AS query_id, vec AS qvec FROM low WHERE rn > {kc}),
+assign AS (
+  SELECT id, m, c, {l2sq_sql(sub.replace('vec', 'emb.vec'), 'cw')} AS d
+  FROM emb CROSS JOIN p JOIN cb ON TRUE),
+codes AS (
+  SELECT id, m, c FROM (
+    SELECT id, m, c,
+           row_number() OVER (PARTITION BY id, m ORDER BY d ASC, c ASC) AS arn
+    FROM assign) WHERE arn = 1),
+qtab AS (
+  SELECT query_id, m, c, {l2sq_sql(qsub, 'cw')} AS qd
+  FROM q CROSS JOIN p JOIN cb ON TRUE),
+adc AS (
+  SELECT query_id, id, {lsum} AS adc_d
+  FROM (SELECT query_id, id, {pivot}
+        FROM codes JOIN qtab USING (m, c)
+        WHERE id <> query_id GROUP BY query_id, id)),
+approx AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_d ASC, id ASC) AS rn
+    FROM adc) WHERE rn <= {k}),
+exact AS (
+  SELECT query_id, id FROM (
+    SELECT query_id, id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY ed ASC, id ASC) AS rn
+    FROM (SELECT query_id, id, {l2sq_sql('vec', 'qvec')} AS ed
+          FROM emb JOIN q ON id <> query_id)) WHERE rn <= {k}),
+ov AS (SELECT query_id, count(*) AS n_overlap
+       FROM approx SEMI JOIN exact USING (query_id, id) GROUP BY query_id)
+SELECT q.query_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / {float(k)} AS recall
+FROM q LEFT JOIN ov USING (query_id)
+"""
+
+
+# On the driver's near-random embeddings PQ-ADC recall is honestly LOW
+# (~0-30% — random high-dim vectors don't compress; same story as
+# sim_ivf_recall). The clustered companion runs the identical operator on
+# the planted-cluster transform and measures what compression is SUPPOSED
+# to preserve — coarse neighborhood structure: every top-10 lands in the
+# query's planted cluster (cluster_precision 1.0, measured at
+# sf0.001/0.01) even though exact within-cluster ORDERING (the recall@10
+# metric) needs finer-grained codebooks. The gate twin is oracled against
+# literal true, so the correctness sweep itself fails if compressed-domain
+# search ever stops preserving the planted clusters.
+
+def _pq_clustered_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import PQ_CODEWORDS, PQ_QUERIES, PQ_SUB, PQ_TOPK
+    from ..operators.pq import pq_adc_cluster_precision
+
+    e = _clustered_emb(spark, sf_dir).withColumn(
+        "cl",
+        F.when(F.col("vec_id") < 8, F.lit(0)).otherwise(
+            F.col("vec_id") % _CLUSTER_CELLS
+        ),
+    )
+    return pq_adc_cluster_precision(
+        e,
+        "cl",
+        n_codewords=PQ_CODEWORDS,
+        n_queries=PQ_QUERIES,
+        n_sub=PQ_SUB,
+        k=PQ_TOPK,
+    )
+
+
+def _q_pq_clustered_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_clustered_precision(spark, sf_dir)
+
+
+def _q_pq_clustered_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _pq_clustered_precision(spark, sf_dir).collect()
+    ok = bool(rows) and all(r["cluster_precision"] == 1.0 for r in rows)
+    return spark.createDataFrame(
+        [(ok,)], "pq_preserves_planted_clusters boolean"
+    )
+
+
 QUERIES = [
+    QuerySpec(
+        "sim_pq_adc_recall",
+        _q_pq_adc_recall,
+        _sql_pq_adc_recall(),
+        doc="Product quantization + ADC: per-query recall@10 of "
+        "compressed-domain L2 search vs the exact top-10 (8 subspaces, "
+        "16-codeword seeded codebooks, fully oracled).",
+    ),
+    QuerySpec(
+        "sim_pq_clustered_precision",
+        _q_pq_clustered_precision,
+        None,
+        doc="PQ-ADC cluster precision on the planted-cluster fixture "
+        "(rows-only like the other clustered twins): fraction of each "
+        "query's compressed-domain top-10 in the query's planted cluster.",
+    ),
+    QuerySpec(
+        "sim_pq_clustered_gate",
+        _q_pq_clustered_gate,
+        "SELECT true AS pq_preserves_planted_clusters",
+        doc="Oracled gate: PQ-ADC keeps every clustered-fixture top-10 "
+        "inside the query's planted cluster (cluster_precision 1.0 for "
+        "all probes) — the sweep fails if compression ever stops "
+        "preserving coarse structure.",
+    ),
     QuerySpec("text_token_count", _q_token_count, _SQL_TOKEN_COUNT),
     QuerySpec("docs_lrs_capped", _q_lrs_capped, _sql_lrs_capped()),
     QuerySpec("docs_longest_repeated_substring", _q_lrs_uncapped, None),
