@@ -610,3 +610,32 @@ def test_dsir_scoring_is_broadcast_and_topk_bounded(spark, sf_dir):
     assert node_count(plan, "BatchEvalPython") == 0, plan
     # the only BNLJ occurrences are the two 1-row normalizer cross joins
     assert node_count(plan, "BroadcastNestedLoopJoin") == 2, plan
+
+
+def test_pq_adc_windows_ride_rank_limit_pushdown(spark, sf_dir):
+    """PQ-ADC's three rank windows (code argmin, approx top-k, exact
+    top-k) must all materialize the Partial/Final WindowGroupLimit pair —
+    each map task forwards <= k rows per (id, subspace) / query before
+    the exchange — and the codebook/table joins must be broadcast EQUI
+    joins, never nested loops (the one sanctioned BNLJ is the NQ-row
+    exact-baseline query side)."""
+    plan = plan_of(spark, "sim_pq_adc_recall", sf_dir)
+    assert node_count(plan, "WindowGroupLimit") == 6, plan
+    assert node_count(plan, "CartesianProduct") == 0, plan
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 1, plan
+    assert node_count(plan, "BroadcastHashJoin") >= 3, plan
+
+
+def test_triangle_census_all_equi_joins(spark, sf_dir):
+    """The wedge enumeration and closure must reach the plan as EQUI
+    joins on node keys (SortMergeJoin at fixture stats) — a cartesian
+    here would be the naive all-pairs triangle join. The 3 BNLJs are the
+    1-row census scalars."""
+    plan = plan_of(spark, "graph_triangles_copurchase", sf_dir)
+    assert node_count(plan, "CartesianProduct") == 0, plan
+    assert node_count(plan, "BroadcastNestedLoopJoin") == 3, plan
+    equi = sum(
+        node_count(plan, j)
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert equi >= 4, plan  # orient (2 deg joins) + wedge + closure

@@ -67,6 +67,54 @@ def main() -> None:
     w1 = walls[SCALES[0]]
     print("pagerank: " + " ".join(f"{k}x:{walls[k] / w1:.2f}" for k in SCALES))
 
+    # triangle census + k-core on a UNIFORM random graph (degrees
+    # concentrate around 2·edges/nodes, so the degree-ordered wedge count
+    # grows ~linearly in m — the regime where exact counting is the right
+    # tool; power-law graphs are fundamentally m^1.5 for triangles, the
+    # documented escape hatch is hub-capping/sampling). k is set at the
+    # mean degree so each k-core peel does real cascade work.
+    from yanwenxian_week3_data_pipeline_spark.operators.graphstats import (
+        kcore_summary,
+        triangle_census,
+    )
+
+    tri_walls: dict[int, float] = {}
+    core_walls: dict[int, float] = {}
+    for k in SCALES:
+        n_edges = base_edges * k
+        n_nodes = n_edges // 8  # mean degree ~16, SF-invariant
+        edges = (
+            spark.range(n_edges)
+            .select(
+                F.pmod(F.xxhash64("id", F.lit(11)), F.lit(n_nodes)).alias("a"),
+                F.pmod(F.xxhash64("id", F.lit(12)), F.lit(n_nodes)).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.time()
+        tri = triangle_census(edges).collect()[0]
+        tri_walls[k] = time.time() - t0
+        print(
+            f"triangles[{k}x]: {tri_walls[k]:.1f}s edges={tri['n_edges']} "
+            f"wedges={tri['n_wedges']} triangles={tri['n_triangles']}"
+        )
+        t0 = time.time()
+        core = kcore_summary(edges, 16, 12).collect()[0]
+        core_walls[k] = time.time() - t0
+        print(
+            f"kcore[{k}x]: {core_walls[k]:.1f}s core_nodes={core['n_core_nodes']} "
+            f"core_edges={core['n_core_edges']} converged={core['converged']}"
+        )
+
+    t1, c1 = tri_walls[SCALES[0]], core_walls[SCALES[0]]
+    print("triangles: " + " ".join(f"{k}x:{tri_walls[k] / t1:.2f}" for k in SCALES))
+    print("kcore:     " + " ".join(f"{k}x:{core_walls[k] / c1:.2f}" for k in SCALES))
+
 
 if __name__ == "__main__":
     main()

@@ -1,0 +1,142 @@
+"""Triangle census and bounded-round k-core peel over an undirected edge
+list (u < v, deduped). Factored from plans/graph_ext.py so the scale
+stress (tools/stress_graph.py) can drive synthetic graphs through the
+same code the registered queries use. See the plans module for the
+per-query scale rationale; the operator-level contracts:
+
+- ``triangle_census``: degree-ordered orientation (out-degree bounded by
+  O(sqrt(m))), wedge enumeration at each out-neighborhood, one closure
+  equi-join; each triangle counted once at its orientation-minimal apex.
+  NOTE the fundamental cost: wedge count is Θ(Σ C(d_out, 2)) — near-
+  linear on degree-concentrated graphs, but m^1.5-bounded on power-law
+  graphs; at 100 TB a hub-capping / approximate variant (edge sampling)
+  is the escape hatch, same philosophy as DEDUP_MAX_BUCKET.
+- ``kcore_peel``: repeatedly drop nodes of degree < k (cap ``rounds``);
+  per-round degree partial-agg + two semi-joins, eager localCheckpoint,
+  (count, decimal-hash-sum) fingerprint for early exit and the in-band
+  ``converged`` flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _degrees(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("u").alias("n"))
+        .unionAll(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+
+
+def triangle_census(edges: DataFrame) -> DataFrame:
+    """One census row: n_nodes, n_edges, n_wedges, n_triangles,
+    transitivity. ``edges`` must be distinct with u < v; callers should
+    materialize it (localCheckpoint) — it is traversed four times."""
+    deg = _degrees(edges)
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+        )
+    )
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    leg_lt = (F.col("w1.ddst") < F.col("w2.ddst")) | (
+        (F.col("w1.ddst") == F.col("w2.ddst"))
+        & (F.col("w1.dst") < F.col("w2.dst"))
+    )
+    wedges = (
+        w1.join(w2, F.col("w1.src") == F.col("w2.src"))
+        .where(F.col("w1.dst") < F.col("w2.dst"))
+        .select(
+            F.when(leg_lt, F.col("w1.dst")).otherwise(F.col("w2.dst")).alias("src"),
+            F.when(leg_lt, F.col("w2.dst")).otherwise(F.col("w1.dst")).alias("dst"),
+        )
+    )
+    n_tri = wedges.join(
+        oriented.select("src", "dst"), ["src", "dst"]
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_wedges)
+        .crossJoin(n_tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.col("n_triangles") * 3).cast("double")
+                / F.col("n_wedges").cast("double"),
+            ).alias("transitivity"),
+        )
+    )
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    # hash summed in DECIMAL(38,0) so a billion-edge fingerprint cannot
+    # overflow a long (the components.py discipline)
+    row = edges.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.coalesce(
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
+            F.lit(0),
+        ).alias("hs"),
+    ).collect()[0]
+    return int(row["cnt"]), int(row["hs"])
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int
+) -> tuple[DataFrame, bool]:
+    """Peel to the k-core under a round cap. Returns (core_edges,
+    converged); ``converged`` is True iff two consecutive rounds had the
+    same (count, hash-sum) fingerprint within the cap."""
+    edges = edges.localCheckpoint(eager=True)
+    prev_fp = _fingerprint(edges)
+    converged = False
+    for _ in range(rounds):
+        alive = _degrees(edges).where(F.col("d") >= k).select("n")
+        edges = (
+            edges.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        fp = _fingerprint(edges)
+        if fp == prev_fp:
+            converged = True
+            break
+        prev_fp = fp
+    return edges, converged
+
+
+def kcore_summary(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    core, converged = kcore_peel(edges, k, rounds)
+    deg = _degrees(core)
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_core_nodes"),
+        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("deg_sum"),
+    )
+    return summary.select(
+        F.lit(k).alias("k"),
+        "n_core_nodes",
+        (F.col("deg_sum") / 2).cast("long").alias("n_core_edges"),
+        F.lit(converged).alias("converged"),
+    )

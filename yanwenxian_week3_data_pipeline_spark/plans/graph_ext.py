@@ -96,6 +96,8 @@ _TRI_MIN_SUPPORT = 2
 
 
 def _q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphstats import triangle_census
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     edges = (
@@ -112,63 +114,7 @@ def _q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .localCheckpoint(eager=True)  # 4 consumers, one materialization
     )
-    deg = (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    n_wedges = deg.agg(
-        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
-    )
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
-    lt = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-        )
-    )
-    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
-    leg_lt = (F.col("w1.ddst") < F.col("w2.ddst")) | (
-        (F.col("w1.ddst") == F.col("w2.ddst"))
-        & (F.col("w1.dst") < F.col("w2.dst"))
-    )
-    wedges = (
-        w1.join(w2, F.col("w1.src") == F.col("w2.src"))
-        .where(F.col("w1.dst") < F.col("w2.dst"))
-        .select(
-            F.when(leg_lt, F.col("w1.dst")).otherwise(F.col("w2.dst")).alias("src"),
-            F.when(leg_lt, F.col("w2.dst")).otherwise(F.col("w1.dst")).alias("dst"),
-        )
-    )
-    n_tri = wedges.join(
-        oriented.select("src", "dst"), ["src", "dst"]
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    return (
-        n_nodes.crossJoin(n_edges)
-        .crossJoin(n_wedges)
-        .crossJoin(n_tri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.when(
-                F.col("n_wedges") > 0,
-                (F.col("n_triangles") * 3).cast("double")
-                / F.col("n_wedges").cast("double"),
-            ).alias("transitivity"),
-        )
-    )
+    return triangle_census(edges)
 
 
 _SQL_TRIANGLES = f"""
@@ -243,60 +189,11 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kcore_degrees(edges: DataFrame) -> DataFrame:
-    return (
-        edges.select(F.col("u").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-
-
-def _kcore_fingerprint(edges: DataFrame):
-    # hash summed in DECIMAL(38,0) so a billion-edge fingerprint cannot
-    # overflow a long (the components.py discipline)
-    row = edges.agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.coalesce(
-            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
-            F.lit(0),
-        ).alias("hs"),
-    ).collect()[0]
-    return int(row["cnt"]), int(row["hs"])
-
-
 def _q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    prev_fp = _kcore_fingerprint(edges)
-    converged = False
-    for _ in range(KCORE_ROUNDS):
-        alive = (
-            _kcore_degrees(edges)
-            .where(F.col("d") >= KCORE_K)
-            .select("n")
-        )
-        edges = (
-            edges.join(alive.withColumnRenamed("n", "u"), "u", "left_semi")
-            .join(alive.withColumnRenamed("n", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-        fp = _kcore_fingerprint(edges)
-        if fp == prev_fp:
-            converged = True
-            break
-        prev_fp = fp
-    core_deg = _kcore_degrees(edges)
-    summary = core_deg.agg(
-        F.count(F.lit(1)).alias("n_core_nodes"),
-        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("deg_sum"),
-    )
-    return summary.select(
-        F.lit(KCORE_K).alias("k"),
-        "n_core_nodes",
-        (F.col("deg_sum") / 2).cast("long").alias("n_core_edges"),
-        F.lit(converged).alias("converged"),
-    )
+    from ..operators.graphstats import kcore_summary
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return kcore_summary(edges, KCORE_K, KCORE_ROUNDS)
 
 
 def _sql_kcore() -> str:
