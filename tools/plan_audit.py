@@ -48,6 +48,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "sim_cosine_topk_ivf": {"BroadcastNestedLoopJoin": "broadcast centroids + query side"},
     "sim_cosine_topk_ivf_kmeans": {"BroadcastNestedLoopJoin": "broadcast trained centroids"},
     "sim_ivf_recall": {"BroadcastNestedLoopJoin": "tiny query side broadcast"},
+    "emb_jl_distortion": {
+        "BroadcastNestedLoopJoin": "tiny (5-row) query side broadcast for "
+        "the all-candidates distortion scan (the cosine_topk shape)"
+    },
     "sim_pq_adc_recall": {
         "BroadcastNestedLoopJoin": "tiny (NQ-row) query side broadcast for "
         "the exact-baseline non-equi join (the cosine_topk shape)"

@@ -2255,6 +2255,117 @@ SELECT l AS lrs_len, sub AS lrs_text FROM cand ORDER BY l DESC, sub ASC LIMIT 1
 
 
 # ---------------------------------------------------------------------------
+# emb_jl_distortion — Johnson-Lindenstrauss random projection quality:
+# project 64-dim embeddings to JL_PLANES dims with the seeded ±1
+# hyperplane matrix (the LSH banding matrix family, embedded as literals
+# in both engines) and measure, per probe query, how far projected
+# cosines drift from exact cosines over ALL candidates — the
+# dimensionality-reduction error report run before moving ANN search to
+# a compressed space. Exactness: each projected coordinate is one
+# sequential fold; the 16-dim projected dot/norms are sequential folds;
+# the per-pair |Δcosine| enters aggregation only as round(·×1e6) BIGINT
+# micro units, so max/sum/mean are integer-exact under any reduction
+# order. Scale shape: projection is one map-side pass (no shuffle);
+# the pair stage is the broadcast tiny-query-side pattern; output is one
+# row per query.
+# ---------------------------------------------------------------------------
+
+JL_PLANES = 16
+JL_SEED = 9901
+
+
+def _q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import (
+        cosine_expr,
+        dot_expr,
+        hyperplane_matrix,
+        norm_expr,
+    )
+
+    planes = hyperplane_matrix(JL_PLANES, EMB_DIM, JL_SEED)
+    e = _emb(spark, sf_dir)
+
+    def proj(vec):
+        return F.array(
+            *[
+                dot_expr(
+                    vec, F.array(*[F.lit(float(c)) for c in plane])
+                )
+                for plane in planes
+            ]
+        )
+
+    base = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cand_vec"),
+        proj(F.col("embedding")).alias("cand_p"),
+    )
+    queries = e.where(F.col("vec_id").isin(SIM_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        proj(F.col("embedding")).alias("query_p"),
+    )
+    pairs = base.join(
+        F.broadcast(queries), F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.round(
+            F.abs(
+                cosine_expr(F.col("query_vec"), F.col("cand_vec"))
+                - dot_expr(F.col("query_p"), F.col("cand_p"))
+                / (norm_expr(F.col("query_p")) * norm_expr(F.col("cand_p")))
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )
+    return pairs.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("d_micro").alias("max_abs_micro"),
+        F.expr("sum(d_micro) div count(1)").cast("long").alias("mean_abs_micro"),
+    )
+
+
+def _sql_jl_distortion() -> str:
+    from ..functions.vectors import (
+        cosine_sql,
+        dot_sql,
+        hyperplane_matrix,
+        norm_sql,
+    )
+
+    planes = hyperplane_matrix(JL_PLANES, EMB_DIM, JL_SEED)
+
+    def proj_sql(vec: str) -> str:
+        coords = ", ".join(
+            dot_sql(vec, "[" + ", ".join(f"{float(c)}" for c in plane) + "]")
+            for plane in planes
+        )
+        return f"[{coords}]"
+
+    qids = ", ".join(str(i) for i in SIM_QUERY_IDS)
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {proj_sql('embedding')} AS p
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, p AS qp
+      FROM e WHERE vec_id IN ({qids})),
+pairs AS (
+  SELECT query_id,
+         CAST(round(abs({cosine_sql('qvec', 'embedding')}
+                        - {dot_sql('qp', 'p')}
+                          / ({norm_sql('qp')} * {norm_sql('p')})) * 1e6, 0)
+              AS BIGINT) AS d_micro
+  FROM e JOIN q ON vec_id <> query_id)
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       max(d_micro) AS max_abs_micro,
+       CAST(sum(d_micro) // count(*) AS BIGINT) AS mean_abs_micro
+FROM pairs GROUP BY query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # sim_pq_adc_recall — product quantization + asymmetric distance (see
 # operators/pq.py): per-query recall@k of the compressed-domain search
 # against the exact L2² top-k. Fully oracled: the seeded id-order
@@ -2377,6 +2488,14 @@ def _q_pq_clustered_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = [
+    QuerySpec(
+        "emb_jl_distortion",
+        _q_jl_distortion,
+        _sql_jl_distortion(),
+        doc="Johnson-Lindenstrauss projection quality: per-query "
+        "max/mean |exact cosine − projected cosine| in exact micro "
+        "units, 64→16 dims via the seeded ±1 plane matrix.",
+    ),
     QuerySpec(
         "sim_pq_adc_recall",
         _q_pq_adc_recall,
