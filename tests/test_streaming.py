@@ -853,3 +853,93 @@ def test_neardup_stream_restart_backpressure_watermark_composite(spark, tmp_path
         (2, 1), (4, 1), (4, 2), (5, 1), (5, 2), (5, 4),
     }, sorted(all_pairs)
     assert not any(3 in p for p in all_pairs)
+
+
+def test_nb_score_stream_matches_batch_and_registered_query(
+    spark, sf_dir, tmp_path
+):
+    """Streaming model serving: the batch-trained NB model scores a
+    document feed STATELESSLY (literal-map lookups inside each row — no
+    shuffle, no streaming state). The drained stream must equal (a) the
+    identical expression applied batch-wise to the same feed, and (b) the
+    registered docs_nb_langid_confusion query's confusion matrix when
+    restricted to the same held-out docs."""
+    from collections import Counter
+
+    from yanwenxian_week3_data_pipeline_spark.constants import NB_SPLIT_SEED
+    from yanwenxian_week3_data_pipeline_spark.functions.hashing import (
+        hash60_expr,
+    )
+    from yanwenxian_week3_data_pipeline_spark.plans.lm_ext import (
+        _q_nb_langid_confusion,
+    )
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+    )
+    from yanwenxian_week3_data_pipeline_spark.streaming.nbscore import (
+        nb_predict_expr,
+        nb_score_stream,
+        nb_train_model,
+    )
+
+    model = nb_train_model(spark, sf_dir)
+
+    # feed = the held-out half (what arrives after training), as JSONL
+    feed_dir = str(tmp_path / "docs_feed")
+    held = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("lang").isNotNull())
+        .where(
+            F.pmod(
+                hash60_expr(F.col("doc_id").cast("string"), seed=NB_SPLIT_SEED),
+                F.lit(2),
+            )
+            == 1
+        )
+        .select("doc_id", "lang", "text")
+    )
+    held.coalesce(2).write.mode("overwrite").json(feed_dir)
+
+    got = run_available_now(
+        nb_score_stream(spark, feed_dir, model), "nb_score_t"
+    )
+    got_rows = {r["doc_id"]: (r["actual"], r["predicted"]) for r in got.collect()}
+
+    batch = spark.read.schema("doc_id long, lang string, text string").json(
+        feed_dir
+    ).select(
+        "doc_id",
+        F.col("lang").alias("actual"),
+        nb_predict_expr(F.col("text"), model).alias("predicted"),
+    )
+    want_rows = {
+        r["doc_id"]: (r["actual"], r["predicted"]) for r in batch.collect()
+    }
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
+
+    # confusion-matrix equality with the registered query: it scores
+    # exactly the held-out docs with >= 1 token after the REAL cleaning
+    # expression (tokenless docs have no feature rows there), so restrict
+    # the stream rows to the same domain and demand exact equality
+    from yanwenxian_week3_data_pipeline_spark.functions.text import (
+        clean_text_expr,
+    )
+    from yanwenxian_week3_data_pipeline_spark.functions.textstats import (
+        tokens_expr,
+    )
+
+    with_tokens = {
+        r["doc_id"]
+        for r in held.select(
+            "doc_id",
+            F.size(tokens_expr(clean_text_expr(F.col("text")))).alias("n"),
+        ).collect()
+        if r["n"] >= 1
+    }
+    reg = {
+        (r["actual"], r["predicted"]): r["n_docs"]
+        for r in _q_nb_langid_confusion(spark, sf_dir).collect()
+    }
+    stream_conf = Counter(v for k, v in got_rows.items() if k in with_tokens)
+    assert dict(stream_conf) == reg
