@@ -67,6 +67,9 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row target/pool feature-total crossJoins (DSIR normalizers)"
     },
     "agg_heavy_hitters_mg": {"BroadcastNestedLoopJoin": "1-row total-count threshold scalar"},
+    "events_decayed_heavy_hitters": {
+        "BroadcastNestedLoopJoin": "1-row max-ts decay anchor crossJoin"
+    },
     "agg_hll_partial_union": {"BroadcastNestedLoopJoin": "1-row exact-count bound comparison"},
     "agg_kll_quantile_merge": {"BroadcastNestedLoopJoin": "1-row exact-quantile bound comparison"},
     "dedup_embedding_cosine": {

@@ -1414,6 +1414,176 @@ FROM t WHERE den > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# events_decayed_heavy_hitters — exponentially TIME-DECAYED frequency per
+# event type (half-life 24 h, anchored at the corpus max timestamp): the
+# streaming-analytics "what is hot NOW" counter, computed batch-exact.
+# Age is a calendar-second difference of NTZ timestamps (timestampdiff /
+# date_diff — no session-timezone epoch conversion anywhere, so the
+# America/New_York sweep sees identical ages across DST boundaries, the
+# r3 window_rolling_7d lesson). Each event contributes
+# round(2^(-age/H)·1e6) as an INTEGER micro-weight, so the per-type mass
+# is an integer sum — exact under any reduction order; libm enters only
+# through pow, whose double output is rounded at 1e-6 grain (the house
+# rule). Scale shape: one scan, a 1-row max-ts scalar crossJoin, one
+# map-side-combinable groupBy.
+# ---------------------------------------------------------------------------
+
+_DECAY_HALFLIFE_S = 86400.0
+
+
+def _q_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).where(F.col("event_type").isNotNull())
+    ref = ev.agg(F.max("ts").alias("ref"))
+    # MICROsecond grain: second-grain timestampdiff TRUNCATES the
+    # fractional part while DuckDB's date_diff counts boundary crossings
+    # (measured: +0.3 micro-weight/event systematic drift); at micro
+    # grain both engines count the exact integer difference
+    w_micro = F.round(
+        F.pow(
+            F.lit(2.0),
+            -F.expr("timestampdiff(MICROSECOND, ts, ref)")
+            / F.lit(_DECAY_HALFLIFE_S * 1e6),
+        )
+        * 1e6,
+        0,
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select("event_type", w_micro.alias("w"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w").alias("decayed_mass_micro"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "decayed_mass_micro",
+            (F.col("decayed_mass_micro") / F.lit(1e6)).alias("decayed_mass"),
+        )
+    )
+
+
+_SQL_DECAYED_HH = f"""
+WITH ev AS (SELECT event_type, ts FROM events WHERE event_type IS NOT NULL),
+ref AS (SELECT max(ts) AS ref FROM ev),
+w AS (SELECT event_type,
+             CAST(round(pow(2.0, -date_diff('microsecond', ts, ref)
+                                 / ({_DECAY_HALFLIFE_S} * 1e6)) * 1e6, 0) AS BIGINT)
+               AS w
+      FROM ev, ref)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(w) AS BIGINT) AS decayed_mass_micro,
+       CAST(sum(w) AS BIGINT) / 1e6 AS decayed_mass
+FROM w GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# basket_frequent_triples — A-priori level-3 market-basket mining: 3-part
+# itemsets co-occurring on >= 2 orders, with the classic A-priori prune —
+# a triple is only COUNTED if all three of its sub-pairs are frequent, so
+# the per-order triple enumeration (bounded: C(lines-per-order, 3) <= 35)
+# is filtered against the BROADCAST frequent-pair set before any shuffle.
+# At 100 TB the frequent-pair table is the (support-thresholded) bounded
+# candidate state every production basket miner carries; the corpus-sized
+# work stays one bounded-blowup self-join per level. Top-20 by (support
+# DESC, triple ASC) via TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_TRIPLE_MIN_SUP = 2
+
+
+def _q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b, c = li.alias("a"), li.alias("b"), li.alias("c")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _TRIPLE_MIN_SUP)
+        .select("x", "y")
+        .localCheckpoint(eager=True)  # 3 prune consumers
+    )
+    triples = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("okey"),
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+            F.col("c.l_partkey").alias("p3"),
+        )
+    )
+    pr = F.broadcast(pairs)
+    pruned = (
+        triples.join(
+            pr.select(F.col("x").alias("p1"), F.col("y").alias("p2")),
+            ["p1", "p2"],
+            "left_semi",
+        )
+        .join(
+            pr.select(F.col("x").alias("p1"), F.col("y").alias("p3")),
+            ["p1", "p3"],
+            "left_semi",
+        )
+        .join(
+            pr.select(F.col("x").alias("p2"), F.col("y").alias("p3")),
+            ["p2", "p3"],
+            "left_semi",
+        )
+    )
+    return (
+        pruned.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= _TRIPLE_MIN_SUP)
+        .orderBy(F.desc("n_orders"), F.asc("p1"), F.asc("p2"), F.asc("p3"))
+        .limit(20)
+    )
+
+
+_SQL_BASKET_TRIPLES = f"""
+WITH fp AS MATERIALIZED (
+  SELECT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRIPLE_MIN_SUP}),
+t AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  JOIN lineitem c ON a.l_orderkey = c.l_orderkey
+                 AND b.l_partkey < c.l_partkey
+  WHERE EXISTS (SELECT 1 FROM fp
+                WHERE x = a.l_partkey AND y = b.l_partkey)
+    AND EXISTS (SELECT 1 FROM fp
+                WHERE x = a.l_partkey AND y = c.l_partkey)
+    AND EXISTS (SELECT 1 FROM fp
+                WHERE x = b.l_partkey AND y = c.l_partkey))
+SELECT p1, p2, p3, CAST(count(*) AS BIGINT) AS n_orders
+FROM t GROUP BY 1, 2, 3 HAVING count(*) >= {_TRIPLE_MIN_SUP}
+ORDER BY n_orders DESC, p1, p2, p3 LIMIT 20
+"""
+
+
 QUERIES = [
     QuerySpec("groupby_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS),
     QuerySpec("agg_percentiles", _q_percentiles, _SQL_PERCENTILES),
@@ -1445,4 +1615,6 @@ QUERIES = [
     QuerySpec("events_audience_overlap", _q_audience_overlap, _SQL_AUDIENCE_OVERLAP),
     QuerySpec("events_sliding_distinct_users", _q_sliding_distinct, _SQL_SLIDING_DISTINCT),
     QuerySpec("basket_part_pairs", _q_basket_pairs, _SQL_BASKET_PAIRS),
+    QuerySpec("events_decayed_heavy_hitters", _q_decayed_heavy_hitters, _SQL_DECAYED_HH),
+    QuerySpec("basket_frequent_triples", _q_basket_triples, _SQL_BASKET_TRIPLES),
 ]
