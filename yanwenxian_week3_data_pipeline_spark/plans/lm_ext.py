@@ -67,6 +67,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLEANED_LM = f"SELECT doc_id, {CLEAN_SQL} AS c FROM documents"
+
+
 # ---------------------------------------------------------------------------
 # text_bpe_learn
 # ---------------------------------------------------------------------------
@@ -480,6 +483,65 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# text_inverted_index — the IR-side build: token → (document frequency,
+# capped posting list). Scale discipline: the posting CAP is enforced
+# BEFORE any list materializes — a per-token row_number window with the
+# rn <= CAP filter rides Catalyst's rank-limit pushdown (partial
+# WindowGroupLimit below the exchange), so a stopword's corpus-sized
+# posting stream never sorts in one task and never aggregates into one
+# buffer; document frequency comes from a separate count aggregate
+# (map-side combinable) joined back. Output: top-DF tokens with their
+# first-CAP doc ids as a sorted array (deterministic: df DESC, tok ASC
+# top-k via TakeOrderedAndProject; postings ordered by doc_id).
+# ---------------------------------------------------------------------------
+
+INVIDX_TOPK = 15
+INVIDX_POSTINGS_CAP = 8
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", clean_text_expr(F.col("text")).alias("c")
+    )
+    tok_doc = d.select(
+        F.explode(F.array_distinct(tokens_expr(F.col("c")))).alias("tok"),
+        "doc_id",
+    )
+    df_counts = tok_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    capped = (
+        tok_doc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= INVIDX_POSTINGS_CAP)
+        .groupBy("tok")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return (
+        df_counts.join(capped, "tok")
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(INVIDX_TOPK)
+    )
+
+
+_SQL_INVERTED_INDEX = f"""
+WITH d AS ({_CLEANED_LM}),
+td AS (SELECT DISTINCT g AS tok, doc_id
+       FROM d, UNNEST({tokens_sql('c')}) AS un(g)),
+dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY tok),
+capped AS (
+  SELECT tok, list(doc_id ORDER BY doc_id) AS postings
+  FROM (SELECT tok, doc_id,
+               row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+        FROM td)
+  WHERE rn <= {INVIDX_POSTINGS_CAP} GROUP BY tok)
+SELECT dfq.tok, df, postings
+FROM dfq JOIN capped USING (tok)
+ORDER BY df DESC, tok ASC LIMIT {INVIDX_TOPK}
+"""
+
+
 QUERIES = [
     QuerySpec(
         name="text_bpe_learn",
@@ -489,6 +551,14 @@ QUERIES = [
         f"word-frequency table, {BPE_MERGES} greedy merge rounds with "
         "exact window-algebra non-overlap semantics; oracle unrolls the "
         "identical recurrence as materialized CTEs.",
+    ),
+    QuerySpec(
+        name="text_inverted_index",
+        build=_q_inverted_index,
+        oracle=_SQL_INVERTED_INDEX,
+        doc="Capped inverted index: top-15 tokens by document frequency "
+        "with their first-8 posting doc ids; the posting cap rides the "
+        "rank-limit pushdown so hot tokens never serialize one task.",
     ),
     QuerySpec(
         name="agg_cms_token_counts",
