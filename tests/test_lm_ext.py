@@ -500,3 +500,33 @@ def test_pq_clustered_precision_is_perfect(spark, sf_dir):
     rows = _pq_clustered_precision(spark, sf_dir).collect()
     assert len(rows) == 5
     assert all(r["cluster_precision"] == 1.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# containment join — planted subset duplicate
+# ---------------------------------------------------------------------------
+
+def test_containment_catches_subset_dup_jaccard_misses(spark):
+    from yanwenxian_week3_data_pipeline_spark.operators.dedup import (
+        dedup_containment,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    docs = [
+        (1, small),                      # contained doc
+        (2, small + " " + filler),       # superset doc
+        (3, "totally different words entirely " + " ".join(f"q{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, c string")
+    out = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in dedup_containment(df, "c", "doc_id", 0.5, 64).collect()
+    }
+    assert (1, 2) in out
+    cont, jac = out[(1, 2)]
+    # the small doc is fully contained, but symmetric Jaccard is tiny —
+    # exactly the pair the MINHASH_JACCARD_THRESHOLD pipeline misses
+    assert cont == 1.0
+    assert jac < 0.2
+    assert not any(3 in k for k in out)

@@ -286,3 +286,11 @@ PQ_SUB = 8
 PQ_CODEWORDS = 16
 PQ_QUERIES = 5
 PQ_TOPK = 10
+
+# Containment near-dup join (Broder resemblance/containment): candidate
+# pairs share at least one RARE shingle (2 <= document frequency <=
+# CONTAIN_MAX_DF — the inverted-index prefix-filter discipline; a pair
+# sharing only stopword-grade shingles is not a containment duplicate),
+# verified by exact containment = |A∩B| / min(|A|,|B|).
+CONTAIN_MAX_DF = 64
+CONTAIN_THRESHOLD = 0.5

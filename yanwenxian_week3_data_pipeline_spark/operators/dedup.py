@@ -469,3 +469,77 @@ def dedup_incremental(
             F.col("dup_of").isNull().alias("is_unique"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment join (asymmetric near-dup)
+# ---------------------------------------------------------------------------
+
+def dedup_containment(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_df: int,
+) -> DataFrame:
+    """Containment near-duplicate pairs: containment(A, B) =
+    |shingles(A) ∩ shingles(B)| / min(|A|, |B|) — catches SUBSET
+    duplication (a doc embedded inside a bigger one) that the symmetric
+    Jaccard threshold misses (a contained small doc has low Jaccard but
+    containment ≈ 1). Broder's resemblance-vs-containment distinction;
+    Lee et al. dedup uses the same family for partial overlap.
+
+    Candidate generation is the inverted-index prefix filter, not minhash
+    bands (band collision probability tracks JACCARD, so a low-Jaccard
+    contained pair would rarely band-collide): a pair is a candidate iff
+    it shares at least one RARE shingle (2 <= df <= max_df). The df cap
+    bounds the per-shingle join fan-out at max_df² (the DEDUP_MAX_BUCKET
+    discipline) and drops stopword-grade shingles, which can never be
+    containment evidence on their own. Exact verify over the full shingle
+    sets; output (id_a < id_b, containment, jaccard).
+    """
+    sh = doc_shingles(df, text_col, id_col)
+    posts = sh.select("id", F.explode("shingles").alias("s"))
+    rare = (
+        posts.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= max_df))
+        .select("s")
+    )
+    posts_r = posts.join(rare, "s", "left_semi")
+    a, b = posts_r.alias("a"), posts_r.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_inter")
+                / F.least(F.size("sh_a"), F.size("sh_b")).cast("long"),
+                6,
+            ),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (
+                    F.size("sh_a") + F.size("sh_b") - F.col("n_inter")
+                ).cast("long"),
+                6,
+            ),
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )

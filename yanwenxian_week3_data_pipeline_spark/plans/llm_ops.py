@@ -477,6 +477,49 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import CONTAIN_MAX_DF, CONTAIN_THRESHOLD
+    from ..operators.dedup import dedup_containment
+
+    return dedup_containment(
+        _cleaned_docs(spark, sf_dir).select("doc_id", "c"),
+        "c",
+        "doc_id",
+        CONTAIN_THRESHOLD,
+        CONTAIN_MAX_DF,
+    )
+
+
+def _sql_containment_pairs() -> str:
+    from ..constants import CONTAIN_MAX_DF, CONTAIN_THRESHOLD
+
+    return f"""
+WITH d AS ({_CLEANED}),
+sh AS (SELECT doc_id, {_shingles_sql_inline('c')} AS shingles FROM d),
+posts AS (SELECT doc_id, s FROM sh, UNNEST(shingles) AS un(s)),
+rare AS (SELECT s FROM posts GROUP BY s
+         HAVING count(*) >= 2 AND count(*) <= {CONTAIN_MAX_DF}),
+pr AS (SELECT posts.* FROM posts SEMI JOIN rare USING (s)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id),
+v AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+               / CAST(least(len(sa.shingles), len(sb.shingles)) AS BIGINT), 6)
+           AS containment,
+         round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT)
+               / CAST(len(sa.shingles) + len(sb.shingles)
+                      - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT),
+               6) AS jaccard
+  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, containment, jaccard FROM v
+WHERE containment >= {CONTAIN_THRESHOLD}
+"""
+
+
+_SQL_CONTAINMENT_PAIRS = _sql_containment_pairs()
+
+
 _NGRAMS = (
     "list_distinct(list_transform(range(1, greatest(length({c}) - 2, 0) + 1), i -> substr({c}, i, 3)))"
 )
@@ -2535,6 +2578,15 @@ QUERIES = [
     QuerySpec("text_simhash", _q_simhash, _SQL_SIMHASH),
     QuerySpec("dedup_simhash_pairs", _q_dedup_simhash, _SQL_DEDUP_SIMHASH),
     QuerySpec("dedup_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    QuerySpec(
+        "dedup_containment_pairs",
+        _q_containment_pairs,
+        _SQL_CONTAINMENT_PAIRS,
+        doc="Asymmetric containment near-dup join: inverted-index "
+        "rare-shingle prefix filter (df-capped fan-out) + exact "
+        "containment/Jaccard verify — catches subset duplication that "
+        "the Jaccard threshold misses.",
+    ),
     QuerySpec("dedup_repeated_spans", _q_repeated_spans, _SQL_REPEATED_SPANS),
     QuerySpec(
         "dedup_repeated_spans_merged",
