@@ -83,6 +83,13 @@ QUERIES = [
     # NB language-ID: feature stream grows k×; the (L·B)-bounded model is
     # broadcast; argmax windows partition per doc — ~linear
     "docs_nb_langid_confusion",
+    # inverted index: the posting stream grows k× but the per-token cap
+    # (rank-limit pushdown) keeps every task's sort K-bounded
+    "text_inverted_index",
+    # containment join: replica token renaming keeps the per-replica
+    # shingle df profile identical while cross-replica shingles are
+    # disjoint, so rare-shingle candidates (and answers) grow exactly k×
+    "dedup_containment_pairs",
 ]
 
 
