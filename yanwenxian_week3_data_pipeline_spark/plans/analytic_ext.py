@@ -1584,6 +1584,103 @@ ORDER BY n_orders DESC, p1, p2, p3 LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# recsys_item_item_topk — item-item collaborative filtering neighbors:
+# cosine similarity over the implicit order-basket co-occurrence matrix,
+# sim(i,j) = c_ij / sqrt(c_i * c_j) (the classic Sarwar et al. 2001
+# item-kNN primitive). Anchors are the TOP-20 most co-purchased parts
+# (deterministic TakeOrderedAndProject), each with its top-5 neighbors.
+# Exactness: all counts integer; c_i*c_j < 2^53 so the sqrt and the one
+# division are single correctly-rounded IEEE ops, bit-identical across
+# engines (round-6 on output, the house rule). Scale shape: the pair
+# aggregation is the bounded per-order quadratic (basket_part_pairs
+# guard); anchor filter is a broadcast semi-join; the per-anchor top-5
+# window rides the rank-limit pushdown.
+# ---------------------------------------------------------------------------
+
+_CF_ANCHORS = 20
+_CF_NEIGHBORS = 5
+
+
+def _q_item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("i"), F.col("b.l_partkey").alias("j")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ij"))
+    )
+    sym = pairs.unionAll(
+        pairs.select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "c_ij"
+        )
+    )
+    item_n = li.groupBy(F.col("l_partkey").alias("i")).agg(
+        F.count(F.lit(1)).alias("c_i")
+    )
+    anchors = (
+        sym.groupBy("i")
+        .agg(F.sum("c_ij").alias("co_total"))
+        .orderBy(F.desc("co_total"), F.asc("i"))
+        .limit(_CF_ANCHORS)
+        .select("i")
+    )
+    scored = (
+        sym.join(F.broadcast(anchors), "i", "left_semi")
+        .join(item_n, "i")
+        .join(
+            item_n.select(F.col("i").alias("j"), F.col("c_i").alias("c_j")),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            "c_ij",
+            F.round(
+                F.col("c_ij")
+                / F.sqrt((F.col("c_i") * F.col("c_j")).cast("double")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _CF_NEIGHBORS)
+        .select("i", "j", "c_ij", "sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_SQL_ITEM_ITEM = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS i, b.l_partkey AS j, CAST(count(*) AS BIGINT) AS c_ij
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+sym AS (SELECT i, j, c_ij FROM p UNION ALL SELECT j, i, c_ij FROM p),
+n AS (SELECT l_partkey AS i, CAST(count(*) AS BIGINT) AS c_i FROM li GROUP BY 1),
+anch AS (SELECT i FROM sym GROUP BY i
+         ORDER BY sum(c_ij) DESC, i ASC LIMIT {_CF_ANCHORS}),
+sc AS (
+  SELECT sym.i, sym.j, sym.c_ij,
+         round(sym.c_ij / sqrt(CAST(ni.c_i * nj.c_i AS DOUBLE)), 6) AS sim
+  FROM sym SEMI JOIN anch ON sym.i = anch.i
+  JOIN n ni ON ni.i = sym.i JOIN n nj ON nj.i = sym.j)
+SELECT i, j, c_ij, sim, CAST(rank AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j ASC) AS rank
+      FROM sc)
+WHERE rank <= {_CF_NEIGHBORS}
+"""
+
+
 QUERIES = [
     QuerySpec("groupby_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS),
     QuerySpec("agg_percentiles", _q_percentiles, _SQL_PERCENTILES),
@@ -1617,4 +1714,5 @@ QUERIES = [
     QuerySpec("basket_part_pairs", _q_basket_pairs, _SQL_BASKET_PAIRS),
     QuerySpec("events_decayed_heavy_hitters", _q_decayed_heavy_hitters, _SQL_DECAYED_HH),
     QuerySpec("basket_frequent_triples", _q_basket_triples, _SQL_BASKET_TRIPLES),
+    QuerySpec("recsys_item_item_topk", _q_item_item_topk, _SQL_ITEM_ITEM),
 ]
