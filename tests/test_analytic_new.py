@@ -54,6 +54,24 @@ def test_decayed_heavy_hitters_matches_python(spark, sf_dir):
     assert got == {t: tuple(v) for t, v in exp.items()}
 
 
+def test_basket_pairs_match_python(spark, sf_dir, baskets):
+    from yanwenxian_week3_data_pipeline_spark.plans.analytic_ext import (
+        _q_basket_pairs,
+    )
+
+    got = [tuple(r) for r in _q_basket_pairs(spark, sf_dir).collect()]
+
+    pair_c: Counter = Counter()
+    for parts in baskets.values():
+        for p in combinations(parts, 2):
+            pair_c[p] += 1
+    exp = sorted(
+        ((a, b, n) for (a, b), n in pair_c.items()),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )[:20]
+    assert got == exp
+
+
 def test_frequent_triples_match_python(spark, sf_dir, baskets):
     from yanwenxian_week3_data_pipeline_spark.plans.analytic_ext import (
         _TRIPLE_MIN_SUP,

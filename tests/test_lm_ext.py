@@ -199,14 +199,23 @@ def test_triangles_match_python_reference(spark, sf_dir):
 
     got = _q_triangles_copurchase(spark, sf_dir).collect()[0]
 
+    # Edge support counts ORDERS: build baskets as part SETS per order in
+    # plain Python (duplicate part lines within an order must not inflate
+    # support — the r4 bug), then count pair co-occurrence per basket.
+    from collections import Counter
+    from itertools import combinations
+
     con = duckdb.connect()
-    pairs = con.execute(
-        f"""SELECT a.l_partkey, b.l_partkey
-            FROM read_parquet('{sf_dir}/lineitem.parquet') a
-            JOIN read_parquet('{sf_dir}/lineitem.parquet') b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-            GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}"""
+    rows = con.execute(
+        f"""SELECT l_orderkey, list(DISTINCT l_partkey)
+            FROM read_parquet('{sf_dir}/lineitem.parquet')
+            GROUP BY l_orderkey"""
     ).fetchall()
+    sup: Counter = Counter()
+    for _okey, parts in rows:
+        for p in combinations(sorted(parts), 2):
+            sup[p] += 1
+    pairs = [p for p, n in sup.items() if n >= _TRI_MIN_SUPPORT]
     adj: dict[int, set[int]] = {}
     for u, v in pairs:
         adj.setdefault(u, set()).add(v)

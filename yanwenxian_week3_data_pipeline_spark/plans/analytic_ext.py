@@ -1113,10 +1113,15 @@ FROM expanded GROUP BY 1
 # bounded quadratic, the only kind allowed at scale (same guard philosophy
 # as the LSH bucket cap). Final top-k is TakeOrderedAndProject, total
 # order (count desc, pair asc) for cross-engine determinism.
+# Support semantics: TPC-H orders can carry the SAME part on multiple
+# lines, so baskets are deduped to distinct (order, part) BEFORE the
+# self-join — n_orders counts orders, not line combinations (the r4
+# inflation bug; pinned by tests/test_analytic_new.py's pure-Python
+# recount).
 # ---------------------------------------------------------------------------
 
 def _q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(
@@ -1134,8 +1139,9 @@ def _q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_BASKET_PAIRS = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
-FROM lineitem a JOIN lineitem b
+FROM li a JOIN li b
   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 GROUP BY 1, 2
 ORDER BY n_orders DESC, part_a ASC, part_b ASC
@@ -1498,7 +1504,11 @@ _TRIPLE_MIN_SUP = 2
 
 
 def _q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Dedupe to distinct (order, part) first: duplicate part lines within
+    # one order would otherwise inflate every pair/triple count (r4 bug —
+    # counts were line combinations, not order support). Pinned by the
+    # independent pure-Python recount in tests/test_analytic_new.py.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b, c = li.alias("a"), li.alias("b"), li.alias("c")
     pairs = (
         a.join(
@@ -1560,17 +1570,19 @@ def _q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_BASKET_TRIPLES = f"""
-WITH fp AS MATERIALIZED (
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+fp AS MATERIALIZED (
   SELECT a.l_partkey AS x, b.l_partkey AS y
-  FROM lineitem a JOIN lineitem b
+  FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING count(*) >= {_TRIPLE_MIN_SUP}),
 t AS (
   SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3
-  FROM lineitem a
-  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey
                  AND a.l_partkey < b.l_partkey
-  JOIN lineitem c ON a.l_orderkey = c.l_orderkey
+  JOIN li c ON a.l_orderkey = c.l_orderkey
                  AND b.l_partkey < c.l_partkey
   WHERE EXISTS (SELECT 1 FROM fp
                 WHERE x = a.l_partkey AND y = b.l_partkey)

@@ -98,7 +98,11 @@ _TRI_MIN_SUPPORT = 2
 def _q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphstats import triangle_census
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # Distinct (order, part) baskets first: support must count ORDERS, so
+    # duplicate part lines within one order can't push an edge over the
+    # threshold (r4 bug — sup>=2 was satisfiable by a single order with a
+    # repeated part line). Pinned by the adjacency-set recount test.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(
@@ -118,9 +122,11 @@ def _q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_TRIANGLES = f"""
-WITH e AS MATERIALIZED (
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
   SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a JOIN lineitem b
+  FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}),
 deg AS MATERIALIZED (
