@@ -7,7 +7,7 @@ invariants."""
 from __future__ import annotations
 
 import random
-from collections import Counter
+from collections import Counter, defaultdict
 
 import pytest
 from pyspark.sql import functions as F
@@ -232,8 +232,60 @@ def test_triangles_match_python_reference(spark, sf_dir):
     assert got["n_edges"] == n_edges
     assert got["n_wedges"] == n_wedges
     assert got["n_triangles"] == tri
+    assert got["capped"] is False
+    assert got["n_wedges_dropped"] == 0
     if n_wedges:
         assert got["transitivity"] == pytest.approx(3 * tri / n_wedges)
+
+
+def test_triangle_census_hub_cap_accounting(spark):
+    """Capped census on a hub graph: n_triangles counts exactly the
+    triangles whose orientation-minimal apex is under the cap, and
+    n_wedges_dropped is the exact Σ C(d_out, 2) over hot apexes —
+    recounted here with a sequential oriented-adjacency reference."""
+    import random
+
+    from yanwenxian_week3_data_pipeline_spark.operators.graphstats import (
+        triangle_census,
+    )
+
+    rng = random.Random(5)
+    n = 60
+    edges = {(0, v) for v in range(1, 46)}  # hub: node 0 touches 45 nodes
+    while len(edges) < 220:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    cap = 6
+    df = spark.createDataFrame(sorted(edges), "u long, v long").localCheckpoint()
+    got = triangle_census(df, hub_cap=cap).collect()[0]
+    exact = triangle_census(df).collect()[0]
+
+    deg = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    out = defaultdict(set)
+    for u, v in edges:
+        a, b = ((u, v) if (deg[u], u) < (deg[v], v) else (v, u))
+        out[a].add(b)
+    o_edges = {(a, b) for a, s in out.items() for b in s}
+    hot = {a for a, s in out.items() if len(s) > cap}
+    dropped = sum(len(out[a]) * (len(out[a]) - 1) // 2 for a in hot)
+    tri_capped = tri_all = 0
+    for a, s in out.items():
+        for b in s:
+            for c in s:
+                if b < c and ((b, c) in o_edges or (c, b) in o_edges):
+                    tri_all += 1
+                    if a not in hot:
+                        tri_capped += 1
+
+    assert exact["n_triangles"] == tri_all
+    assert got["n_triangles"] == tri_capped
+    assert got["capped"] is True
+    assert got["n_wedges_dropped"] == dropped
+    assert got["n_wedges"] == exact["n_wedges"]  # wedge COUNT stays exact
 
 
 # ---------------------------------------------------------------------------

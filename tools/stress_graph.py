@@ -115,6 +115,60 @@ def main() -> None:
     print("triangles: " + " ".join(f"{k}x:{tri_walls[k] / t1:.2f}" for k in SCALES))
     print("kcore:     " + " ".join(f"{k}x:{core_walls[k] / c1:.2f}" for k in SCALES))
 
+    # triangle census on SKEWED graphs at equal edge count — the regime the
+    # uniform sweep can't see. Two shapes:
+    #   hub:  one node on 30% of all edges (one part in 30% of orders) —
+    #         degree-ordered orientation should absorb it (the hub's
+    #         ORIENTED out-degree stays small);
+    #   plaw: dst ~ n·x³ power-law (the pagerank generator, undirected) —
+    #         many mid-degree nodes, the Θ(Σ C(d_out,2)) wedge blow-up.
+    # Each runs exact AND hub-capped (cap=64 ⇒ wedge stage ≤ 32·m rows on
+    # any distribution); the gate is capped-skewed within ~2× of the
+    # uniform wall at equal edges, with the dropped-wedge bound in-band.
+    HUB_CAP = 64
+    k = SCALES[0]
+    n_edges = base_edges * k
+    uniform_wall = tri_walls[k]
+
+    def undirected(df):
+        return (
+            df.where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+
+    n_nodes = n_edges // 8
+    hub_n = n_edges * 3 // 10
+    hub = undirected(
+        spark.range(hub_n)
+        .select(F.lit(0).alias("a"), (F.pmod(F.xxhash64("id", F.lit(21)), F.lit(n_nodes - 1)) + 1).alias("b"))
+        .unionAll(
+            spark.range(n_edges - hub_n).select(
+                F.pmod(F.xxhash64("id", F.lit(22)), F.lit(n_nodes)).alias("a"),
+                F.pmod(F.xxhash64("id", F.lit(23)), F.lit(n_nodes)).alias("b"),
+            )
+        )
+    )
+    x = F.pmod(F.xxhash64("id", F.lit(31)), F.lit(1 << 30)) / F.lit(float(1 << 30))
+    plaw = undirected(
+        spark.range(n_edges).select(
+            F.pmod(F.xxhash64("id", F.lit(32)), F.lit(n_nodes)).alias("a"),
+            F.floor(x * x * x * F.lit(float(n_nodes))).cast("long").alias("b"),
+        )
+    )
+    for name, g in [("hub", hub), ("plaw", plaw)]:
+        for cap in [None, HUB_CAP]:
+            t0 = time.time()
+            r = triangle_census(g, hub_cap=cap).collect()[0]
+            wall = time.time() - t0
+            tag = f"cap={cap}" if cap else "exact"
+            print(
+                f"triangles[{name},{tag}]: {wall:.1f}s ({wall / uniform_wall:.2f}x of"
+                f" uniform-1x) edges={r['n_edges']} wedges={r['n_wedges']}"
+                f" triangles={r['n_triangles']} dropped={r['n_wedges_dropped']}"
+            )
+
 
 if __name__ == "__main__":
     main()

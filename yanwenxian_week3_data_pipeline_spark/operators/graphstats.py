@@ -9,8 +9,13 @@ per-query scale rationale; the operator-level contracts:
   equi-join; each triangle counted once at its orientation-minimal apex.
   NOTE the fundamental cost: wedge count is Θ(Σ C(d_out, 2)) — near-
   linear on degree-concentrated graphs, but m^1.5-bounded on power-law
-  graphs; at 100 TB a hub-capping / approximate variant (edge sampling)
-  is the escape hatch, same philosophy as DEDUP_MAX_BUCKET.
+  graphs. ``hub_cap`` is the escape hatch (the DEDUP_MAX_BUCKET
+  philosophy): wedges are enumerated only at apexes with out-degree ≤
+  the cap, the dropped wedge count is computed EXACTLY from the skipped
+  out-degrees (a per-node aggregate, never the wedges themselves) and
+  reported in-band — ``capped=true`` + ``n_wedges_dropped`` flag
+  ``n_triangles`` as a lower bound; with the default ``hub_cap=None``
+  every column is exact and ``capped=false``/``n_wedges_dropped=0``.
 - ``kcore_peel``: repeatedly drop nodes of degree < k (cap ``rounds``);
   per-round degree partial-agg + two semi-joins, eager localCheckpoint,
   (count, decimal-hash-sum) fingerprint for early exit and the in-band
@@ -31,10 +36,15 @@ def _degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_census(edges: DataFrame) -> DataFrame:
+def triangle_census(edges: DataFrame, hub_cap: int | None = None) -> DataFrame:
     """One census row: n_nodes, n_edges, n_wedges, n_triangles,
-    transitivity. ``edges`` must be distinct with u < v; callers should
-    materialize it (localCheckpoint) — it is traversed four times."""
+    transitivity, capped, n_wedges_dropped. ``edges`` must be distinct
+    with u < v; callers should materialize it (localCheckpoint) — it is
+    traversed four times. With ``hub_cap`` set, apexes whose ORIENTED
+    out-degree exceeds the cap contribute no wedges: the wedge stage is
+    then bounded by m·cap/2 rows regardless of the degree distribution,
+    n_triangles is a lower bound, and n_wedges_dropped reports exactly
+    how many wedges (and hence at most how many triangles) were skipped."""
     deg = _degrees(edges)
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
@@ -55,7 +65,25 @@ def triangle_census(edges: DataFrame) -> DataFrame:
             F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
         )
     )
-    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    if hub_cap is not None:
+        # exact dropped-wedge accounting from the out-degree AGGREGATE
+        # (Σ C(d_out, 2) over hot apexes — never the wedge rows); the
+        # wedge self-join then runs only at apexes under the cap, so its
+        # output is ≤ m·cap/2 rows on ANY degree distribution
+        out_deg = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("dout"))
+        hot = out_deg.where(F.col("dout") > hub_cap)
+        dropped = hot.agg(
+            F.coalesce(F.sum(F.expr("dout * (dout - 1) div 2")), F.lit(0))
+            .cast("long")
+            .alias("n_wedges_dropped")
+        )
+        wedge_base = oriented.join(
+            hot.select("src").hint("broadcast"), "src", "left_anti"
+        )
+    else:
+        dropped = None
+        wedge_base = oriented
+    w1, w2 = wedge_base.alias("w1"), wedge_base.alias("w2")
     leg_lt = (F.col("w1.ddst") < F.col("w2.ddst")) | (
         (F.col("w1.ddst") == F.col("w2.ddst"))
         & (F.col("w1.dst") < F.col("w2.dst"))
@@ -71,21 +99,27 @@ def triangle_census(edges: DataFrame) -> DataFrame:
     n_tri = wedges.join(
         oriented.select("src", "dst"), ["src", "dst"]
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    return (
+    out = (
         n_nodes.crossJoin(n_edges)
         .crossJoin(n_wedges)
         .crossJoin(n_tri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges",
-            "n_triangles",
-            F.when(
-                F.col("n_wedges") > 0,
-                (F.col("n_triangles") * 3).cast("double")
-                / F.col("n_wedges").cast("double"),
-            ).alias("transitivity"),
-        )
+    )
+    if dropped is not None:
+        out = out.crossJoin(dropped)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            (F.col("n_triangles") * 3).cast("double")
+            / F.col("n_wedges").cast("double"),
+        ).alias("transitivity"),
+        F.lit(hub_cap is not None).alias("capped"),
+        (
+            F.col("n_wedges_dropped") if dropped is not None else F.lit(0).cast("long")
+        ).alias("n_wedges_dropped"),
     )
 
 

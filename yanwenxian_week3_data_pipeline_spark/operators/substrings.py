@@ -42,17 +42,26 @@ the cross-engine match.
 
 ``longest_repeated_substring`` — UNCAPPED, via exponential + binary
 search on the span length L: "some L-token span occurs ≥ 2 times" is
-monotone in L, and each probe is one linear pass hashing every L-span
-(xxhash64) into a count-≥2 existence check with map-side partial
+monotone in L, and each probe is one linear pass over ROLLING span
+hashes into a count-≥2 existence check with map-side partial
 aggregation — O(N) shuffle rows of constant width per probe,
-O(log L_max) probes, no sort at all. A final pass at the found L
-re-groups on the ACTUAL substring (hash-free) to pick the
-lexicographically-smallest winner and its count, which also certifies
-against xxhash64 collisions (~n²/2⁶⁴; on the certify-miss path the
-search re-runs with the exact predicate). This is the 100 TB scale path:
-no global sort, probes touch hashes only, and the doc→token arrays are
-materialized once behind an eager checkpoint instead of re-tokenizing
-the corpus per probe.
+O(log L_max) probes, no sort at all. The probe hash is a polynomial
+rolling hash over per-token xxhash64 values in two independent 31-bit
+prime fields (pair ≈ 62 bits): per doc the prefix arrays
+P[i] = (P[i-1]·B + h[i]) mod p are computed ONCE (vectorized numpy via
+one mapInPandas — Spark has no array-cumsum builtin; the recurrence
+vectorizes as P[i] = B^i · cumsum(h[j]·B^-j), all products < 2^62 so
+uint64 arithmetic is exact) and eagerly checkpointed; each probe then
+evaluates every L-span hash as the O(1) Column expression
+pmod(P[i+L-1] − P[i-1]·B^L, p) — no string materialization at any
+length (the r4 formulation concatenated every L-token span per probe:
+O(N·L) characters; with book-length docs the long-L probes dominated).
+A final pass at the found L re-groups on the ACTUAL substring
+(hash-free) to pick the lexicographically-smallest winner and its
+count, which also certifies against hash collisions (~n²/2⁶²; on the
+certify-miss path the search re-runs with the exact string predicate).
+This is the 100 TB scale path: no global sort, probes shuffle two longs
+per span, and the doc→token/prefix arrays are materialized once.
 
 A distributed suffix ARRAY (prefix-doubling / DC3) was considered and
 rejected for Spark: it needs O(log n) repartitionByRange global-sort
@@ -174,16 +183,92 @@ def _span_strs(toks_df: DataFrame, toks_col: str, length: int) -> DataFrame:
     )
 
 
+# Two 31-bit prime fields for the rolling-hash pair. All intermediate
+# products stay below 2^62 (value < p < 2^31 times power < p), so the
+# Column arithmetic never overflows a long even under ANSI mode, and the
+# numpy prefix computation is exact in uint64.
+_RH_P1, _RH_B1 = 2147483647, 1000003
+_RH_P2, _RH_B2 = 2147483629, 999983
+
+
+def _rh_prefix_state(toks_df: DataFrame, toks_col: str) -> DataFrame:
+    """(toks, _pre1, _pre2): per-doc polynomial prefix-hash arrays over
+    per-token xxhash64 values, 0-prefixed so element_at(pre, i) = P[i-1].
+    One mapInPandas pass (justified Python: Spark has no array cumsum and
+    the aggregate() accumulator form is O(n²) in array copies); everything
+    downstream of this one pass is pure Column arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    hashed = toks_df.select(
+        toks_col,
+        F.transform(F.col(toks_col), lambda t: F.xxhash64(t)).alias("_h"),
+    )
+
+    pow_cache: dict = {}
+
+    def _pows(p: int, B: int, n: int):
+        key = (p, B)
+        have = pow_cache.get(key)
+        if have is None or len(have[0]) < n + 1:
+            m = max(n + 1, 1024, 2 * len(have[0]) if have else 0)
+            binv = pow(B, p - 2, p)  # Fermat inverse, p prime
+            bp = np.empty(m, dtype=np.uint64)
+            ip = np.empty(m, dtype=np.uint64)
+            bp[0] = ip[0] = 1
+            b_acc = i_acc = 1
+            for i in range(1, m):
+                b_acc = (b_acc * B) % p
+                i_acc = (i_acc * binv) % p
+                bp[i] = b_acc
+                ip[i] = i_acc
+            pow_cache[key] = (bp, ip)
+        return pow_cache[key]
+
+    def _prefix(h: np.ndarray, p: int, B: int) -> list[int]:
+        n = len(h)
+        if n == 0:
+            return [0]
+        bp, ip = _pows(p, B, n)
+        up = np.uint64(p)
+        hm = h.astype(np.uint64) % up
+        # P[i] = B^i * cumsum(h[j] * B^-j): cumsum of values < 2^31 is
+        # exact in uint64 for any doc shorter than 2^33 tokens
+        t = (hm * ip[1 : n + 1]) % up
+        c = np.cumsum(t) % up
+        pre = (c * bp[1 : n + 1]) % up
+        return [0] + pre.astype(np.int64).tolist()
+
+    def gen(batches):
+        for pdf in batches:
+            pre1, pre2 = [], []
+            for h in pdf["_h"]:
+                arr = np.asarray(h, dtype=np.int64)
+                pre1.append(_prefix(arr, _RH_P1, _RH_B1))
+                pre2.append(_prefix(arr, _RH_P2, _RH_B2))
+            yield pd.DataFrame(
+                {toks_col: pdf[toks_col], "_pre1": pre1, "_pre2": pre2}
+            )
+
+    return hashed.mapInPandas(
+        gen, f"{toks_col} array<string>, _pre1 array<long>, _pre2 array<long>"
+    )
+
+
 def longest_repeated_substring(
     toks_df: DataFrame, toks_col: str = "toks", max_len: int | None = None
 ) -> DataFrame:
     """1-row (lrs_len, lrs_text, n_occurrences): the longest token-substring
     occurring at ≥2 positions corpus-wide, UNCAPPED; ties broken by
-    lexicographically-smallest text. Exponential + binary search on hashed
-    spans; the winner pass re-groups on the actual substring (certifying
-    against hash collisions — certify-miss re-runs the search exact)."""
+    lexicographically-smallest text. Exponential + binary search on rolling
+    span hashes (O(N) constant-width rows per probe, no string
+    materialization); the winner pass re-groups on the actual substring
+    (certifying against hash collisions — certify-miss re-runs the search
+    with exact string spans)."""
     spark = toks_df.sparkSession
-    toks_df = toks_df.select(toks_col).localCheckpoint(eager=True)
+    toks_df = _rh_prefix_state(toks_df.select(toks_col), toks_col).localCheckpoint(
+        eager=True
+    )
     empty = spark.createDataFrame(
         [], "lrs_len long, lrs_text string, n_occurrences long"
     )
@@ -195,11 +280,38 @@ def longest_repeated_substring(
         return empty
 
     def has_repeat(length: int, exact: bool) -> bool:
-        s = _span_strs(toks_df, toks_col, length)
-        key = F.col("s") if exact else F.xxhash64("s").alias("s")
+        if exact:
+            s = _span_strs(toks_df, toks_col, length).select("s")
+        else:
+            bl1 = pow(_RH_B1, length, _RH_P1)
+            bl2 = pow(_RH_B2, length, _RH_P2)
+
+            def span_hash(pre: str, bl: int, p: int):
+                # element_at(pre, i) = P[i-1] (0-prefixed array);
+                # H(i, L) = (P[i+L-1] - P[i-1]·B^L) mod p
+                def at(i):
+                    return F.pmod(
+                        F.element_at(F.col(pre), i + length)
+                        - F.element_at(F.col(pre), i) * F.lit(bl),
+                        F.lit(p),
+                    )
+
+                return at
+
+            h1, h2 = span_hash("_pre1", bl1, _RH_P1), span_hash("_pre2", bl2, _RH_P2)
+            n = F.size(toks_col)
+            s = toks_df.where(n >= length).select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), n - (length - 1)),
+                        lambda i: F.struct(
+                            h1(i).alias("h1"), h2(i).alias("h2")
+                        ),
+                    )
+                ).alias("s")
+            )
         return (
-            s.select(key)
-            .groupBy("s")
+            s.groupBy("s")
             .agg(F.count(F.lit(1)).alias("c"))
             .where(F.col("c") >= 2)
             .limit(1)

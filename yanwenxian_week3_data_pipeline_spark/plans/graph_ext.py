@@ -154,7 +154,9 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
        CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
             THEN CAST(n_triangles * 3 AS DOUBLE)
                  / CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS DOUBLE)
-       END AS transitivity
+       END AS transitivity,
+       false AS capped,
+       CAST(0 AS BIGINT) AS n_wedges_dropped
 FROM tri
 """
 
