@@ -66,26 +66,38 @@ def main() -> None:
     # median guards against is a sub-second phenomenon); the driver's
     # default stays 5
     WARM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_WARM", "5"))
-    specs = {name: s for name, s in all_queries().items() if s.headline}
-    timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    iqr: dict[str, float] = {}
-    samples: dict[str, list[float]] = {}
+    registry = all_queries()
+    specs = {name: s for name, s in registry.items() if s.headline}
+    # EXTENDED section (round 5): representatives of the post-r3 operator
+    # waves — iterative graph and suffix-grain substring — benched under
+    # the same median-of-N protocol but reported SEPARATELY so the
+    # 12-query headline total stays comparable across rounds.
+    EXTENDED = ["docs_lrs_capped", "graph_pagerank_purchases"]
     import statistics
 
-    for name, spec in sorted(specs.items()):
-        per_run = []
-        for _ in range(1 + WARM_RUNS):
-            t0 = time.perf_counter()
-            df = spec.build(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            per_run.append(round(time.perf_counter() - t0, 3))
-        cold[name] = per_run[0]
-        warm = sorted(per_run[1:])
-        samples[name] = per_run[1:]
-        timings[name] = round(statistics.median(warm), 3)
-        q = statistics.quantiles(warm, n=4, method="inclusive")
-        iqr[name] = round(q[2] - q[0], 3)
+    def run_set(names: dict | list) -> tuple[dict, dict, dict, dict]:
+        timings: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        iqr: dict[str, float] = {}
+        samples: dict[str, list[float]] = {}
+        for name in sorted(names):
+            spec = registry[name]
+            per_run = []
+            for _ in range(1 + WARM_RUNS):
+                t0 = time.perf_counter()
+                df = spec.build(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                per_run.append(round(time.perf_counter() - t0, 3))
+            cold[name] = per_run[0]
+            warm = sorted(per_run[1:])
+            samples[name] = per_run[1:]
+            timings[name] = round(statistics.median(warm), 3)
+            q = statistics.quantiles(warm, n=4, method="inclusive")
+            iqr[name] = round(q[2] - q[0], 3)
+        return timings, cold, iqr, samples
+
+    timings, cold, iqr, samples = run_set(specs)
+    ext_timings, ext_cold, ext_iqr, ext_samples = run_set(EXTENDED)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -106,6 +118,11 @@ def main() -> None:
                 "iqr_sec": iqr,
                 "warm_samples_sec": samples,
                 "cold_run_sec": cold,
+                "extended_total_wall": round(sum(ext_timings.values()), 3),
+                "extended_queries": ext_timings,
+                "extended_iqr_sec": ext_iqr,
+                "extended_warm_samples_sec": ext_samples,
+                "extended_cold_run_sec": ext_cold,
             }
         )
     )

@@ -1,0 +1,244 @@
+"""Round-5 operator wave: independent pure-Python references for
+docs_token_budget_waterfill, docs_stratified_split, emb_int8_quant_error,
+docs_contamination_report, and text_bpe_encode_topk. Same discipline as
+test_independent_recounts.py: sequential recomputation from raw parquet,
+sharing only frozen constants/definitions with the engine."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_independent_recounts import (
+    _clean,
+    _grams5,
+    _hash60,
+    _round_half_up,
+)
+
+
+def _run(spark, sf_dir, name):
+    from yanwenxian_week3_data_pipeline_spark.plans import all_queries
+
+    return all_queries()[name].build(spark, sf_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def documents(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+
+
+def _hash52(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:13], 16)
+
+
+def test_token_budget_waterfill_recount(spark, sf_dir, documents):
+    from yanwenxian_week3_data_pipeline_spark.plans.curation_ext import BUDGET_DEN
+
+    got = {
+        r["source"]: (r["n_tokens"], r["kept_tokens"], r["keep_rate"])
+        for r in _run(spark, sf_dir, "docs_token_budget_waterfill")
+    }
+
+    per = defaultdict(int)
+    for d in documents:
+        c = _clean(d["text"])
+        per[d["source"]] += len(c.split(" ")) if c else 0
+    rows = sorted((n, s) for s, n in per.items())
+    total = sum(n for n, _ in rows)
+    T, S = total // BUDGET_DEN, len(rows)
+    cum = k = cum_k = 0
+    for i, (n, _s) in enumerate(rows, start=1):
+        cum += n
+        if cum + n * (S - i) <= T:
+            k, cum_k = i, cum
+    c_level = rows[-1][0] if k == S else (T - cum_k) // (S - k)
+
+    exp = {}
+    for s, n in per.items():
+        kept = min(n, c_level)
+        exp[s] = (n, kept, float(_round_half_up(kept / max(n, 1), 6)))
+    assert got == exp
+    # water-fill invariants: budget respected, and the level is maximal
+    assert sum(v[1] for v in exp.values()) <= T
+    assert (
+        k == S
+        or sum(min(n, c_level + 1) for n, _ in rows) > T
+    )
+
+
+def test_stratified_split_recount(spark, sf_dir, documents):
+    from yanwenxian_week3_data_pipeline_spark.plans.curation_ext import SPLIT_VAL_DEN
+
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_docs"],
+            r["n_val"],
+            r["n_train"],
+            r["val_id_sum"],
+        )
+        for r in _run(spark, sf_dir, "docs_stratified_split")
+    }
+
+    strata = defaultdict(list)
+    for d in documents:
+        strata[(d["lang"], d["source"])].append(d["doc_id"])
+    exp = {}
+    for key, ids in strata.items():
+        ranked = sorted(ids, key=lambda i: (_hash52(str(i)), i))
+        n_val = len(ids) // SPLIT_VAL_DEN
+        val = ranked[:n_val]
+        exp[key] = (len(ids), n_val, len(ids) - n_val, sum(val))
+    assert got == exp
+
+
+def test_int8_quant_error_recount(spark, sf_dir):
+    got = {
+        r["label"]: (r["n_vecs"], r["n_elems"], r["sum_err2_e12"], r["mse"])
+        for r in _run(spark, sf_dir, "emb_int8_quant_error")
+    }
+
+    vecs = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    dims = len(vecs[0]["embedding"])
+    mn = [min(float(v["embedding"][d]) for v in vecs) for d in range(dims)]
+    mx = [max(float(v["embedding"][d]) for v in vecs) for d in range(dims)]
+    agg = defaultdict(lambda: [set(), 0, 0])
+    for v in vecs:
+        cell = agg[v["label"]]
+        cell[0].add(v["vec_id"])
+        for d in range(dims):
+            x = float(v["embedding"][d])
+            if mx[d] > mn[d]:
+                scale = (mx[d] - mn[d]) / 255.0
+                q = min(255.0, max(0.0, math.floor((x - mn[d]) / scale + 0.5)))
+            else:
+                scale, q = (mx[d] - mn[d]) / 255.0, 0.0
+            err = x - (mn[d] + q * scale)
+            cell[1] += 1
+            cell[2] += int(math.floor(err * err * 1e12 + 0.5))
+    exp = {
+        lab: (len(s), n, e2, (e2 / n) / 1e12) for lab, (s, n, e2) in agg.items()
+    }
+    assert got == exp
+
+
+def test_contamination_report_recount(spark, sf_dir, documents):
+    from yanwenxian_week3_data_pipeline_spark.plans.llm_ops import (
+        DECON_BENCH_MIN_BUCKET,
+        DECON_HASH_SEED,
+        DECON_TRAIN_MAX_BUCKET,
+    )
+
+    got = {
+        r["bench_id"]: (r["n_train_docs"], r["n_leaked_grams"])
+        for r in _run(spark, sf_dir, "docs_contamination_report")
+    }
+
+    dg = {}
+    for d in documents:
+        c = _clean(d["text"])
+        toks = c.split(" ") if c else []
+        dg[d["doc_id"]] = (
+            _hash60(str(d["doc_id"])) % 1000,
+            _grams5(toks, DECON_HASH_SEED),
+        )
+    exp = {}
+    for bid, (bkt, bgrams) in dg.items():
+        if bkt < DECON_BENCH_MIN_BUCKET:
+            continue
+        docs, grams = set(), set()
+        for tid, (tbkt, tgrams) in dg.items():
+            if tbkt >= DECON_TRAIN_MAX_BUCKET:
+                continue
+            inter = tgrams & bgrams
+            if inter:
+                docs.add(tid)
+                grams |= inter
+        if docs:
+            exp[bid] = (len(docs), len(grams))
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# BPE encode — sequential Python reference: greedy left-to-right merge
+# application in learned-rank order (the classic encoder loop)
+# ---------------------------------------------------------------------------
+
+def _py_encode(word: str, merges: list[tuple[str, str]], end: str) -> list[str]:
+    syms = list(word) + [end]
+    for x, y in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == x and s == y:
+                out[-1] = x + y
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_python(spark, sf_dir, documents):
+    from yanwenxian_week3_data_pipeline_spark.operators.bpe import END_MARK
+    from yanwenxian_week3_data_pipeline_spark.plans.lm_ext import (
+        BPE_ENCODE_TOPK,
+        BPE_MAX_WORD_LEN,
+        BPE_MERGES,
+        _q_bpe_encode,
+        _word_counts,
+    )
+    from yanwenxian_week3_data_pipeline_spark.operators.bpe import bpe_learn
+
+    got = [tuple(r) for r in _q_bpe_encode(spark, sf_dir).collect()]
+
+    # merges from the engine's learn (its own independent test pins learn
+    # against a sequential reference; this test pins the ENCODE fold)
+    merges = [
+        (r["x"], r["y"])
+        for r in bpe_learn(spark, _word_counts(spark, sf_dir), BPE_MERGES).collect()
+    ]
+    wcounts: Counter = Counter()
+    for d in documents:
+        c = _clean(d["text"])
+        for w in c.split(" ") if c else []:
+            if len(w) <= BPE_MAX_WORD_LEN:
+                wcounts[w] += 1
+    occ: Counter = Counter()
+    nwords = defaultdict(set)
+    for w, n in wcounts.items():
+        for piece in _py_encode(w, merges, END_MARK):
+            occ[piece] += n
+            nwords[piece].add(w)
+    exp = sorted(
+        ((p, c, len(nwords[p])) for p, c in occ.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:BPE_ENCODE_TOPK]
+    assert got == exp
+
+
+def test_bpe_encode_fold_unit(spark):
+    """The Column fold on adversarial inputs: x==y runs (parity), chained
+    merges, merge-created symbols that must NOT re-merge."""
+    from pyspark.sql import functions as F
+
+    from yanwenxian_week3_data_pipeline_spark.operators.bpe import (
+        END_MARK,
+        bpe_encode_expr,
+        word_syms_expr,
+    )
+
+    words = ["aaaa", "aaa", "abab", "ba", "b"]
+    merges = [("a", "a"), ("a", "b"), ("aa", "aa")]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["pieces"]
+        for r in df.select(
+            "word",
+            bpe_encode_expr(word_syms_expr(F.col("word")), merges).alias("pieces"),
+        ).collect()
+    }
+    exp = {w: _py_encode(w, merges, END_MARK) for w in words}
+    assert got == exp

@@ -152,11 +152,58 @@ def bpe_learn(
     ).orderBy("it")
 
 
-def bpe_oracle_sql(words_sql: str, n_merges: int) -> str:
-    """DuckDB twin: the identical recurrence unrolled as MATERIALIZED
-    CTEs (inlined CTEs expand the round chain exponentially — each
-    round's vocab is referenced twice, the pagerank.py lesson).
-    ``words_sql`` must select (word, wcount)."""
+def bpe_encode_expr(syms: F.Column, merges: list[tuple[str, str]]) -> F.Column:
+    """Apply a learned merge list to a symbol array as ONE Column fold —
+    no shuffle, no Python: outer ``aggregate`` over the K-row merge
+    literal, inner ``aggregate`` over the word's symbols building the
+    merged array left-to-right (replace-last when the pair matches). The
+    value-fold is exactly the greedy non-overlap semantics of the learn
+    side (x == y parity falls out naturally: after a merge the last
+    element is x||y, which no longer equals x). One pass per rank is
+    exact for self-consistent merge tables: a rank-j merge can only
+    create pairs whose components were born at rank ≤ j, and any learned
+    pair containing them has rank > j."""
+    merges_lit = F.array(
+        *[
+            F.struct(F.lit(x).alias("x"), F.lit(y).alias("y"))
+            for x, y in merges
+        ]
+    )
+
+    def one_pass(acc_syms, x, y):
+        return F.aggregate(
+            acc_syms,
+            F.array().cast("array<string>"),
+            # F.get returns null out-of-range, so the empty-acc case falls
+            # through to append without an explicit size guard
+            lambda acc, s: F.when(
+                (F.get(acc, F.size(acc) - 1) == x) & (s == y),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(x, y)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    return F.aggregate(
+        merges_lit, syms, lambda acc, m: one_pass(acc, m["x"], m["y"])
+    )
+
+
+def word_syms_expr(word: F.Column) -> F.Column:
+    """chars + the end-of-word marker — the learn side's initial symbols."""
+    return F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        ),
+        F.array(F.lit(END_MARK)),
+    )
+
+
+def _chain_parts(words_sql: str, n_merges: int) -> list[str]:
+    """The learn recurrence as a list of CTE fragments (shared by the
+    learn oracle and the encode oracle)."""
     parts = [
         f"WITH words AS MATERIALIZED ({words_sql}),",
         "v0 AS MATERIALIZED (SELECT word, wcount,"
@@ -200,6 +247,15 @@ v{k} AS MATERIALIZED (
         FROM e{k} e, bc{k} bc) m
   WHERE NOT dropped GROUP BY word, wcount),"""
         )
+    return parts
+
+
+def bpe_oracle_sql(words_sql: str, n_merges: int) -> str:
+    """DuckDB twin: the identical recurrence unrolled as MATERIALIZED
+    CTEs (inlined CTEs expand the round chain exponentially — each
+    round's vocab is referenced twice, the pagerank.py lesson).
+    ``words_sql`` must select (word, wcount)."""
+    parts = _chain_parts(words_sql, n_merges)
     unions = "\nUNION ALL\n".join(
         f"SELECT {k} AS it, x, y, x || y AS merged, pair_count FROM best{k}"
         for k in range(1, n_merges + 1)
@@ -209,3 +265,41 @@ v{k} AS MATERIALIZED (
     assert body.endswith(","), body[-40:]
     body = body[:-1]
     return f"{body}\n{unions}\nORDER BY it"
+
+
+def bpe_encode_oracle_sql(
+    learn_words_sql: str, all_words_sql: str, n_merges: int, topk: int
+) -> str:
+    """DuckDB twin of learn-then-encode: the learn chain's bc{k} merge
+    rows drive K unrolled encode CTEs, each applying one merge to every
+    word's symbol list with the IDENTICAL left-to-right value-fold
+    (list_reduce over singleton-wrapped symbols; DuckDB's reduce has no
+    init value, so the first singleton IS the init). An exhausted learn
+    (bc{k} = ('','')) can never match a non-empty symbol, so spent
+    rounds are no-ops on both engines."""
+    parts = _chain_parts(learn_words_sql, n_merges)
+    parts.append(f"wall AS MATERIALIZED ({all_words_sql}),")
+    parts.append(
+        "enc0 AS MATERIALIZED (SELECT word, wcount,"
+        " list_transform(generate_series(1, length(word)),"
+        " i -> substr(word, i, 1)) || ['" + END_MARK + "'] AS syms"
+        " FROM wall),"
+    )
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""enc{k} AS MATERIALIZED (
+  SELECT word, wcount,
+    list_reduce(list_transform(syms, s -> [s]),
+      (acc, b) -> CASE WHEN acc[-1] = bc.x AND b[1] = bc.y
+                  THEN acc[1:len(acc)-1] || [bc.x || bc.y]
+                  ELSE acc || b END) AS syms
+  FROM enc{k - 1}, bc{k} bc),"""
+        )
+    body = "\n".join(parts).rstrip()
+    assert body.endswith(","), body[-40:]
+    body = body[:-1]
+    return f"""{body}
+SELECT piece, CAST(sum(wcount) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_words
+FROM (SELECT word, wcount, unnest(syms) AS piece FROM enc{n_merges}) x
+GROUP BY piece ORDER BY n_occurrences DESC, piece ASC LIMIT {topk}"""

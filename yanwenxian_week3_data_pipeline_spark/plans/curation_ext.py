@@ -61,6 +61,8 @@ from ..functions.text import clean_text_expr
 from ..functions.textstats import (
     quality_features_expr,
     quality_features_sql,
+    token_count_expr,
+    token_count_sql,
     tokens_expr,
     tokens_sql,
 )
@@ -1011,8 +1013,212 @@ FROM k ORDER BY key_micro DESC, doc_id ASC LIMIT {DSIR_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_token_budget_waterfill — per-source token budget allocation by
+# water-filling: given budget T = half the corpus tokens, find the max
+# integer level c with Σ_s min(n_s, c) <= T; small sources are kept whole,
+# large ones capped at c (the classic fair-allocation / domain-rebalancing
+# rule for training mixtures). Scale shape: the ONLY corpus-sized work is
+# the per-source token aggregate (map-side combinable, #domains rows);
+# the level is derived from that K-bounded frame driver-side with exact
+# integer arithmetic (the bounded-model-table class — no single-partition
+# exchange, no S² self-join) and folded back as literals. All outputs are
+# integers or one rounded ratio, bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+BUDGET_DEN = 2  # budget = total_tokens div 2
+
+
+def _q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "source", clean_text_expr(F.col("text")).alias("c")
+    )
+    per = (
+        d.select("source", token_count_expr(F.col("c")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    # K-bounded collect: one row per domain (the NB-model-table class)
+    rows = sorted(
+        ((int(r["n_tokens"]), r["source"]) for r in per.collect())
+    )
+    total = sum(n for n, _s in rows)
+    T = total // BUDGET_DEN
+    S = len(rows)
+    # max k with filled(n_k) = cum_k + n_k·(S-k) <= T (prefix property),
+    # then c = (T - cum_k) // (S - k); k == S means everything fits
+    cum = 0
+    k, cum_k = 0, 0
+    for i, (n, _s) in enumerate(rows, start=1):
+        cum += n
+        if cum + n * (S - i) <= T:
+            k, cum_k = i, cum
+    c = rows[-1][0] if k == S else (T - cum_k) // (S - k)
+    return per.select(
+        "source",
+        "n_tokens",
+        F.least(F.col("n_tokens"), F.lit(c)).alias("kept_tokens"),
+        F.round(
+            F.least(F.col("n_tokens"), F.lit(c))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("keep_rate"),
+    ).orderBy("source")
+
+
+_SQL_TOKEN_BUDGET = f"""
+WITH d AS (SELECT source, {CLEAN_SQL} AS c FROM documents),
+per AS (SELECT source, CAST(sum({token_count_sql('c')}) AS BIGINT) AS n_tokens
+        FROM d GROUP BY source),
+o AS (SELECT source, n_tokens,
+        row_number() OVER (ORDER BY n_tokens, source) AS i,
+        sum(n_tokens) OVER (ORDER BY n_tokens, source
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM per),
+g AS (SELECT (SELECT sum(n_tokens) FROM per) // {BUDGET_DEN} AS T,
+             (SELECT count(*) FROM per) AS S,
+             (SELECT max(n_tokens) FROM per) AS nmax),
+kk AS (SELECT coalesce(max(i), 0) AS k, coalesce(max(cum), 0) AS cum_k
+       FROM o, g WHERE cum + n_tokens * (S - i) <= T),
+lvl AS (SELECT CAST(CASE WHEN k = S THEN nmax
+                         ELSE (T - cum_k) // (S - k) END AS BIGINT) AS c
+        FROM kk, g)
+SELECT source, n_tokens,
+       least(n_tokens, c) AS kept_tokens,
+       round(least(n_tokens, c) / greatest(n_tokens, 1), 6) AS keep_rate
+FROM per, lvl ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_stratified_split — exact-proportion train/val split per
+# (lang, source) stratum: docs ranked by (hash52(doc_id), doc_id) inside
+# each stratum, first n_docs div 10 go to validation. Per-stratum summary
+# with an order-free doc_id checksum of the val set so the MEMBERSHIP is
+# verified, not just the counts. Scale shape: one window shuffle keyed by
+# the stratum (never a global sort); hash ranking makes the split
+# reproducible and uncorrelated with ingest order.
+# ---------------------------------------------------------------------------
+
+SPLIT_VAL_DEN = 10  # val = n div 10 per stratum
+
+
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang", "source").orderBy(
+        hash52_expr(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    cnt = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    j = ranked.join(F.broadcast(cnt), ["lang", "source"])
+    val = F.col("rn") <= (F.col("n_docs") / SPLIT_VAL_DEN).cast("long")
+    return (
+        j.groupBy("lang", "source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.sum(F.when(val, 1).otherwise(0)).cast("long").alias("n_val"),
+            F.sum(F.when(~val, 1).otherwise(0)).cast("long").alias("n_train"),
+            F.coalesce(
+                F.sum(F.when(val, F.col("doc_id"))), F.lit(0)
+            ).cast("long").alias("val_id_sum"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_SQL_STRATIFIED_SPLIT = f"""
+WITH r AS (
+  SELECT doc_id, lang, source,
+    row_number() OVER (PARTITION BY lang, source
+      ORDER BY {hash52_sql('CAST(doc_id AS VARCHAR)')}, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang, source) AS n_docs
+  FROM documents)
+SELECT lang, source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN rn <= n_docs // {SPLIT_VAL_DEN} THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+  CAST(sum(CASE WHEN rn > n_docs // {SPLIT_VAL_DEN} THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(coalesce(sum(CASE WHEN rn <= n_docs // {SPLIT_VAL_DEN} THEN doc_id END), 0) AS BIGINT)
+    AS val_id_sum
+FROM r GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# emb_int8_quant_error — per-dimension scalar INT8 quantization of the
+# embedding table with exact reconstruction-error accounting: per-dim
+# min/max (the quantizer codebook), q = clamp(floor((x−min)/scale + 0.5)),
+# error aggregated per label. Scale shape: the codebook is a 64-row
+# aggregate broadcast back onto the scan; the error aggregate is map-side
+# combinable integer sums (err²·1e12 floored to exact longs — the micro-
+# unit house rule, so parallel reduction order can't move the result).
+# The production story: INT8 storage is 4× smaller and ADC-friendly;
+# this query IS the quantization-quality gate run before switching.
+# ---------------------------------------------------------------------------
+
+def _q_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
+    cb = e.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    j = e.join(F.broadcast(cb), "pos")
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    q = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(255.0),
+            F.greatest(F.lit(0.0), F.floor((F.col("x") - F.col("mn")) / scale + F.lit(0.5)).cast("double")),
+        ),
+    ).otherwise(F.lit(0.0))
+    err = F.col("x") - (F.col("mn") + q * scale)
+    e2 = F.floor(err * err * F.lit(1e12) + F.lit(0.5)).cast("long")
+    return (
+        j.select("vec_id", "label", e2.alias("e2"))
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vecs"),
+            F.count(F.lit(1)).alias("n_elems"),
+            F.sum("e2").alias("sum_err2_e12"),
+            ((F.sum("e2") / F.count(F.lit(1))) / F.lit(1e12)).alias("mse"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_INT8_QUANT = """
+WITH e AS (
+  SELECT vec_id, label, pos, CAST(x AS DOUBLE) AS x
+  FROM (SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(embedding) AS x
+        FROM embeddings) raw),
+cb AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM e GROUP BY pos),
+q AS (
+  SELECT e.vec_id, e.label,
+    CAST(floor(
+      (e.x - (cb.mn + (CASE WHEN cb.mx > cb.mn
+        THEN least(255.0, greatest(0.0,
+             floor((e.x - cb.mn) / ((cb.mx - cb.mn) / 255.0) + 0.5)))
+        ELSE 0.0 END) * ((cb.mx - cb.mn) / 255.0)))
+      * (e.x - (cb.mn + (CASE WHEN cb.mx > cb.mn
+        THEN least(255.0, greatest(0.0,
+             floor((e.x - cb.mn) / ((cb.mx - cb.mn) / 255.0) + 0.5)))
+        ELSE 0.0 END) * ((cb.mx - cb.mn) / 255.0)))
+      * 1e12 + 0.5) AS BIGINT) AS e2
+  FROM e JOIN cb USING (pos))
+SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+  CAST(count(*) AS BIGINT) AS n_elems,
+  CAST(sum(e2) AS BIGINT) AS sum_err2_e12,
+  (sum(e2) / count(*)) / 1e12 AS mse
+FROM q GROUP BY label ORDER BY label
+"""
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
+    QuerySpec(
+        "docs_token_budget_waterfill", _q_token_budget_waterfill, _SQL_TOKEN_BUDGET
+    ),
+    QuerySpec("docs_stratified_split", _q_stratified_split, _SQL_STRATIFIED_SPLIT),
+    QuerySpec("emb_int8_quant_error", _q_int8_quant_error, _SQL_INT8_QUANT),
     QuerySpec(
         "docs_temperature_mixture", _q_temperature_mixture, _temperature_mixture_sql()
     ),

@@ -1594,6 +1594,32 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flip side of docs_decontaminate: per BENCH doc, how badly it leaks
+    into the train split — the report a benchmark owner reads to decide
+    which evals are compromised. Same hashed-5-gram frames and the same
+    broadcast-bench join shape (the corpus-sized side streams; the bench
+    side is the bounded build side), grouped by bench_id instead of the
+    train doc."""
+    d = _cleaned_docs(spark, sf_dir).select("doc_id", "c")
+    grams = F.array_distinct(_word_grams(tokens_expr(F.col("c")), DECON_NGRAM, as_hash=True))
+    bucket = hash60_expr(F.col("doc_id").cast("string")) % 1000
+    g = d.select("doc_id", bucket.alias("bkt"), F.explode(grams).alias("gh"))
+    bench = g.where(F.col("bkt") >= DECON_BENCH_MIN_BUCKET).select(
+        F.col("doc_id").alias("bench_id"), "gh"
+    )
+    train = g.where(F.col("bkt") < DECON_TRAIN_MAX_BUCKET)
+    return (
+        train.join(F.broadcast(bench), "gh")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_train_docs"),
+            F.countDistinct("gh").alias("n_leaked_grams"),
+        )
+        .orderBy("bench_id")
+    )
+
+
 def _grams_sql(n: int, hashed: bool) -> str:
     gram = f"array_to_string(toks[i:i+{n - 1}], ' ')"
     if hashed:
@@ -1614,6 +1640,20 @@ SELECT tr.doc_id, count(DISTINCT tr.gh) AS n_hit_grams,
 FROM g tr JOIN g be ON be.gh = tr.gh AND be.bkt >= {DECON_BENCH_MIN_BUCKET}
 WHERE tr.bkt < {DECON_TRAIN_MAX_BUCKET}
 GROUP BY tr.doc_id
+"""
+
+_SQL_CONTAMINATION_REPORT = f"""
+WITH d AS ({_CLEANED}),
+t AS (SELECT doc_id, {tokens_sql('c')} AS toks FROM d),
+g AS (SELECT doc_id, ({hash60_sql('CAST(doc_id AS VARCHAR)')} % 1000) AS bkt,
+        unnest(list_distinct({_grams_sql(DECON_NGRAM, hashed=True)})) AS gh
+      FROM t)
+SELECT be.doc_id AS bench_id,
+       CAST(count(DISTINCT tr.doc_id) AS BIGINT) AS n_train_docs,
+       CAST(count(DISTINCT tr.gh) AS BIGINT) AS n_leaked_grams
+FROM g tr JOIN g be ON be.gh = tr.gh AND be.bkt >= {DECON_BENCH_MIN_BUCKET}
+WHERE tr.bkt < {DECON_TRAIN_MAX_BUCKET}
+GROUP BY be.doc_id ORDER BY bench_id
 """
 
 
@@ -2626,6 +2666,11 @@ QUERIES = [
     QuerySpec("dedup_incremental", _q_dedup_incremental, _SQL_DEDUP_INCREMENTAL),
     QuerySpec("text_tfidf_top_terms", _q_tfidf_top_terms, _SQL_TFIDF),
     QuerySpec("docs_decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
+    QuerySpec(
+        "docs_contamination_report",
+        _q_contamination_report,
+        _SQL_CONTAMINATION_REPORT,
+    ),
     QuerySpec("text_ngram_topk", _q_ngram_topk, _SQL_NGRAM_TOPK),
     QuerySpec("docs_sample_mixture", _q_sample_mixture, _SQL_SAMPLE_MIXTURE),
     QuerySpec("docs_pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),

@@ -56,7 +56,7 @@ from ..constants import (
 from ..functions.hashing import hash60_expr, hash60_sql
 from ..functions.text import clean_text_expr
 from ..functions.textstats import tokens_expr, tokens_sql
-from ..operators.bpe import bpe_learn, bpe_oracle_sql
+from ..operators.bpe import bpe_encode_oracle_sql, bpe_learn, bpe_oracle_sql
 from ..sources.tables import read_parquet_fanout
 from .documents_domain import CLEAN_SQL
 
@@ -95,6 +95,67 @@ SELECT g AS word, CAST(count(*) AS BIGINT) AS wcount
 FROM (SELECT {CLEAN_SQL} AS c FROM documents) d, UNNEST({tokens_sql('c')}) AS un(g)
 WHERE length(g) <= {BPE_MAX_WORD_LEN}
 GROUP BY g ORDER BY wcount DESC, word ASC LIMIT {BPE_VOCAB_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_encode_topk — APPLY the learned merges to the whole corpus and
+# report the top-K pieces (weighted by word frequency) — the tokenize
+# step that follows text_bpe_learn in a real pipeline. Scale shape: the
+# merge table is a K-row bounded collect (the sanctioned candidate-state
+# class); encoding is ONE Column fold per distinct word — an outer
+# aggregate over the merge literal, an inner aggregate over the word's
+# symbols — so the corpus-sized work is exactly the word-count aggregate
+# (map-side combinable) plus a scan-speed expression; no per-merge
+# shuffle, no Python. The same MAX_WORD_LEN cap as the learn table keeps
+# the two tables aligned (production tokenizers pass over-long words
+# through unsegmented; here they are excluded on both engines).
+# ---------------------------------------------------------------------------
+
+BPE_ENCODE_TOPK = 20
+
+
+def _all_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(clean_text_expr(F.col("text")).alias("c"))
+    return (
+        d.select(F.explode(tokens_expr(F.col("c"))).alias("word"))
+        .where(F.length("word") <= BPE_MAX_WORD_LEN)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+
+
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_expr, word_syms_expr
+
+    merges = [
+        (r["x"], r["y"])
+        for r in bpe_learn(
+            spark, _word_counts(spark, sf_dir), BPE_MERGES
+        ).collect()
+    ]
+    enc = _all_word_counts(spark, sf_dir).select(
+        "word",
+        "wcount",
+        bpe_encode_expr(word_syms_expr(F.col("word")), merges).alias("pieces"),
+    )
+    return (
+        enc.select("word", "wcount", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.sum("wcount").alias("n_occurrences"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("piece"))
+        .limit(BPE_ENCODE_TOPK)
+    )
+
+
+_ALL_WORDS_SQL = f"""
+SELECT g AS word, CAST(count(*) AS BIGINT) AS wcount
+FROM (SELECT {CLEAN_SQL} AS c FROM documents) d, UNNEST({tokens_sql('c')}) AS un(g)
+WHERE length(g) <= {BPE_MAX_WORD_LEN}
+GROUP BY g
 """
 
 
@@ -551,6 +612,18 @@ QUERIES = [
         f"word-frequency table, {BPE_MERGES} greedy merge rounds with "
         "exact window-algebra non-overlap semantics; oracle unrolls the "
         "identical recurrence as materialized CTEs.",
+    ),
+    QuerySpec(
+        name="text_bpe_encode_topk",
+        build=_q_bpe_encode,
+        oracle=bpe_encode_oracle_sql(
+            _WORDS_SQL, _ALL_WORDS_SQL, BPE_MERGES, BPE_ENCODE_TOPK
+        ),
+        doc="Learned-merge application (tokenize): one Column fold per "
+        "distinct word over the collected K-row merge table; top-20 "
+        "pieces weighted by word frequency. Oracle re-learns via the "
+        "unrolled CTE chain then applies each merge with the identical "
+        "list_reduce value-fold.",
     ),
     QuerySpec(
         name="text_inverted_index",
