@@ -425,6 +425,171 @@ def test_training_funnel_recount(spark, sf_dir, documents):
 
 
 # ---------------------------------------------------------------------------
+# dedup_exact — duplicate groups over cleaned text
+# ---------------------------------------------------------------------------
+
+def test_dedup_exact_recount(spark, sf_dir, documents):
+    got = {
+        r["keep_id"]: r["n_copies"] for r in _run(spark, sf_dir, "dedup_exact")
+    }
+    groups = defaultdict(list)
+    for d in documents:
+        groups[_clean(d["text"])].append(d["doc_id"])
+    exp = {min(ids): len(ids) for ids in groups.values()}
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# docs_gopher_filter + docs_domain_stats — rule booleans and the per-source
+# accounting built on them
+# ---------------------------------------------------------------------------
+
+def _gopher_pass(c: str) -> bool:
+    from yanwenxian_week3_data_pipeline_spark.functions.textstats import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_NUMERIC_FRAC,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_TOKENS,
+    )
+
+    toks = c.split(" ") if c else []
+    n = len(toks)
+    nz = max(n, 1)
+    mean_len = sum(len(t) for t in toks) / nz
+    n_symbols = c.count("#") + c.count("...")
+    n_numeric = sum(1 for t in toks if re.fullmatch("[0-9]+", t))
+    stop_hits = sum(1 for t in toks if t in QUALITY_STOPWORDS)
+    return (
+        GOPHER_MIN_TOKENS <= n <= GOPHER_MAX_TOKENS
+        and GOPHER_MIN_MEAN_WORD_LEN <= mean_len <= GOPHER_MAX_MEAN_WORD_LEN
+        and n_symbols / nz < GOPHER_MAX_SYMBOL_RATIO
+        and n_numeric / nz < GOPHER_MAX_NUMERIC_FRAC
+        and stop_hits >= GOPHER_MIN_STOPWORD_HITS
+    )
+
+
+def test_gopher_filter_recount(spark, sf_dir, documents):
+    got = {
+        r["doc_id"]: r["passes_gopher"]
+        for r in _run(spark, sf_dir, "docs_gopher_filter")
+    }
+    exp = {d["doc_id"]: _gopher_pass(_clean(d["text"])) for d in documents}
+    assert got == exp
+
+
+def test_domain_stats_recount(spark, sf_dir, documents):
+    got = {
+        r["source"]: (r["n_docs"], r["n_langs"], r["total_chars"], r["n_pass_gopher"])
+        for r in _run(spark, sf_dir, "docs_domain_stats")
+    }
+    agg = defaultdict(lambda: [0, set(), 0, 0])
+    for d in documents:
+        cell = agg[d["source"]]
+        cell[0] += 1
+        cell[1].add(d["lang"])
+        cell[2] += d["n_chars"]
+        if _gopher_pass(_clean(d["text"])):
+            cell[3] += 1
+    exp = {s: (n, len(ls), ch, ok) for s, (n, ls, ch, ok) in agg.items()}
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_topk — corpus bigram counts and doc frequencies
+# ---------------------------------------------------------------------------
+
+def test_ngram_topk_recount(spark, sf_dir, documents):
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        NGRAM_TOPK_K,
+        NGRAM_TOPK_N,
+    )
+
+    got = [tuple(r) for r in _run(spark, sf_dir, "text_ngram_topk")]
+
+    occ = defaultdict(int)
+    docs_of = defaultdict(set)
+    for d in documents:
+        c = _clean(d["text"])
+        toks = c.split(" ") if c else []
+        for i in range(len(toks) - NGRAM_TOPK_N + 1):
+            g = " ".join(toks[i : i + NGRAM_TOPK_N])
+            occ[g] += 1
+            docs_of[g].add(d["doc_id"])
+    exp = sorted(
+        ((g, n, len(docs_of[g])) for g, n in occ.items()),
+        key=lambda r: (-r[1], r[0]),
+    )[:NGRAM_TOPK_K]
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# events_gapfill_hourly — dense hourly spine with gap flags
+# ---------------------------------------------------------------------------
+
+def test_gapfill_hourly_recount(spark, sf_dir, events):
+    got = {
+        r["window_start"]: (r["n_events"], r["sum_value"], r["was_gap"])
+        for r in _run(spark, sf_dir, "events_gapfill_hourly")
+    }
+
+    def hour(ts):
+        return ts.replace(minute=0, second=0, microsecond=0)
+
+    hours = defaultdict(lambda: [0, Decimal(0)])
+    for e in events:
+        cell = hours[hour(e["ts"])]
+        cell[0] += 1
+        if e["value"] is not None:
+            cell[1] += _round_half_up(e["value"], 2)
+    lo = hour(min(e["ts"] for e in events))
+    hi = hour(max(e["ts"] for e in events))
+    exp = {}
+    h = lo
+    while h <= hi:
+        if h in hours:
+            n, s = hours[h]
+            exp[h] = (n, float(s), False)
+        else:
+            exp[h] = (0, 0.0, True)
+        h += timedelta(hours=1)
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# docs_length_histogram — per-language fixed-width length buckets
+# ---------------------------------------------------------------------------
+
+def test_length_histogram_recount(spark, sf_dir, documents):
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        HIST_BUCKET_WIDTH,
+        HIST_NUM_BUCKETS,
+    )
+
+    got = {
+        (r["lang"], r["bucket"]): (r["bucket_lo"], r["n_docs"], r["lang_share"])
+        for r in _run(spark, sf_dir, "docs_length_histogram")
+    }
+    cells = defaultdict(int)
+    per_lang = defaultdict(int)
+    for d in documents:
+        b = min(d["n_chars"] // HIST_BUCKET_WIDTH, HIST_NUM_BUCKETS - 1)
+        cells[(d["lang"], b)] += 1
+        per_lang[d["lang"]] += 1
+    exp = {
+        (lang, b): (
+            b * HIST_BUCKET_WIDTH,
+            n,
+            float(_round_half_up(n / per_lang[lang], 6)),
+        )
+        for (lang, b), n in cells.items()
+    }
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
 # docs_corpus_curation — per (lang, source) quality/dedup survival counts
 # ---------------------------------------------------------------------------
 
