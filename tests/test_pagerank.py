@@ -50,6 +50,56 @@ def test_pagerank_matches_python_reference_random_graph(spark):
     assert got == _python_pagerank(edges, iters=6)
 
 
+def _python_ppr(
+    edges: list[tuple[int, int]], seeds: set[int], iters: int
+) -> dict[int, int]:
+    es = sorted(set(edges))
+    nodes = sorted({u for u, _ in es} | {v for _, v in es})
+    seeds = seeds & set(nodes)
+    s = len(seeds)
+    deg: dict[int, int] = {}
+    for u, _ in es:
+        deg[u] = deg.get(u, 0) + 1
+    base = (MASS * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // s
+    r = {u: (MASS // s if u in seeds else 0) for u in nodes}
+    for _ in range(iters):
+        dm = sum(r[u] for u in nodes if u not in deg)
+        inc = {u: 0 for u in nodes}
+        for u, v in es:
+            inc[v] += r[u] // deg[u]
+        r = {
+            u: (base if u in seeds else 0)
+            + DAMP_NUM * (inc[u] + (dm // s if u in seeds else 0)) // DAMP_DEN
+            for u in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    rng = random.Random(21)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    seeds = {0, 3, 7, 11}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(x,) for x in sorted(seeds)], "node long")
+    got = {
+        row["node"]: row["rank_scaled"]
+        for row in pagerank(df, iters=6, seeds=sdf).collect()
+    }
+    assert got == _python_ppr(edges, seeds, iters=6)
+    # proximity property: a node reachable only from seeds outranks an
+    # equally-shaped node reachable only from non-seeds — implied by the
+    # exact equality above, but assert the defining inequality directly
+    # on a purpose-built graph
+    star = [(1, 100), (2, 100), (50, 200), (51, 200)]
+    sdf2 = spark.createDataFrame([(1,), (2,)], "node long")
+    df2 = spark.createDataFrame(star, "src long, dst long")
+    r2 = {
+        row["node"]: row["rank_scaled"]
+        for row in pagerank(df2, iters=6, seeds=sdf2).collect()
+    }
+    assert r2[100] > r2[200]
+
+
 def test_pagerank_mass_conserved_and_dangling_redistributed(spark):
     # star into a sink: 1..5 -> 0; node 0 dangles, its mass must come back
     edges = [(i, 0) for i in range(1, 6)]

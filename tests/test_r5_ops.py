@@ -242,3 +242,60 @@ def test_bpe_encode_fold_unit(spark):
     }
     exp = {w: _py_encode(w, merges, END_MARK) for w in words}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# sim_rrf_hybrid — sequential recount of both retrievers and the fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_hybrid_recount(spark, sf_dir, documents):
+    from yanwenxian_week3_data_pipeline_spark.constants import MINHASH_SHINGLE_K
+    from yanwenxian_week3_data_pipeline_spark.plans.llm_ops import (
+        RRF_K,
+        RRF_PER_LIST,
+        RRF_QUERY_DOCS,
+        RRF_TOPK,
+    )
+
+    got = [tuple(r) for r in _run(spark, sf_dir, "sim_rrf_hybrid")]
+
+    feats_tok, feats_shin = {}, {}
+    for d in documents:
+        c = _clean(d["text"])
+        toks = c.split(" ") if c else []
+        feats_tok[d["doc_id"]] = set(toks)
+        feats_shin[d["doc_id"]] = {
+            " ".join(toks[i : i + MINHASH_SHINGLE_K])
+            for i in range(len(toks) - MINHASH_SHINGLE_K + 1)
+        }
+
+    def ranked(feats):
+        out = {}
+        for q in RRF_QUERY_DOCS:
+            scores = [
+                (len(feats[q] & feats[d]), d)
+                for d in feats
+                if d != q and feats[q] & feats[d]
+            ]
+            scores.sort(key=lambda r: (-r[0], r[1]))
+            out[q] = {
+                d: rank
+                for rank, (_s, d) in enumerate(scores[:RRF_PER_LIST], start=1)
+            }
+        return out
+
+    ra, rb = ranked(feats_tok), ranked(feats_shin)
+    exp = []
+    for q in RRF_QUERY_DOCS:
+        fused = []
+        for d in set(ra[q]) | set(rb[q]):
+            s = 0
+            if d in ra[q]:
+                s += 1000000 // (RRF_K + ra[q][d])
+            if d in rb[q]:
+                s += 1000000 // (RRF_K + rb[q][d])
+            fused.append((d, s))
+        fused.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (d, s) in enumerate(fused[:RRF_TOPK], start=1):
+            exp.append((q, d, s, rank))
+    assert got == sorted(exp, key=lambda r: (r[0], r[3]))

@@ -64,12 +64,21 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     iters: int = 10,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Exact integer PageRank; returns ``(node, rank_scaled, rank)`` for
     every node appearing in ``edges`` (either endpoint). ``rank_scaled`` is
     the bit-exact integer (sums to ~MASS up to floor losses), ``rank`` the
     single-division double. Parallel edges are collapsed (edge SET
-    semantics); self-loops count as ordinary edges."""
+    semantics); self-loops count as ordinary edges.
+
+    ``seeds`` (one ``node`` column) switches to PERSONALIZED PageRank:
+    teleport and dangling mass flow only to the seed set (restricted to
+    nodes present in the graph), so ranks measure proximity to the seeds —
+    the random-walk-with-restart primitive behind seed-set expansion and
+    segment-personalized recommendation. Identical integer discipline:
+    base and dangling shares divide by |seeds| instead of N and land only
+    on seed rows."""
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     ).distinct()
@@ -81,6 +90,22 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+
+    if seeds is not None:
+        flagged = nodes.join(
+            seeds.select(F.col("node").cast("long").alias("node"))
+            .distinct()
+            .withColumn("_seed", F.lit(True)),
+            "node",
+            "left",
+        ).select("node", F.coalesce("_seed", F.lit(False)).alias("is_seed"))
+    else:
+        flagged = nodes.withColumn("is_seed", F.lit(True))
+    flagged = flagged.localCheckpoint(eager=True)
+    # teleport-population size: N classically, |seeds ∩ nodes| personalized
+    tp = flagged.where("is_seed").count() if seeds is not None else n
+    if tp == 0:
+        raise ValueError("personalized pagerank: no seed appears in the graph")
 
     deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
     # degree-annotated edges, partitioned on the join key once; every
@@ -97,8 +122,15 @@ def pagerank(
         deg.select(F.col("s").alias("node")), "node", "left_anti"
     ).localCheckpoint(eager=True)
 
-    base = (MASS * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // n
-    rank = nodes.select("node", F.lit(MASS // n).cast("long").alias("r"))
+    base = (MASS * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // tp
+    seed_base = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+    rank = flagged.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(MASS // tp))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
 
     for _ in range(iters):
         dang = dangling_nodes.join(rank, "node").agg(
@@ -111,14 +143,15 @@ def pagerank(
             .agg(F.sum("c").cast("long").alias("inc"))
         )
         rank = (
-            nodes.join(incoming, nodes["node"] == incoming["d"], "left")
+            flagged.join(incoming, flagged["node"] == incoming["d"], "left")
             .crossJoin(dang)
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    seed_base
                     + F.expr(
-                        f"{DAMP_NUM} * (coalesce(inc, 0L) + (dm div {n}))"
+                        f"{DAMP_NUM} * (coalesce(inc, 0L)"
+                        f" + (CASE WHEN is_seed THEN dm div {tp} ELSE 0 END))"
                         f" div {DAMP_DEN}"
                     )
                 ).cast("long").alias("r"),
@@ -136,20 +169,37 @@ def pagerank(
 def pagerank_oracle_sql(
     edges_sql: str,
     iters: int = 10,
+    seeds_sql: str | None = None,
 ) -> str:
     """DuckDB replay of the identical integer recurrence, iterations
     unrolled as chained CTEs (recursive CTEs forbid aggregates in the
     recursive term, and a fixed-K unroll is exactly as deterministic).
     ``edges_sql`` must yield columns ``s, d``. Column semantics mirror
-    :func:`pagerank` 1:1 — same floor divisions, same constants."""
+    :func:`pagerank` 1:1 — same floor divisions, same constants.
+    ``seeds_sql`` (yielding a ``node`` column) mirrors the personalized
+    variant: teleport/dangling shares divide by |seeds ∩ nodes| and land
+    only on seed rows."""
     parts = [
         f"WITH e AS MATERIALIZED (SELECT DISTINCT s, d FROM ({edges_sql})),",
         "nodes AS MATERIALIZED (SELECT s AS node FROM e UNION SELECT d FROM e),",
         "deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),",
-        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),",
         "dnodes AS MATERIALIZED (SELECT node FROM nodes WHERE node NOT IN (SELECT s FROM deg)),",
-        f"r0 AS MATERIALIZED (SELECT node, {MASS} // nn.n AS r FROM nodes, nn),",
     ]
+    if seeds_sql is None:
+        parts.append("sf AS MATERIALIZED (SELECT node, TRUE AS is_seed FROM nodes),")
+    else:
+        parts.append(
+            "sf AS MATERIALIZED (SELECT nodes.node,"
+            f" nodes.node IN (SELECT DISTINCT node FROM ({seeds_sql})) AS is_seed"
+            " FROM nodes),"
+        )
+    parts.append(
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM sf WHERE is_seed),"
+    )
+    parts.append(
+        f"r0 AS MATERIALIZED (SELECT node,"
+        f" CASE WHEN is_seed THEN {MASS} // nn.n ELSE 0 END AS r FROM sf, nn),"
+    )
     base = f"(({MASS} * {DAMP_DEN - DAMP_NUM} // {DAMP_DEN}) // nn.n)"
     for i in range(iters):
         prev, cur = f"r{i}", f"r{i + 1}"
@@ -163,10 +213,12 @@ def pagerank_oracle_sql(
             f" JOIN deg ON deg.s = e.s GROUP BY e.d),"
         )
         parts.append(
-            f"{cur} AS MATERIALIZED (SELECT nodes.node,"
-            f" {base} + {DAMP_NUM} * (COALESCE(inc{i}.inc, 0) + dm{i}.dm // nn.n)"
+            f"{cur} AS MATERIALIZED (SELECT sf.node,"
+            f" (CASE WHEN sf.is_seed THEN {base} ELSE 0 END)"
+            f" + {DAMP_NUM} * (COALESCE(inc{i}.inc, 0)"
+            f" + (CASE WHEN sf.is_seed THEN dm{i}.dm // nn.n ELSE 0 END))"
             f" // {DAMP_DEN} AS r"
-            f" FROM nodes LEFT JOIN inc{i} USING (node), dm{i}, nn),"
+            f" FROM sf LEFT JOIN inc{i} USING (node), dm{i}, nn),"
         )
     # strip the trailing comma of the last CTE and project the final frame
     parts[-1] = parts[-1].rstrip(",")

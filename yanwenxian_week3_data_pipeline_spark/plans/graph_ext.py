@@ -70,6 +70,50 @@ _SQL_PAGERANK_PURCHASES = (
 
 
 # ---------------------------------------------------------------------------
+# graph_ppr_segment — PERSONALIZED PageRank (random walk with restart)
+# from the BUILDING market segment: teleport and dangling mass flow only
+# to BUILDING-customer nodes, so the stationary mass at supplier nodes
+# measures proximity to that cohort — the seed-set-expansion /
+# segment-personalized-recommendation primitive. Same exact-integer
+# recurrence as graph_pagerank_purchases (bit-identical across engines);
+# the seed set is a broadcast-scale dimension filter. Output: top-20
+# SUPPLIER nodes (odd ids in the 2k/2k+1 namespace) by personalized rank.
+# ---------------------------------------------------------------------------
+
+_PPR_SEGMENT = "BUILDING"
+_PPR_TOPK = 20
+
+
+def _q_ppr_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == _PPR_SEGMENT)
+        .select((F.col("c_custkey") * 2).alias("node"))
+    )
+    ranks = pagerank(_purchase_edges(spark, sf_dir), iters=_PR_ITERS, seeds=seeds)
+    return (
+        ranks.where(F.col("node") % 2 == 1)
+        .orderBy(F.col("rank_scaled").desc(), F.col("node").asc())
+        .limit(_PPR_TOPK)
+    )
+
+
+_SEEDS_SQL = (
+    f"SELECT c_custkey * 2 AS node FROM customer"
+    f" WHERE c_mktsegment = '{_PPR_SEGMENT}'"
+)
+
+_SQL_PPR_SEGMENT = (
+    pagerank_oracle_sql(_EDGES_SQL, iters=_PR_ITERS, seeds_sql=_SEEDS_SQL)
+    .replace(
+        f"FROM r{_PR_ITERS}",
+        f"FROM r{_PR_ITERS} WHERE node % 2 = 1"
+        f" ORDER BY rank_scaled DESC, node ASC LIMIT {_PPR_TOPK}",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # graph_triangles_copurchase — triangle census of the part co-purchase
 # graph (parts co-occurring on >= 2 orders). The standard distributed
 # formulation (Suri & Vassilvitskii WWW'11 / Cohen's MapReduce triangle
@@ -248,6 +292,14 @@ QUERIES = [
         "graph — exact scaled-integer power iteration (10 rounds, "
         "damping 0.85, dangling redistribution), bit-identical across "
         "engines and partitionings.",
+    ),
+    QuerySpec(
+        name="graph_ppr_segment",
+        build=_q_ppr_segment,
+        oracle=_SQL_PPR_SEGMENT,
+        doc="Personalized PageRank from the BUILDING segment: teleport and "
+        "dangling mass restricted to seed customers, exact integer "
+        "recurrence; top-20 suppliers by proximity to the cohort.",
     ),
     QuerySpec(
         name="graph_kcore_copurchase",

@@ -1594,6 +1594,116 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# sim_rrf_hybrid — hybrid retrieval with Reciprocal Rank Fusion (Cormack
+# et al. 2009): two lexical retrievers — distinct-token overlap and
+# 5-token-shingle overlap — each produce a per-query top-20 ranking, fused
+# by rrf(d) = Σ_lists 10^6 div (60 + rank_list(d)) in exact micro-units
+# (integer division, reduction-order-free). The production hybrid-search
+# shape: both retrievers are a broadcast of the tiny query side semi-
+# joined against the corpus posting stream (corpus-sized work = two
+# explode+count aggregations); ranks ride the rank-limit window pushdown;
+# the fusion join moves only queries×top-k rows.
+# ---------------------------------------------------------------------------
+
+RRF_QUERY_DOCS = [0, 1, 2]
+RRF_K = 60
+RRF_PER_LIST = 20
+RRF_TOPK = 10
+
+
+def _q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import shingles_expr
+
+    d = _cleaned_docs(spark, sf_dir).select("doc_id", "c")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_expr(F.col("c")))).alias("f"),
+    )
+    shin = d.select(
+        "doc_id", F.explode(shingles_expr(tokens_expr(F.col("c")))).alias("f")
+    )
+
+    def ranked(posting: DataFrame) -> DataFrame:
+        q = posting.where(F.col("doc_id").isin(RRF_QUERY_DOCS)).select(
+            F.col("doc_id").alias("query_id"), "f"
+        )
+        scored = (
+            posting.join(F.broadcast(q), "f")
+            .where(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.count(F.lit(1)).alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= RRF_PER_LIST
+        )
+
+    a = ranked(tok).select("query_id", "doc_id", F.col("rank").alias("rank_tok"))
+    b = ranked(shin).select("query_id", "doc_id", F.col("rank").alias("rank_shingle"))
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({RRF_K} + rank_tok)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({RRF_K} + rank_shingle)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_micro"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .where(F.col("fused_rank") <= RRF_TOPK)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
+def _rrf_sql() -> str:
+    qd = ", ".join(str(i) for i in RRF_QUERY_DOCS)
+    toks = tokens_sql("c")
+    return f"""
+WITH d AS ({_CLEANED}),
+tok AS (SELECT doc_id, unnest(list_distinct({toks})) AS f FROM d),
+shin AS (SELECT doc_id, unnest({_shingles_sql_inline('c')}) AS f FROM d),
+ra AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM (SELECT q.doc_id AS query_id, p.doc_id, count(*) AS score
+        FROM tok p JOIN tok q ON p.f = q.f
+        WHERE q.doc_id IN ({qd}) AND p.doc_id <> q.doc_id
+        GROUP BY 1, 2)
+  QUALIFY rank <= {RRF_PER_LIST}),
+rb AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM (SELECT q.doc_id AS query_id, p.doc_id, count(*) AS score
+        FROM shin p JOIN shin q ON p.f = q.f
+        WHERE q.doc_id IN ({qd}) AND p.doc_id <> q.doc_id
+        GROUP BY 1, 2)
+  QUALIFY rank <= {RRF_PER_LIST}),
+fused AS (
+  SELECT coalesce(ra.query_id, rb.query_id) AS query_id,
+         coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+         CAST(coalesce(1000000 // ({RRF_K} + ra.rank), 0)
+              + coalesce(1000000 // ({RRF_K} + rb.rank), 0) AS BIGINT) AS rrf_micro
+  FROM ra FULL OUTER JOIN rb
+    ON ra.query_id = rb.query_id AND ra.doc_id = rb.doc_id)
+SELECT query_id, doc_id, rrf_micro,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_micro DESC, doc_id) AS INT) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {RRF_TOPK}
+ORDER BY query_id, fused_rank
+"""
+
+
 def _q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flip side of docs_decontaminate: per BENCH doc, how badly it leaks
     into the train split — the report a benchmark owner reads to decide
@@ -2671,6 +2781,7 @@ QUERIES = [
         _q_contamination_report,
         _SQL_CONTAMINATION_REPORT,
     ),
+    QuerySpec("sim_rrf_hybrid", _q_rrf_hybrid, _rrf_sql()),
     QuerySpec("text_ngram_topk", _q_ngram_topk, _SQL_NGRAM_TOPK),
     QuerySpec("docs_sample_mixture", _q_sample_mixture, _SQL_SAMPLE_MIXTURE),
     QuerySpec("docs_pack_sequences", _q_pack_sequences, _SQL_PACK_SEQUENCES),
