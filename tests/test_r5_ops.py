@@ -299,3 +299,115 @@ def test_rrf_hybrid_recount(spark, sf_dir, documents):
         for rank, (d, s) in enumerate(fused[:RRF_TOPK], start=1):
             exp.append((q, d, s, rank))
     assert got == sorted(exp, key=lambda r: (r[0], r[3]))
+
+
+# ---------------------------------------------------------------------------
+# emb_kmeans_exact — sequential Lloyd replay on the quantized integers
+# ---------------------------------------------------------------------------
+
+def test_kmeans_exact_matches_python(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.operators.kmeans_exact import (
+        KM_OFFSET,
+        KM_SCALE,
+    )
+    from yanwenxian_week3_data_pipeline_spark.plans.curation_ext import (
+        KM_K,
+        KM_ROUNDS,
+    )
+
+    got = {
+        r["cell"]: (r["n_vecs"], r["inertia_e6"], r["centroid_sum"])
+        for r in _run(spark, sf_dir, "emb_kmeans_exact")
+    }
+
+    vecs = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    sq = {
+        v["vec_id"]: [
+            int(math.floor(float(x) * KM_SCALE + 0.5)) + KM_OFFSET
+            for x in v["embedding"]
+        ]
+        for v in vecs
+    }
+    dims = len(next(iter(sq.values())))
+    cents = {c: list(sq[c]) for c in range(KM_K)}
+
+    def assign(cents):
+        return {
+            v: min(
+                (sum((a - b) * (a - b) for a, b in zip(x, cents[c])), c)
+                for c in cents
+            )
+            for v, x in sq.items()
+        }
+
+    for _ in range(KM_ROUNDS):
+        a = assign(cents)
+        sums = {}
+        for v, (_d, c) in a.items():
+            s = sums.setdefault(c, [[0] * dims, 0])
+            s[1] += 1
+            for i, val in enumerate(sq[v]):
+                s[0][i] += val
+        cents = {
+            c: ([s // sums[c][1] for s in sums[c][0]] if c in sums else cents[c])
+            for c in range(KM_K)
+        }
+    fa = assign(cents)
+    stats = {}
+    for v, (d, c) in fa.items():
+        st = stats.setdefault(c, [0, 0])
+        st[0] += 1
+        st[1] += d
+    exp = {
+        c: (n, d // KM_SCALE, sum(cents[c])) for c, (n, d) in stats.items()
+    }
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# tbl_compaction_plan — sequential capacity-binning replay over hours
+# ---------------------------------------------------------------------------
+
+def test_compaction_plan_recount(spark, sf_dir):
+    from datetime import datetime
+
+    from yanwenxian_week3_data_pipeline_spark.plans.lakehouse_ext import (
+        COMPACT_TARGET_ROWS,
+    )
+
+    got = {
+        (r["day"], r["grp"]): (
+            r["n_partitions"],
+            r["total_rows"],
+            r["hr_lo"],
+            r["hr_hi"],
+            r["needs_compaction"],
+        )
+        for r in _run(spark, sf_dir, "tbl_compaction_plan")
+    }
+
+    events = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    hourly = defaultdict(int)
+    for e in events:
+        hourly[(e["ts"].date(), e["ts"].hour)] += 1
+    exp = {}
+    days = defaultdict(list)
+    for (day, hr), n in hourly.items():
+        days[day].append((hr, n))
+    for day, rows in days.items():
+        rows.sort()
+        cum = 0
+        for hr, n in rows:
+            grp = cum // COMPACT_TARGET_ROWS
+            key = (datetime.combine(day, datetime.min.time()), grp)
+            if key not in exp:
+                exp[key] = [0, 0, hr, hr]
+            cell = exp[key]
+            cell[0] += 1
+            cell[1] += n
+            cell[3] = hr
+            cum += n
+    exp = {
+        k: (p, t, lo, hi, p > 1) for k, (p, t, lo, hi) in exp.items()
+    }
+    assert got == exp

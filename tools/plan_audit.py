@@ -63,6 +63,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "dedup_semantic": {
         "BroadcastNestedLoopJoin": "n_cells-row trained-centroid table broadcast (assignment argmax)"
     },
+    "emb_kmeans_exact": {
+        "BroadcastNestedLoopJoin": "k-row integer-centroid table broadcast "
+        "(Lloyd assignment argmin — the dedup_semantic class)"
+    },
     "docs_dsir_select": {
         "BroadcastNestedLoopJoin": "1-row target/pool feature-total crossJoins (DSIR normalizers)"
     },

@@ -1212,8 +1212,33 @@ FROM q GROUP BY label ORDER BY label
 """
 
 
+# ---------------------------------------------------------------------------
+# emb_kmeans_exact — Lloyd k-means in pure integer arithmetic (see
+# operators/kmeans_exact.py): coordinates quantized once to micro ints,
+# then every round's assignment argmin and floor-div centroid update is
+# exact — a BIT-IDENTICAL clustering across engines, the pagerank
+# determinism contract extended to an iterative geometric algorithm.
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_ROUNDS = 3
+
+
+def _q_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans_exact import kmeans_exact
+
+    return kmeans_exact(_emb(spark, sf_dir), KM_K, KM_ROUNDS)
+
+
+def _sql_kmeans_exact() -> str:
+    from ..operators.kmeans_exact import kmeans_exact_oracle_sql
+
+    return kmeans_exact_oracle_sql("SELECT * FROM embeddings", KM_K, KM_ROUNDS)
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
+    QuerySpec("emb_kmeans_exact", _q_kmeans_exact, _sql_kmeans_exact()),
     QuerySpec(
         "docs_token_budget_waterfill", _q_token_budget_waterfill, _SQL_TOKEN_BUDGET
     ),

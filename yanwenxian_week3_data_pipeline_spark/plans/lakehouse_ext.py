@@ -399,8 +399,83 @@ SELECT check_name, metric, (metric >= 1.0) AS passed FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# tbl_compaction_plan — small-partition compaction planner: the hourly
+# event partitions are the "files"; within each day, hours are packed
+# into compaction groups by running-total capacity binning
+# (group = cum_rows_before div TARGET — the fixed-capacity approximation
+# every production compactor uses; a greedy exact-fit would be a
+# sequential scan). The plan emits per-group partition counts, row
+# totals, and the hour range to rewrite. Scale shape: one hourly
+# aggregate (map-side combinable) + one window partitioned by DAY (never
+# a global sort; a day holds ≤ 24 rows), then a group-by on the tiny
+# plan key. All-integer arithmetic.
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 4000
+
+
+def _q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.schema(
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    ).parquet(f"{sf_dir}/events.parquet")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy("day").orderBy("hr")
+    cum_before = F.coalesce(
+        F.sum("n_rows").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    planned = hourly.withColumn("cum_before", cum_before).withColumn(
+        "grp", F.expr(f"cum_before div {COMPACT_TARGET_ROWS}")
+    )
+    return (
+        planned.groupBy("day", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("hr").alias("hr_lo"),
+            F.max("hr").alias("hr_hi"),
+        )
+        .withColumn("needs_compaction", F.col("n_partitions") > 1)
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"),
+            "grp",
+            "n_partitions",
+            "total_rows",
+            "hr_lo",
+            "hr_hi",
+            "needs_compaction",
+        )
+        .orderBy("day", "grp")
+    )
+
+
+_SQL_COMPACTION_PLAN = f"""
+WITH hourly AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INT) AS hr,
+         count(*) AS n_rows
+  FROM events GROUP BY 1, 2),
+planned AS (
+  SELECT day, hr, n_rows,
+    CAST(coalesce(sum(n_rows) OVER (PARTITION BY day ORDER BY hr
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      // {COMPACT_TARGET_ROWS} AS BIGINT) AS grp
+  FROM hourly)
+SELECT CAST(day AS TIMESTAMP) AS day, grp,
+  CAST(count(*) AS BIGINT) AS n_partitions,
+  CAST(sum(n_rows) AS BIGINT) AS total_rows,
+  min(hr) AS hr_lo, max(hr) AS hr_hi,
+  count(*) > 1 AS needs_compaction
+FROM planned GROUP BY day, grp ORDER BY day, grp
+"""
+
+
 QUERIES = [
     QuerySpec("tbl_upsert_snapshot", _q_upsert_snapshot, _SQL_UPSERT_SNAPSHOT),
+    QuerySpec("tbl_compaction_plan", _q_compaction_plan, _SQL_COMPACTION_PLAN),
     QuerySpec("tbl_scd2_history", _q_scd2_history, _SQL_SCD2_HISTORY),
     QuerySpec("join_scd2_point_in_time", _q_scd2_pit, _SQL_SCD2_PIT),
     QuerySpec("tbl_incremental_hourly_agg", _q_incremental_agg, _SQL_INCREMENTAL_AGG),
