@@ -411,3 +411,41 @@ def test_compaction_plan_recount(spark, sf_dir):
         k: (p, t, lo, hi, p > 1) for k, (p, t, lo, hi) in exp.items()
     }
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_lsh degenerate-bucket guard
+# ---------------------------------------------------------------------------
+
+def test_emb_lsh_degenerate_bucket_guard(spark, monkeypatch):
+    import yanwenxian_week3_data_pipeline_spark.constants as C
+    from yanwenxian_week3_data_pipeline_spark.operators.similarity import (
+        dedup_embedding_lsh,
+    )
+
+    dim = C.EMB_DIM
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [1.0, 0.05] + [0.0] * (dim - 2)  # cosine ~0.9988 >= 0.99... no
+    # cosine(base, near) = 1/sqrt(1.0025) = 0.99875 -> passes 0.99 threshold
+    degenerate = [0.0] * (dim - 1) + [1.0]
+    rows = [(0, base), (1, near)] + [(100 + i, degenerate) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # ungated: the 40-clone cluster floods the output with C(40,2) pairs
+    pairs_open = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_embedding_lsh(df, 0.99).collect()
+    }
+    assert (0, 1) in pairs_open
+    assert sum(1 for a, b in pairs_open if a >= 100 and b >= 100) == 40 * 39 // 2
+
+    # gated (cap forced below the clone-cluster bucket): degenerate pairs
+    # are cut, the genuine near-dup pair survives in its small bucket
+    monkeypatch.setattr(C, "EMB_LSH_MAX_BUCKET_ABS", 5)
+    monkeypatch.setattr(C, "EMB_LSH_DEGEN_FACTOR", 1)
+    pairs_gated = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_embedding_lsh(df, 0.99).collect()
+    }
+    assert (0, 1) in pairs_gated
+    assert not any(a >= 100 and b >= 100 for a, b in pairs_gated)

@@ -139,6 +139,15 @@ EMB_LSH_PLANES = 32
 EMB_LSH_BANDS = 4
 EMB_LSH_BITS_PER_BAND = EMB_LSH_PLANES // EMB_LSH_BANDS
 EMB_LSH_SEED = 42
+# Degenerate-bucket guard for the band join (the DEDUP_MAX_BUCKET idea,
+# made RELATIVE): a band bucket is excluded from pair generation when its
+# size exceeds max(ABS floor, FACTOR x the uniform expectation N/2^bits).
+# Uniform growth never trips it (buckets and cap both scale with N); only
+# mass-collision degeneracy (e.g. millions of identical/zero vectors — the
+# exact-dedup regime, not LSH's job) does, which is what would otherwise
+# make the candidate join quadratic at 100 TB.
+EMB_LSH_MAX_BUCKET_ABS = 1000
+EMB_LSH_DEGEN_FACTOR = 20
 # near-dup verify threshold for the LSH query (true dups sit at ~1.0)
 EMB_COSINE_NEAR_DUP = 0.99
 # exact all-pairs query threshold: the synthetic embeddings are near-random

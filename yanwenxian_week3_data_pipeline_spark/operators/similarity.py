@@ -295,6 +295,31 @@ def dedup_embedding_lsh(
     banded = base.select(
         "id", F.posexplode(_band_vals(F.col("vec"))).alias("band_idx", "band_val")
     )
+    # degenerate-bucket guard (constants.EMB_LSH_MAX_BUCKET_ABS docstring):
+    # exclude buckets > max(abs floor, factor·N/2^bits) — the cap scales
+    # with N so uniform bucket growth never trips it, while mass-collision
+    # degeneracy (identical/zero vectors at 100 TB) is cut before it makes
+    # the candidate join quadratic. Window partitions by band_idx (``bands``
+    # partitions, bucket-count rows — never corpus-sized, no single
+    # partition).
+    from ..constants import EMB_LSH_DEGEN_FACTOR, EMB_LSH_MAX_BUCKET_ABS
+
+    counts = banded.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    cap = F.greatest(
+        F.lit(EMB_LSH_MAX_BUCKET_ABS).cast("long"),
+        F.expr(
+            f"({EMB_LSH_DEGEN_FACTOR} * sum(_c) OVER (PARTITION BY band_idx))"
+            f" div {1 << bits}"
+        ),
+    )
+    ok_buckets = (
+        counts.withColumn("_cap", cap)
+        .where(F.col("_c") <= F.col("_cap"))
+        .select("band_idx", "band_val")
+    )
+    banded = banded.join(ok_buckets, ["band_idx", "band_val"], "left_semi")
     # no persist: both self-join sides are the identical banded subtree, so
     # exchange reuse runs the Arrow matmul stage once (see dedup_minhash_lsh)
     a, b_ = banded.alias("a"), banded.alias("b")

@@ -50,6 +50,8 @@ from ..constants import (
     EMB_DIM,
     EMB_LSH_BANDS,
     EMB_LSH_BITS_PER_BAND,
+    EMB_LSH_DEGEN_FACTOR,
+    EMB_LSH_MAX_BUCKET_ABS,
     EMB_LSH_PLANES,
     EMB_LSH_SEED,
 )
@@ -791,9 +793,21 @@ WITH e AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + {EMB_COPY_OFFSET}, embedding FROM embeddings),
-banded AS (
+banded0 AS (
   SELECT vec_id AS id, u.band_idx AS band_idx, u.band_val AS band_val
   FROM e, UNNEST([{_emb_band_structs}]) AS t(u)),
+okb AS (
+  SELECT band_idx, band_val FROM (
+    SELECT band_idx, band_val, count(*) AS c,
+      greatest(CAST({EMB_LSH_MAX_BUCKET_ABS} AS BIGINT),
+        CAST(({EMB_LSH_DEGEN_FACTOR} * sum(count(*))
+              OVER (PARTITION BY band_idx)) AS HUGEINT)
+          // {1 << EMB_LSH_BITS_PER_BAND}) AS cap
+    FROM banded0 GROUP BY band_idx, band_val)
+  WHERE c <= cap),
+banded AS (
+  SELECT b.* FROM banded0 b SEMI JOIN okb
+    ON b.band_idx = okb.band_idx AND b.band_val = okb.band_val),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b
