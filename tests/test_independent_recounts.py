@@ -632,3 +632,37 @@ def test_corpus_curation_recount(spark, sf_dir, documents):
                 cell[2] += 1
                 cell[3] += nt
     assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+# ---------------------------------------------------------------------------
+# events_out_of_order_stats — arrival-order disorder accounting per user
+# ---------------------------------------------------------------------------
+
+def test_out_of_order_stats_recount(spark, sf_dir, events):
+    from yanwenxian_week3_data_pipeline_spark.plans.analytic_ext import OOO_GAP_MIN
+
+    got = {
+        r["user_id"]: (r["n_events"], r["n_late_10m"], r["max_disorder_s"])
+        for r in _run(spark, sf_dir, "events_out_of_order_stats")
+    }
+
+    by_user = defaultdict(list)
+    for e in events:
+        if e["user_id"] is not None:
+            by_user[e["user_id"]].append((e["event_id"], e["ts"]))
+    exp = {}
+    gap_us = OOO_GAP_MIN * 60 * 1_000_000
+    epoch = __import__("datetime").datetime(1970, 1, 1)
+    for u, evs in by_user.items():
+        evs.sort()
+        run_max, late, worst = None, 0, 0
+        for _eid, ts in evs:
+            t = (ts - epoch) // timedelta(microseconds=1)  # exact micros
+            if run_max is not None:
+                d = max(run_max - t, 0)
+                worst = max(worst, d)
+                if d > gap_us:
+                    late += 1
+            run_max = t if run_max is None else max(run_max, t)
+        exp[u] = (len(evs), late, worst // 1_000_000)
+    assert got == exp

@@ -1693,7 +1693,72 @@ WHERE rank <= {_CF_NEIGHBORS}
 """
 
 
+# ---------------------------------------------------------------------------
+# events_out_of_order_stats — per-user event-time disorder accounting, the
+# batch twin of streaming watermark tuning: with event_id as the arrival
+# sequence, an event is "late at gap g" iff its event time sits more than
+# g behind the user's running event-time maximum at arrival. Emits per
+# user the late count at the 10-minute gap and the maximum disorder in
+# whole seconds — exactly the numbers that size withWatermark() for the
+# keyed-state streaming jobs. One window shuffle keyed by user (the
+# running max rides arrival order per key; never a global sort); disorder
+# measured in exact integer microseconds.
+# ---------------------------------------------------------------------------
+
+OOO_GAP_MIN = 10
+
+
+def _q_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # epoch MICROSECONDS via pure NTZ arithmetic (timestamp_diff from the
+    # NTZ epoch) — never a cast through TIMESTAMP, which would interpret
+    # the NTZ value in the session zone (the rolling-7d lesson)
+    us = F.timestamp_diff("MICROSECOND", F.expr(_NTZ_EPOCH), F.col("ts"))
+    staged = ev.select(
+        "user_id", "event_id", us.alias("t")
+    ).withColumn("prev_max", F.max("t").over(w))
+    disorder = F.greatest(F.col("prev_max") - F.col("t"), F.lit(0))
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(disorder > OOO_GAP_MIN * 60 * 1_000_000, 1).otherwise(0)
+            ).cast("long").alias("n_late_10m"),
+            F.floor(
+                F.coalesce(F.max(disorder), F.lit(0)) / F.lit(1_000_000)
+            ).cast("long").alias("max_disorder_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_OUT_OF_ORDER = f"""
+WITH staged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM events WHERE user_id IS NOT NULL),
+d AS (SELECT user_id, greatest(prev_max - t, 0) AS disorder FROM staged)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CASE WHEN disorder > {OOO_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_late_10m,
+  CAST(floor(coalesce(max(disorder), 0) / 1000000) AS BIGINT) AS max_disorder_s
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "events_out_of_order_stats", _q_out_of_order_stats, _SQL_OUT_OF_ORDER
+    ),
     QuerySpec("groupby_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS),
     QuerySpec("agg_percentiles", _q_percentiles, _SQL_PERCENTILES),
     QuerySpec("agg_stats_moments", _q_stats_moments, _SQL_STATS_MOMENTS),
