@@ -666,3 +666,65 @@ def test_out_of_order_stats_recount(spark, sf_dir, events):
             run_max = t if run_max is None else max(run_max, t)
         exp[u] = (len(evs), late, worst // 1_000_000)
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_timed — deadline-bounded funnel recount
+# ---------------------------------------------------------------------------
+
+def test_funnel_timed_recount(spark, sf_dir, events):
+    from yanwenxian_week3_data_pipeline_spark.plans.analytic_ext import (
+        FUNNEL_DEADLINE_MIN,
+    )
+
+    row = _run(spark, sf_dir, "events_funnel_timed")[0]
+
+    by_user = defaultdict(list)
+    for e in events:
+        by_user[e["user_id"]].append((e["ts"], e["event_type"]))
+    deadline = timedelta(minutes=FUNNEL_DEADLINE_MIN)
+    n_users = len(by_user)
+    s1 = s2 = s3 = 0
+    for evs in by_user.values():
+        signups = [ts for ts, t in evs if t == "signup"]
+        if not signups:
+            continue
+        s1 += 1
+        s = min(signups)
+        views = [ts for ts, t in evs if t == "view" and ts > s]
+        if not views:
+            continue
+        s2 += 1
+        v = min(views)
+        if any(
+            t == "purchase" and v < ts <= v + deadline for ts, t in evs
+        ):
+            s3 += 1
+    assert (
+        row["n_users"],
+        row["n_signup"],
+        row["n_view_after_signup"],
+        row["n_purchase_within_1h"],
+    ) == (n_users, s1, s2, s3)
+
+
+# ---------------------------------------------------------------------------
+# events_hll_rollup_daily — exact weekly distincts + the sketch bound
+# ---------------------------------------------------------------------------
+
+def test_hll_rollup_recount(spark, sf_dir, events):
+    got = {
+        r["week"]: (r["n_days"], r["exact_distinct_users"], r["hll_within_bound"])
+        for r in _run(spark, sf_dir, "events_hll_rollup_daily")
+    }
+    weeks = defaultdict(lambda: [set(), set()])
+    for e in events:
+        if e["user_id"] is None:
+            continue
+        d = e["ts"].date()
+        monday = d - timedelta(days=d.weekday())
+        cell = weeks[__import__("datetime").datetime.combine(monday, __import__("datetime").time())]
+        cell[0].add(d)
+        cell[1].add(e["user_id"])
+    exp = {w: (len(ds), len(us), True) for w, (ds, us) in weeks.items()}
+    assert got == exp

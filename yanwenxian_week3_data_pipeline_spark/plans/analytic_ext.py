@@ -1694,6 +1694,146 @@ WHERE rank <= {_CF_NEIGHBORS}
 
 
 # ---------------------------------------------------------------------------
+# events_hll_rollup_daily — sketch-reuse HIERARCHY: per-day HLL sketches
+# of the user set, merged upward to per-week estimates WITHOUT rescanning
+# the fact table — the production pattern for distinct-count rollups at
+# 100 TB (persist the day sketch, answer any coarser grain by union).
+# Like agg_hll_partial_union, the sketch estimate is engine-specific, so
+# the checked output per week is the exact distinct count plus a boolean
+# asserting the merged estimate landed within ±5 % (≈3σ at lgK 12 — a
+# deterministic pass for a correct union); the oracle emits the exact
+# count and literal true.
+# ---------------------------------------------------------------------------
+
+def _q_hll_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    week = F.date_trunc("week", F.to_date("ts")).cast("timestamp_ntz")
+    daily = ev.groupBy(
+        week.alias("week"), F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = daily.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.groupBy(week.alias("week")).agg(
+        F.countDistinct("user_id").alias("exact_distinct_users")
+    )
+    err = F.abs(F.col("est") - F.col("exact_distinct_users")) / F.greatest(
+        F.col("exact_distinct_users"), F.lit(1)
+    )
+    return (
+        weekly.join(exact, "week")
+        .select(
+            "week",
+            "n_days",
+            "exact_distinct_users",
+            (err <= F.lit(0.05)).alias("hll_within_bound"),
+        )
+        .orderBy("week")
+    )
+
+
+_SQL_HLL_ROLLUP = """
+WITH e AS (SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS TIMESTAMP) AS week,
+                  CAST(ts AS DATE) AS day, user_id
+           FROM events WHERE user_id IS NOT NULL)
+SELECT week, CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct_users,
+       true AS hll_within_bound
+FROM e GROUP BY week ORDER BY week
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_timed — the conversion funnel with a DEADLINE on the last
+# hop (view strictly after first signup; purchase strictly after the
+# first qualifying view AND within 1 hour of it) — how product funnels
+# are actually specified. Same one-shuffle running-window shape as
+# events_funnel_conversion; the deadline is one extra predicate against
+# the carried first-view timestamp. Semantics note: conversion is pinned
+# to the FIRST qualifying view (the carried minimum), so a later view
+# that would put a purchase inside the window does not count — the
+# standard first-touch attribution rule.
+# ---------------------------------------------------------------------------
+
+FUNNEL_DEADLINE_MIN = 60
+
+
+def _q_funnel_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    staged = ev.withColumn("signup_ts", first_signup).withColumn(
+        "conv_view",
+        (F.col("event_type") == "view") & (F.col("signup_ts") < F.col("ts")),
+    )
+    deadline = F.col("conv_view_ts") + F.expr(
+        f"INTERVAL {FUNNEL_DEADLINE_MIN} MINUTES"
+    )
+    staged = staged.withColumn(
+        "conv_view_ts", F.min(F.when(F.col("conv_view"), F.col("ts"))).over(w)
+    ).withColumn(
+        "conv_purchase",
+        (F.col("event_type") == "purchase")
+        & (F.col("conv_view_ts") < F.col("ts"))
+        & (F.col("ts") <= deadline),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("event_type") == "signup").alias("s1"),
+        F.max("conv_view").alias("s2"),
+        F.max("conv_purchase").alias("s3"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s1").cast("long")).alias("n_signup"),
+        F.sum(F.col("s2").cast("long")).alias("n_view_after_signup"),
+        F.sum(F.col("s3").cast("long")).alias("n_purchase_within_1h"),
+    )
+
+
+_SQL_FUNNEL_TIMED = f"""
+WITH staged1 AS (
+  SELECT user_id, event_type, ts,
+    min(CASE WHEN event_type = 'signup' THEN ts END)
+      OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_ts
+  FROM events),
+staged2 AS (
+  SELECT *, (event_type = 'view' AND signup_ts < ts) AS conv_view FROM staged1),
+staged3 AS (
+  SELECT *,
+    min(CASE WHEN conv_view THEN ts END)
+      OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_view_ts
+  FROM staged2),
+staged4 AS (
+  SELECT *, (event_type = 'purchase' AND conv_view_ts < ts
+             AND ts <= conv_view_ts + INTERVAL {FUNNEL_DEADLINE_MIN} MINUTE)
+          AS conv_purchase
+  FROM staged3),
+per_user AS (
+  SELECT user_id,
+    max(event_type = 'signup') AS s1,
+    max(conv_view) AS s2,
+    max(conv_purchase) AS s3
+  FROM staged4 GROUP BY user_id)
+SELECT count(*) AS n_users,
+  CAST(sum(CAST(s1 AS BIGINT)) AS BIGINT) AS n_signup,
+  CAST(sum(CAST(s2 AS BIGINT)) AS BIGINT) AS n_view_after_signup,
+  CAST(sum(CAST(s3 AS BIGINT)) AS BIGINT) AS n_purchase_within_1h
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
 # events_out_of_order_stats — per-user event-time disorder accounting, the
 # batch twin of streaming watermark tuning: with event_id as the arrival
 # sequence, an event is "late at gap g" iff its event time sits more than
@@ -1759,6 +1899,8 @@ QUERIES = [
     QuerySpec(
         "events_out_of_order_stats", _q_out_of_order_stats, _SQL_OUT_OF_ORDER
     ),
+    QuerySpec("events_funnel_timed", _q_funnel_timed, _SQL_FUNNEL_TIMED),
+    QuerySpec("events_hll_rollup_daily", _q_hll_rollup_daily, _SQL_HLL_ROLLUP),
     QuerySpec("groupby_grouping_sets", _q_grouping_sets, _SQL_GROUPING_SETS),
     QuerySpec("agg_percentiles", _q_percentiles, _SQL_PERCENTILES),
     QuerySpec("agg_stats_moments", _q_stats_moments, _SQL_STATS_MOMENTS),
