@@ -775,34 +775,32 @@ def _q_dedup_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding_lsh(e.unionByName(copies), EMB_COSINE_NEAR_DUP)
 
 
-_emb_planes = hyperplane_matrix(EMB_LSH_PLANES, EMB_DIM, EMB_LSH_SEED)
-_emb_band_structs = ", ".join(
-    "{'band_idx': %d, 'band_val': %s}"
-    % (
-        b,
-        band_value_sql(
-            "embedding",
-            _emb_planes[b * EMB_LSH_BITS_PER_BAND : (b + 1) * EMB_LSH_BITS_PER_BAND],
-        ),
+def _sql_emb_lsh(planes_n: int, bands: int) -> str:
+    """Oracle builder for the embedding-LSH family at a given
+    (planes, bands) tier — bit-exact twin of dedup_embedding_lsh including
+    the degenerate-bucket cap arithmetic."""
+    bits = planes_n // bands
+    planes = hyperplane_matrix(planes_n, EMB_DIM, EMB_LSH_SEED)
+    band_structs = ", ".join(
+        "{'band_idx': %d, 'band_val': %s}"
+        % (b, band_value_sql("embedding", planes[b * bits : (b + 1) * bits]))
+        for b in range(bands)
     )
-    for b in range(EMB_LSH_BANDS)
-)
-
-_SQL_DEDUP_EMB_LSH = f"""
+    return f"""
 WITH e AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + {EMB_COPY_OFFSET}, embedding FROM embeddings),
 banded0 AS (
   SELECT vec_id AS id, u.band_idx AS band_idx, u.band_val AS band_val
-  FROM e, UNNEST([{_emb_band_structs}]) AS t(u)),
+  FROM e, UNNEST([{band_structs}]) AS t(u)),
 okb AS (
   SELECT band_idx, band_val FROM (
     SELECT band_idx, band_val, count(*) AS c,
       greatest(CAST({EMB_LSH_MAX_BUCKET_ABS} AS BIGINT),
         CAST(({EMB_LSH_DEGEN_FACTOR} * sum(count(*))
               OVER (PARTITION BY band_idx)) AS HUGEINT)
-          // {1 << EMB_LSH_BITS_PER_BAND}) AS cap
+          // {1 << bits}) AS cap
     FROM banded0 GROUP BY band_idx, band_val)
   WHERE c <= cap),
 banded AS (
@@ -818,6 +816,40 @@ v AS (
   FROM cand JOIN n a ON a.vec_id = id_a JOIN n b ON b.vec_id = id_b)
 SELECT id_a, id_b, cosine FROM v WHERE cosine >= {EMB_COSINE_NEAR_DUP}
 """
+
+
+_SQL_DEDUP_EMB_LSH = _sql_emb_lsh(EMB_LSH_PLANES, EMB_LSH_BANDS)
+
+
+# ---------------------------------------------------------------------------
+# dedup_embedding_lsh_wide — the SCALE TIER of the embedding LSH: 4 bands
+# × 16 bits (64 hyperplanes). Fixed-width bands make LSH candidates grow
+# as N²·2^-bits — at 100 TB you SIZE bits to the corpus (bits ≈ log2 of
+# the per-band bucket budget), which is a config choice, not a code
+# change. 16-bit bands cut a random pair's band-collision probability
+# from 2^-8 to 2^-16 (candidates ÷256 at equal N) at ~0.93 theoretical
+# recall for cosine 0.99 (vs 0.99 at 8-bit); exact duplicates still
+# collide on every band, so dup recall stays 1 — measured: identical
+# answer set on the fixture (the sweep's hash equality IS that check).
+# ---------------------------------------------------------------------------
+
+EMB_LSH_PLANES_WIDE = 64
+
+
+def _q_dedup_emb_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = e.select(
+        (F.col("vec_id") + F.lit(EMB_COPY_OFFSET)).alias("vec_id"), "embedding"
+    )
+    return dedup_embedding_lsh(
+        e.unionByName(copies),
+        EMB_COSINE_NEAR_DUP,
+        n_planes=EMB_LSH_PLANES_WIDE,
+        bands=EMB_LSH_BANDS,
+    )
+
+
+_SQL_DEDUP_EMB_LSH_WIDE = _sql_emb_lsh(EMB_LSH_PLANES_WIDE, EMB_LSH_BANDS)
 
 
 # ---------------------------------------------------------------------------
@@ -2767,6 +2799,9 @@ QUERIES = [
     QuerySpec("sim_cosine_topk_ivf", _q_cosine_topk_ivf, _SQL_COSINE_TOPK_IVF),
     QuerySpec("dedup_embedding_cosine", _q_emb_cosine_pairs, _SQL_EMB_COSINE_PAIRS),
     QuerySpec("dedup_embedding_lsh", _q_dedup_emb_lsh, _SQL_DEDUP_EMB_LSH, headline=True),
+    QuerySpec(
+        "dedup_embedding_lsh_wide", _q_dedup_emb_lsh_wide, _SQL_DEDUP_EMB_LSH_WIDE
+    ),
     QuerySpec("emb_label_norms", _q_emb_norms, _SQL_EMB_NORMS),
     QuerySpec("docs_emb_length_mass_corr", _q_doc_emb_corr, _SQL_DOC_EMB_CORR),
     QuerySpec("mm_binary_meta", _q_mm_binary_meta, _SQL_MM_BINARY_META),
