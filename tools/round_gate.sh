@@ -7,8 +7,19 @@
 #   5. bench            (~2 min)  headline wall-times at sf0.1
 # Optional: pass a sf dir for an extra full sweep at that scale (the sf0.1
 # sweep adds ~9 min and is worth running before a round ends).
+# ORDERING DISCIPLINE (the r4 lesson): this gate must run AFTER the last
+# code/test commit of the round — a test file landed post-gate in r4 and
+# was red for a whole round. The banner below pins the gate to a commit;
+# if HEAD moves afterwards, the gate is stale and must re-run. The gate
+# also REFUSES to certify a dirty tree.
 set -e
 cd "$(dirname "$0")/.."
+if [ -n "$(git status --porcelain)" ]; then
+  echo "round gate: REFUSING — uncommitted changes present" >&2
+  git status --short >&2
+  exit 1
+fi
+echo "round gate: $(date -u +%FT%TZ) at commit $(git rev-parse --short HEAD)"
 python -m pytest tests/ -q
 python tools/verify_all.py /root/testdata/sf0.01
 VERIFY_TZ=America/New_York python tools/verify_all.py /root/testdata/sf0.01
@@ -17,4 +28,4 @@ python bench.py
 if [ -n "$1" ]; then
   python tools/verify_all.py "$1"
 fi
-echo "round gate: ALL GREEN"
+echo "round gate: ALL GREEN at commit $(git rev-parse --short HEAD), $(date -u +%FT%TZ)"
