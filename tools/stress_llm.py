@@ -25,9 +25,10 @@ candidate blowup. So each replica r > 0 applies a STRUCTURE-PRESERVING relabelin
 True-pair density per replica is therefore constant and the answer grows
 ~k, so the wall(k)/wall(1) ratios measure the ENGINE, not the workload.
 
-Usage: python tools/stress_llm.py [base_sf_dir] [out_root]
-  base_sf_dir  default /root/testdata/sf0.1
-  out_root     default /tmp/llm_scale
+Usage: python tools/stress_llm.py [base_sf_dir] [out_root] [query_prefix ...]
+  base_sf_dir   default /root/testdata/sf0.1
+  out_root      default /tmp/llm_scale
+  query_prefix  optional: only stress queries starting with any prefix
 """
 
 from __future__ import annotations
@@ -181,8 +182,19 @@ def generate(spark, base_dir: str, out_dir: str, k: int) -> None:
 
 
 def main() -> None:
+    # Usage: stress_llm.py [base_sf_dir] [out_root] [query_prefix ...]
+    # Timing protocol (r6): one warm run (plan + shuffle files + JIT),
+    # then MEDIAN OF 3 timed runs per (query, scale). The r5 harness
+    # timed a single run right after corpus generation, and the 1x base
+    # — measured first, on the coldest JVM — could read ~2x slow,
+    # inflating every wall(k)/wall(1) ratio (ROUND5.md saw 6.15x for
+    # docs_lrs_capped cold vs 3.4-4.2x warm re-measures).
     base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/llm_scale"
+    prefixes = sys.argv[3:]
+    queries = [
+        q for q in QUERIES if not prefixes or any(q.startswith(p) for p in prefixes)
+    ]
 
     from yanwenxian_week3_data_pipeline_spark.plans import all_queries
     from yanwenxian_week3_data_pipeline_spark.session import get_spark
@@ -191,24 +203,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    walls: dict[str, dict[int, float]] = {q: {} for q in QUERIES}
+    walls: dict[str, dict[int, float]] = {q: {} for q in queries}
     for k in SCALES:
         out = f"{root}_{k}x"
         generate(spark, base, out, k)
         n_docs = spark.read.parquet(f"{out}/documents.parquet").count()
         n_vecs = spark.read.parquet(f"{out}/embeddings.parquet").count()
         print(f"-- scale {k}x: {n_docs} docs / {n_vecs} vectors")
-        for name in QUERIES:
+        for name in queries:
             build = EXTRA_BUILDS.get(name) or qs[name].build
             build(spark, out).count()  # warm (plan + shuffle files)
-            t0 = time.time()
-            rows = build(spark, out).count()
-            dt = time.time() - t0
+            samples = []
+            for _ in range(3):
+                t0 = time.time()
+                rows = build(spark, out).count()
+                samples.append(time.time() - t0)
+            dt = sorted(samples)[1]
             walls[name][k] = dt
-            print(f"{name}: {dt:.2f}s rows={rows} docs_per_s={n_docs / dt:,.0f}")
+            print(
+                f"{name}: {dt:.2f}s (3 warm: "
+                f"{' '.join(f'{s:.2f}' for s in samples)}) rows={rows} "
+                f"docs_per_s={n_docs / dt:,.0f}"
+            )
 
     print("-- linearity (wall(k)/wall(1) vs k; ~k = linear, ~k^2 = quadratic)")
-    for name in QUERIES:
+    for name in queries:
         w1 = walls[name][SCALES[0]]
         ratios = " ".join(f"{k}x:{walls[name][k] / w1:.2f}" for k in SCALES)
         print(f"{name}: {ratios}")

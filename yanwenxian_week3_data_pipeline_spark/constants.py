@@ -148,6 +148,40 @@ EMB_LSH_SEED = 42
 # make the candidate join quadratic at 100 TB.
 EMB_LSH_MAX_BUCKET_ABS = 1000
 EMB_LSH_DEGEN_FACTOR = 20
+# Count-adaptive band width (the default dedup_embedding_lsh tier): band
+# values are always computed at the FINEST width (EMB_LSH_BITS_MAX bits
+# per band = EMB_LSH_BANDS x EMB_LSH_BITS_MAX hyperplanes) and coarsened
+# by a count-driven modulus, band_val % bmod — taking the LOW `bits`
+# planes of each band. Fixed-width bands make LSH candidates grow as
+# N^2 * 2^-bits, so `bits` must be sized to the corpus; deriving it from
+# COUNT(*) inside the plan keeps the choice identical in Spark and the
+# DuckDB oracle (both evaluate the same CASE on the same count) with no
+# driver round-trip. Policy: bmod ~ N/4 rounded down to a power of 4,
+# clamped to [2^8, 2^16] — the average bucket stays ~4 rows, so random
+# band collisions (~N^2/(2*bmod) per band) grow LINEARLY with N instead
+# of quadratically, while 0.99-cosine recall stays high (p_bit ~ 0.955;
+# 4 bands: 8 bits -> 0.99, 10 -> 0.98, 12 -> 0.97, 14 -> 0.95,
+# 16 -> 0.93; exact duplicates collide at every width, recall 1).
+# Extending past 2^16 at larger N is one more (threshold, modulus) row
+# + more planes.
+EMB_LSH_BITS_MAX = 16
+EMB_LSH_ADAPTIVE_STEPS = (  # (N below, bmod)
+    (2048, 1 << 8),
+    (8192, 1 << 10),
+    (32768, 1 << 12),
+    (131072, 1 << 14),
+)
+EMB_LSH_BMOD_MAX = 1 << EMB_LSH_BITS_MAX
+
+
+def emb_lsh_bmod_case_sql(n_col: str) -> str:
+    """The shared Spark-SQL / DuckDB CASE mapping corpus count -> band
+    modulus. ONE string evaluated by both engines = the adaptive choice
+    cannot diverge."""
+    whens = " ".join(
+        f"WHEN {n_col} < {thr} THEN {bmod}" for thr, bmod in EMB_LSH_ADAPTIVE_STEPS
+    )
+    return f"CAST(CASE {whens} ELSE {EMB_LSH_BMOD_MAX} END AS BIGINT)"
 # near-dup verify threshold for the LSH query (true dups sit at ~1.0)
 EMB_COSINE_NEAR_DUP = 0.99
 # exact all-pairs query threshold: the synthetic embeddings are near-random

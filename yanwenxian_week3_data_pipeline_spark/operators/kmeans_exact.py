@@ -72,8 +72,11 @@ def kmeans_exact(
     q = emb.select(
         F.col(vec_id).alias("vec_id"), quantize_expr(F.col(embedding)).alias("xq")
     ).localCheckpoint(eager=True)
+    # seeds = the k smallest vec_ids (rank-based, so a sparse or offset id
+    # space still yields exactly min(k, N) seeds; `vec_id < k` would not)
     cents = (
-        q.where(F.col("vec_id") < k)
+        q.orderBy("vec_id")
+        .limit(k)
         .select(F.col("vec_id").cast("int").alias("cell"), F.col("xq").alias("cq"))
         .localCheckpoint(eager=True)
     )
@@ -110,7 +113,10 @@ def kmeans_exact(
     final = assign(cents)
     stats = final.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.expr(f"CAST(sum(dist) AS DECIMAL(38,0)) div {KM_SCALE}")
+        # sum in DECIMAL(38,0), not LONG: a cell of ~tens of thousands of
+        # vectors at dist ~2.6e14 would overflow a long accumulator, while
+        # the DuckDB twin sums in HUGEINT — decimal keeps both exact
+        F.expr(f"CAST(sum(CAST(dist AS DECIMAL(38,0))) AS DECIMAL(38,0)) div {KM_SCALE}")
         .cast("long")
         .alias("inertia_e6"),
     )
@@ -143,7 +149,7 @@ def kmeans_exact_oracle_sql(
          + {KM_OFFSET}) AS xq
   FROM ({emb_sql})),""",
         f"c0 AS MATERIALIZED (SELECT CAST(vec_id AS INT) AS cell, xq AS cq"
-        f" FROM q WHERE vec_id < {k}),",
+        f" FROM q ORDER BY vec_id LIMIT {k}),",
     ]
     for r in range(1, rounds + 1):
         p = r - 1

@@ -251,24 +251,31 @@ def dedup_embedding_lsh(
       3. distinct candidate pairs → exact-cosine verify (join the vectors
          back) → round(cosine, 6) ≥ threshold.
 
-    With the default 4 bands × 8 bits: recall ≈ 0.99 at cosine 0.99 and only
-    ~1.6 % of random pairs ever become candidates. Identical vectors collide
-    on every band, so exact-duplicate recall is 1."""
+    Band width is COUNT-ADAPTIVE by default (``n_planes=None``): band keys
+    are computed once at EMB_LSH_BITS_MAX bits and coarsened by
+    ``band_val % bmod`` where bmod comes from the shared
+    ``emb_lsh_bmod_case_sql`` CASE over the corpus count — fixed-width
+    bands grow candidates as N²·2^-bits, so bits must be sized to N
+    (constants.py policy note). Passing ``n_planes`` pins a fixed tier
+    (the streaming twin and recall tests use this).
+
+    Identical vectors collide at every width, so exact-duplicate recall
+    is 1; 0.99-cosine recall is ~0.99/0.97/0.93 at 8/12/16 bits."""
     from ..constants import (
         EMB_DIM,
         EMB_LSH_BANDS,
-        EMB_LSH_BITS_PER_BAND,
-        EMB_LSH_PLANES,
+        EMB_LSH_BITS_MAX,
         EMB_LSH_SEED,
+        emb_lsh_bmod_case_sql,
     )
     from ..functions.vectors import hyperplane_matrix
 
-    n_planes = n_planes or EMB_LSH_PLANES
+    adaptive = n_planes is None
     bands = bands or EMB_LSH_BANDS
     seed = EMB_LSH_SEED if seed is None else seed
     dim = dim or EMB_DIM
-    bits = n_planes // bands
-    planes = hyperplane_matrix(n_planes, dim, seed)
+    bits = EMB_LSH_BITS_MAX if adaptive else n_planes // bands
+    planes = hyperplane_matrix(bands * bits, dim, seed)
 
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
 
@@ -292,36 +299,60 @@ def dedup_embedding_lsh(
 
     _band_vals = embedding_band_vals_udf(planes, bands, bits)
 
-    banded = base.select(
-        "id", F.posexplode(_band_vals(F.col("vec"))).alias("band_idx", "band_val")
+    # Corpus count as a 1-row broadcast scalar: each id produces exactly one
+    # row per band, so the per-band banded total IS this count — the guard's
+    # cap and the adaptive width derive from the same aggregate in one
+    # columnar count scan (no second pass over the banded table).
+    nrow = base.agg(F.count(F.lit(1)).alias("_n"))
+    bmod = (
+        F.expr(emb_lsh_bmod_case_sql("_n"))
+        if adaptive
+        else F.lit(1 << bits).cast("long")
+    )
+    banded = (
+        base.select(
+            "id", F.posexplode(_band_vals(F.col("vec"))).alias("band_idx", "band_val_w")
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "id",
+            "band_idx",
+            (F.col("band_val_w") % bmod).alias("band_val"),
+            F.col("_n"),
+            bmod.alias("_bmod"),
+        )
     )
     # degenerate-bucket guard (constants.EMB_LSH_MAX_BUCKET_ABS docstring):
-    # exclude buckets > max(abs floor, factor·N/2^bits) — the cap scales
-    # with N so uniform bucket growth never trips it, while mass-collision
+    # exclude buckets > max(abs floor, factor·N/bmod) — the cap scales with
+    # N so uniform bucket growth never trips it, while mass-collision
     # degeneracy (identical/zero vectors at 100 TB) is cut before it makes
-    # the candidate join quadratic. Window partitions by band_idx (``bands``
-    # partitions, bucket-count rows — never corpus-sized, no single
-    # partition).
+    # the candidate join quadratic. The bucket count is a window over
+    # (band_idx, band_val) — the SAME partitioning the self-join shuffles
+    # on, so the guard rides the join's own exchange: zero extra passes
+    # over the banded table (the r5 two-pass guard cost +36 % wall).
     from ..constants import EMB_LSH_DEGEN_FACTOR, EMB_LSH_MAX_BUCKET_ABS
 
-    counts = banded.groupBy("band_idx", "band_val").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
+    wb = Window.partitionBy("band_idx", "band_val")
     cap = F.greatest(
         F.lit(EMB_LSH_MAX_BUCKET_ABS).cast("long"),
-        F.expr(
-            f"({EMB_LSH_DEGEN_FACTOR} * sum(_c) OVER (PARTITION BY band_idx))"
-            f" div {1 << bits}"
-        ),
+        F.expr(f"({EMB_LSH_DEGEN_FACTOR} * _n) div _bmod"),
     )
-    ok_buckets = (
-        counts.withColumn("_cap", cap)
-        .where(F.col("_c") <= F.col("_cap"))
-        .select("band_idx", "band_val")
+    banded = (
+        banded.withColumn("_c", F.count(F.lit(1)).over(wb))
+        .where(F.col("_c") <= cap)
+        .select("id", "band_idx", "band_val")
     )
-    banded = banded.join(ok_buckets, ["band_idx", "band_val"], "left_semi")
-    # no persist: both self-join sides are the identical banded subtree, so
-    # exchange reuse runs the Arrow matmul stage once (see dedup_minhash_lsh)
+    # Eager checkpoint before the self-join: left to itself the planner
+    # broadcasts one self-join side, wrapping it in a BroadcastExchange
+    # whose subtree no longer matches the other — the Arrow matmul stage
+    # then runs TWICE (measured: the r5 two-pass guard + double matmul was
+    # the +36 % headline regression; a merge hint alone still re-ran the
+    # matmul under AQE). The banded frame is N·bands (id, band_idx,
+    # band_val) rows — a few longs per input vector, far smaller than the
+    # vectors themselves — so materializing it once is the cheapest way to
+    # guarantee single execution of the matmul + guard across both join
+    # sides (the components.py / pagerank.py lineage discipline).
+    banded = banded.localCheckpoint(eager=True)
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -1053,7 +1053,12 @@ def _q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum += n
         if cum + n * (S - i) <= T:
             k, cum_k = i, cum
-    c = rows[-1][0] if k == S else (T - cum_k) // (S - k)
+    if not rows:
+        c = 0  # empty corpus: S == k == 0; the oracle degrades via null nmax
+    elif k == S:
+        c = rows[-1][0]
+    else:
+        c = (T - cum_k) // (S - k)
     return per.select(
         "source",
         "n_tokens",
@@ -1111,7 +1116,9 @@ def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = d.withColumn("rn", F.row_number().over(w))
     cnt = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
     j = ranked.join(F.broadcast(cnt), ["lang", "source"])
-    val = F.col("rn") <= (F.col("n_docs") / SPLIT_VAL_DEN).cast("long")
+    # exact integer division (house rule): double division + cast matches
+    # floor only while the double can't round up — `div` mirrors DuckDB `//`
+    val = F.col("rn") <= F.expr(f"n_docs div {SPLIT_VAL_DEN}")
     return (
         j.groupBy("lang", "source")
         .agg(

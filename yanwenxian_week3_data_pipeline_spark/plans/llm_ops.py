@@ -49,10 +49,8 @@ from ..constants import (
     EMB_COSINE_PAIRS_THRESHOLD,
     EMB_DIM,
     EMB_LSH_BANDS,
-    EMB_LSH_BITS_PER_BAND,
     EMB_LSH_DEGEN_FACTOR,
     EMB_LSH_MAX_BUCKET_ABS,
-    EMB_LSH_PLANES,
     EMB_LSH_SEED,
 )
 from ..functions.vectors import (
@@ -775,37 +773,48 @@ def _q_dedup_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding_lsh(e.unionByName(copies), EMB_COSINE_NEAR_DUP)
 
 
-def _sql_emb_lsh(planes_n: int, bands: int) -> str:
-    """Oracle builder for the embedding-LSH family at a given
-    (planes, bands) tier — bit-exact twin of dedup_embedding_lsh including
-    the degenerate-bucket cap arithmetic."""
-    bits = planes_n // bands
-    planes = hyperplane_matrix(planes_n, EMB_DIM, EMB_LSH_SEED)
+def _sql_emb_lsh(planes_n: int | None, bands: int) -> str:
+    """Oracle builder for the embedding-LSH family — bit-exact twin of
+    dedup_embedding_lsh including the degenerate-bucket cap arithmetic.
+    ``planes_n=None`` = the count-adaptive default tier: band values at
+    EMB_LSH_BITS_MAX bits coarsened by the shared bmod CASE over COUNT(*)
+    (constants.emb_lsh_bmod_case_sql — one string, both engines). The
+    guard mirrors the operator: each id appears exactly once per band, so
+    the per-band total IS the corpus count, and the bucket count is a
+    window over (band_idx, band_val)."""
+    from ..constants import EMB_LSH_BITS_MAX, emb_lsh_bmod_case_sql
+
+    adaptive = planes_n is None
+    bits = EMB_LSH_BITS_MAX if adaptive else planes_n // bands
+    planes = hyperplane_matrix(bands * bits, EMB_DIM, EMB_LSH_SEED)
     band_structs = ", ".join(
         "{'band_idx': %d, 'band_val': %s}"
         % (b, band_value_sql("embedding", planes[b * bits : (b + 1) * bits]))
         for b in range(bands)
+    )
+    bmod_sql = (
+        emb_lsh_bmod_case_sql("n_tot") if adaptive else f"CAST({1 << bits} AS BIGINT)"
     )
     return f"""
 WITH e AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + {EMB_COPY_OFFSET}, embedding FROM embeddings),
+nn AS (
+  SELECT n_tot, {bmod_sql} AS bmod
+  FROM (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM e)),
 banded0 AS (
-  SELECT vec_id AS id, u.band_idx AS band_idx, u.band_val AS band_val
-  FROM e, UNNEST([{band_structs}]) AS t(u)),
-okb AS (
-  SELECT band_idx, band_val FROM (
-    SELECT band_idx, band_val, count(*) AS c,
-      greatest(CAST({EMB_LSH_MAX_BUCKET_ABS} AS BIGINT),
-        CAST(({EMB_LSH_DEGEN_FACTOR} * sum(count(*))
-              OVER (PARTITION BY band_idx)) AS HUGEINT)
-          // {1 << bits}) AS cap
-    FROM banded0 GROUP BY band_idx, band_val)
-  WHERE c <= cap),
+  SELECT vec_id AS id, u.band_idx AS band_idx, u.band_val % bmod AS band_val,
+         n_tot, bmod
+  FROM e, nn, UNNEST([{band_structs}]) AS t(u)),
 banded AS (
-  SELECT b.* FROM banded0 b SEMI JOIN okb
-    ON b.band_idx = okb.band_idx AND b.band_val = okb.band_val),
+  SELECT id, band_idx, band_val FROM (
+    SELECT id, band_idx, band_val,
+      count(*) OVER (PARTITION BY band_idx, band_val) AS c,
+      greatest(CAST({EMB_LSH_MAX_BUCKET_ABS} AS BIGINT),
+               ({EMB_LSH_DEGEN_FACTOR} * n_tot) // bmod) AS cap
+    FROM banded0)
+  WHERE c <= cap),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b
@@ -818,19 +827,21 @@ SELECT id_a, id_b, cosine FROM v WHERE cosine >= {EMB_COSINE_NEAR_DUP}
 """
 
 
-_SQL_DEDUP_EMB_LSH = _sql_emb_lsh(EMB_LSH_PLANES, EMB_LSH_BANDS)
+_SQL_DEDUP_EMB_LSH = _sql_emb_lsh(None, EMB_LSH_BANDS)
 
 
 # ---------------------------------------------------------------------------
-# dedup_embedding_lsh_wide — the SCALE TIER of the embedding LSH: 4 bands
-# × 16 bits (64 hyperplanes). Fixed-width bands make LSH candidates grow
-# as N²·2^-bits — at 100 TB you SIZE bits to the corpus (bits ≈ log2 of
-# the per-band bucket budget), which is a config choice, not a code
-# change. 16-bit bands cut a random pair's band-collision probability
-# from 2^-8 to 2^-16 (candidates ÷256 at equal N) at ~0.93 theoretical
-# recall for cosine 0.99 (vs 0.99 at 8-bit); exact duplicates still
-# collide on every band, so dup recall stays 1 — measured: identical
-# answer set on the fixture (the sweep's hash equality IS that check).
+# dedup_embedding_lsh_wide — the FIXED 16-bit tier of the embedding LSH
+# (4 bands × 16 bits = 64 hyperplanes). The default query is now
+# count-adaptive (r6) and converges to exactly this configuration once
+# the corpus crosses the last EMB_LSH_ADAPTIVE_STEPS threshold; this
+# query pins it unconditionally so the widest tier stays CORRECTNESS-
+# gated at every sf, independent of corpus size. 16-bit bands cut a
+# random pair's band-collision probability from 2^-8 to 2^-16
+# (candidates ÷256 at equal N) at ~0.93 theoretical recall for cosine
+# 0.99 (vs 0.99 at 8-bit); exact duplicates still collide on every band,
+# so dup recall stays 1 — measured: identical answer set on the fixture
+# (the sweep's hash equality IS that check).
 # ---------------------------------------------------------------------------
 
 EMB_LSH_PLANES_WIDE = 64
