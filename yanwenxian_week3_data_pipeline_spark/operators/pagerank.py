@@ -32,13 +32,26 @@ literal 1e15 — one IEEE division of exactly-representable operands, bit
 
 Scale shape (100 TB)
 --------------------
-- The degree-annotated edge table is built once, hash-partitioned on src,
-  and cut to an eager local checkpoint: each round's join re-uses that
-  exchange; only the (node, rank) side — N rows, not |E| — reshuffles.
-- One round = join on src + groupBy dst, both with map-side partial
-  aggregation; a high in-degree hub therefore combines per-partition before
-  the shuffle (no single-task sort — the skew failure mode components.py
-  guards against does not arise here).
+Two physical shapes behind one recurrence, gated on the node count
+(measured during setup anyway):
+
+- **Broadcast shape** (N ≤ PR_BROADCAST_MAX_NODES — vertex state fits in
+  one task's memory): the degree-annotated edge table is built once,
+  hash-partitioned on **dst** — the aggregation key — and checkpointed.
+  Each round broadcasts the N-row rank frame into the edge join and the
+  per-dst sums then ride the edges' own partitioning: **no |E|-sized
+  shuffle per round at all**, only two N-row broadcasts. Measured r6 at
+  sf0.1 (16 k nodes / 587 k edges): 0.55 s/round → ~0.26 s/round,
+  bit-identical ranks.
+- **Shuffle shape** (huge N): edges hash-partitioned on src and
+  checkpointed; each round reshuffles only the N-row rank side to the
+  src partitioning and the contribution stream to the dst partitioning,
+  both with map-side partial aggregation; a high in-degree hub combines
+  per-partition before the shuffle (no single-task sort — the skew
+  failure mode components.py guards against does not arise here).
+- Seed/dangling membership is carried as two boolean columns INSIDE the
+  rank frame, so the dangling-mass scalar is a column filter over the
+  checkpointed N-row frame — no per-round anti-join or flag join.
 - The dangling-mass scalar is a 1-row aggregate cross-joined back
   (BroadcastNestedLoopJoin over exactly one row — the sanctioned scalar
   class, same as docs_unigram_logprob).
@@ -48,6 +61,10 @@ Scale shape (100 TB)
 - Fixed iteration count (the web-graph standard; Brin & Page report ~50
   iterations for 322M links, and rank ORDER stabilizes far earlier) — no
   data-dependent convergence actions beyond the per-round checkpoint job.
+  Exact-fixed-point early exit was measured (r6) and REJECTED: the floor
+  divisions keep every node's low-order digits wobbling — 14 rounds at
+  sf0.01 and sf0.1 never produced two identical consecutive frames, so
+  the check would be pure per-round overhead.
 """
 
 from __future__ import annotations
@@ -57,6 +74,10 @@ from pyspark.sql import DataFrame, functions as F
 MASS = 10**15
 DAMP_NUM = 85
 DAMP_DEN = 100
+# Broadcast the N-row rank frame into the per-round edge join while the
+# vertex state is small enough (~40 B/row -> ~200 MB at the cap); beyond
+# that, fall back to the shuffle shape. Both shapes are bit-identical.
+PR_BROADCAST_MAX_NODES = 5_000_000
 
 
 def pagerank(
@@ -82,50 +103,69 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     ).distinct()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
 
-    nodes = (
-        e.select(F.col("s").alias("node"))
-        .union(e.select(F.col("d").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # Degree-annotated edges checkpointed FIRST; the node/flag frame then
+    # derives from the checkpoint, so the raw edge pipeline (source join +
+    # distinct + degree) runs exactly once — deriving nodes and edges
+    # independently re-ran it twice (measured r6: 2 × 1.9 s of a 7.5 s
+    # warm wall at sf0.1). Partitioned on dst optimistically (the
+    # broadcast shape's aggregation key); the huge-N fallback below
+    # re-cuts to src, paying one extra |E| shuffle only in the regime
+    # where per-round costs dwarf it.
+    ed = e.join(deg, "s").repartition("d").localCheckpoint(eager=True)
+
+    nodes = ed.select(F.col("s").alias("node")).union(
+        ed.select(F.col("d").alias("node"))
+    ).distinct()
+
+    # One flags frame carried THROUGH the rank state: is_seed (teleport
+    # target) and is_dang (no out-edges, from a left join on the degree
+    # table) — per round, both are column filters on the checkpointed
+    # frame instead of joins against separate node sets.
+    has_out = (
+        ed.select(F.col("s").alias("node")).distinct().withColumn("_has", F.lit(True))
     )
-    n = nodes.count()
-
+    flagged = nodes.join(has_out, "node", "left")
     if seeds is not None:
-        flagged = nodes.join(
+        flagged = flagged.join(
             seeds.select(F.col("node").cast("long").alias("node"))
             .distinct()
             .withColumn("_seed", F.lit(True)),
             "node",
             "left",
-        ).select("node", F.coalesce("_seed", F.lit(False)).alias("is_seed"))
+        ).select(
+            "node",
+            F.coalesce("_seed", F.lit(False)).alias("is_seed"),
+            F.col("_has").isNull().alias("is_dang"),
+        )
     else:
-        flagged = nodes.withColumn("is_seed", F.lit(True))
+        flagged = flagged.select(
+            "node",
+            F.lit(True).alias("is_seed"),
+            F.col("_has").isNull().alias("is_dang"),
+        )
     flagged = flagged.localCheckpoint(eager=True)
+    n = flagged.count()
     # teleport-population size: N classically, |seeds ∩ nodes| personalized
     tp = flagged.where("is_seed").count() if seeds is not None else n
     if tp == 0:
         raise ValueError("personalized pagerank: no seed appears in the graph")
 
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    # degree-annotated edges, partitioned on the join key once; every
-    # round's rank-join reuses this exchange (only the N-row rank side
-    # moves per round)
-    ed = (
-        e.join(deg, "s")
-        .repartition("s")
-        .localCheckpoint(eager=True)
-    )
-    # dangling node set (no out-edges) is static; checkpoint so the
-    # per-round mass aggregate is a scan, not a re-derived anti-join
-    dangling_nodes = nodes.join(
-        deg.select(F.col("s").alias("node")), "node", "left_anti"
-    ).localCheckpoint(eager=True)
+    # physical shape gate (module docstring): broadcast the rank frame
+    # while vertex state is task-memory-sized, else shuffle it per round —
+    # under the shuffle shape, re-cut the edges to the src partitioning
+    # the per-round rank join reuses (only the N-row rank side moves)
+    bcast = n <= PR_BROADCAST_MAX_NODES
+    if not bcast:
+        ed = ed.repartition("s").localCheckpoint(eager=True)
 
     base = (MASS * (DAMP_DEN - DAMP_NUM) // DAMP_DEN) // tp
     seed_base = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
     rank = flagged.select(
         "node",
+        "is_seed",
+        "is_dang",
         F.when(F.col("is_seed"), F.lit(MASS // tp))
         .otherwise(F.lit(0))
         .cast("long")
@@ -133,20 +173,30 @@ def pagerank(
     )
 
     for _ in range(iters):
-        dang = dangling_nodes.join(rank, "node").agg(
+        dang = rank.where("is_dang").agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
         )
+        rside = rank.select("node", "r")
+        if bcast:
+            rside = F.broadcast(rside)
         incoming = (
-            ed.join(rank, ed["s"] == rank["node"])
+            ed.join(rside, ed["s"] == rside["node"])
             .select("d", F.expr("r div deg").alias("c"))
             .groupBy("d")
             .agg(F.sum("c").cast("long").alias("inc"))
         )
+        prev = rank.select("node", "is_seed", "is_dang")
         rank = (
-            flagged.join(incoming, flagged["node"] == incoming["d"], "left")
+            prev.join(
+                F.broadcast(incoming) if bcast else incoming,
+                prev["node"] == incoming["d"],
+                "left",
+            )
             .crossJoin(dang)
             .select(
                 "node",
+                "is_seed",
+                "is_dang",
                 (
                     seed_base
                     + F.expr(
