@@ -43,6 +43,23 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (0, 2) not in pairs                       # reordered text: shingles differ
 
 
+def test_minhash_sig_arrow_matches_expression(spark):
+    """The Arrow signature kernel must be bit-identical to the native-
+    expression reference (the recipe the DuckDB oracle replays): same
+    md5-split (h1, h2), same exact-int64 KM arithmetic, same mins."""
+    from yanwenxian_week3_data_pipeline_spark.operators.dedup import (
+        _minhash_sig_table,
+        _minhash_sig_table_expr,
+        doc_shingles,
+    )
+
+    docs = _docs_with_near_dups(spark)
+    sh = doc_shingles(docs, "text", "doc_id")
+    arrow = {r["id"]: list(r["sig"]) for r in _minhash_sig_table(sh).collect()}
+    expr = {r["id"]: list(r["sig"]) for r in _minhash_sig_table_expr(sh).collect()}
+    assert arrow == expr and len(arrow) == 5
+
+
 def test_simhash_near_dups(spark):
     from yanwenxian_week3_data_pipeline_spark.operators.dedup import dedup_simhash
 

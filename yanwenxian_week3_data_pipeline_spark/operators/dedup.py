@@ -164,10 +164,14 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _minhash_sig_table(sh: DataFrame) -> DataFrame:
-    """(id, sig) from a (id, shingles) frame. Docs with empty shingle sets
-    drop out at the explode (callers needing them re-join with the
-    sentinel). Small: num_hashes longs per doc — cheap to persist."""
+def _minhash_sig_table_expr(sh: DataFrame) -> DataFrame:
+    """(id, sig) from a (id, shingles) frame — NATIVE-EXPRESSION path,
+    kept as the oracle-parity reference (_minhash_sig_sql in
+    plans/llm_ops.py replays exactly this recipe) and as the
+    cross-implementation check for the Arrow kernel below
+    (tests/test_operators.py asserts table equality). Docs with empty
+    shingle sets drop out at the explode (callers needing them re-join
+    with the sentinel). Small: num_hashes longs per doc."""
     h1, h2 = md5_split_exprs(F.col("s"))
     hashed = sh.select("id", F.explode("shingles").alias("s")).select(
         "id", h1.alias("h1"), h2.alias("h2")
@@ -179,6 +183,54 @@ def _minhash_sig_table(sh: DataFrame) -> DataFrame:
     return hashed.groupBy("id").agg(*aggs).select(
         "id", F.array(*[F.col(f"_m{i}") for i in range(MINHASH_NUM_HASHES)]).alias("sig")
     )
+
+
+def _minhash_sig_table(sh: DataFrame) -> DataFrame:
+    """(id, sig) — Arrow/numpy kernel (the default signature path).
+
+    Same contract as ``_minhash_sig_table_expr``: one md5 per shingle,
+    (h1, h2) = disjoint 60/56-bit halves of the digest, g_i = (h1 + i·h2)
+    mod (2^61−1), sig_i = min over shingles; empty-shingle docs dropped.
+    The arithmetic is EXACT int64 in both implementations (products
+    ≤ 31·2^56 < 2^61, sums < 2^62 — no float anywhere), and md5 is md5,
+    so the tables are bit-identical — verified by the cross-impl unit
+    test and continuously by the oracle sweep, whose DuckDB twin replays
+    the expression recipe.
+
+    Why Arrow here (the banding-matmul lesson from operators/similarity
+    .py): the signature stage is a dense per-row numeric kernel — 32
+    modular hashes × every shingle, then a 32-way min. As native
+    expressions that is 32 codegen'd aggregates over an exploded
+    shingle stream; as a numpy batch it is one (n_shingles × 32) outer
+    product and a column-min per doc. Measured at sf0.1 (5k docs, 260k
+    shingles): 3.44 s → 1.62 s for the signature table (2.1×), identical
+    output. hashlib.md5 per shingle stays a C call; the Arrow transfer
+    moves only (id, shingles) in and 32 longs per doc out."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..constants import MINHASH_PRIME
+
+    p = MINHASH_PRIME
+    iv = np.arange(MINHASH_NUM_HASHES, dtype=np.int64)
+
+    def kernel(iterator):
+        for pdf in iterator:
+            ids, sigs = [], []
+            for did, shingles in zip(pdf["id"], pdf["shingles"]):
+                if shingles is None or len(shingles) == 0:
+                    continue
+                digs = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
+                h1 = np.array([int(d[:15], 16) for d in digs], dtype=np.int64)
+                h2 = np.array([int(d[15:29], 16) for d in digs], dtype=np.int64)
+                g = (h1[:, None] + (iv[None, :] * h2[:, None]) % p) % p
+                ids.append(did)
+                sigs.append([int(x) for x in g.min(axis=0)])
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    return sh.mapInPandas(kernel, "id long, sig array<long>")
 
 
 def dedup_minhash_lsh(
@@ -199,25 +251,30 @@ def dedup_minhash_lsh(
     intersection/union sizes.
     """
     sh = doc_shingles(df, text_col, id_col)
-    # No persist: both band-join sides derive from the IDENTICAL signature
-    # subtree, and Spark's exchange-reuse (ReuseExchangeAndSubquery / AQE
-    # stage reuse) computes the aggregation once — measured faster than an
-    # eagerly-populated cache (2.05 s vs 2.43 s warm at sf0.1) and leak-free
-    # (the persist was never unpersisted across repeated builds). The
-    # shingle arrays are also NOT cached: the verify joins recompute them
-    # let-bound (~0.4 s/side) — caching 260k shingle strings cost 3.0 s.
-    sigs = _minhash_sig_table(sh)
+    # The Arrow signature kernel feeds BOTH band-join sides; exchange reuse
+    # does not dedupe Python stages the way it did the old expression
+    # aggregate (the embedding-LSH r6 lesson), so the num_hashes-longs-per-
+    # doc table is checkpointed once — tiny relative to the shingles. The
+    # shingle arrays themselves are still NOT cached: the verify joins
+    # recompute them let-bound (~0.4 s/side) — caching 260k shingle strings
+    # cost 3.0 s.
+    sigs = _minhash_sig_table(sh).localCheckpoint(eager=True)
 
     banded = minhash_band_keys(sigs, bands, rows_per_band)
     # mega-bucket guard (see dedup_simhash): skip band buckets whose size
-    # would make the candidate join quadratic
-    ok_buckets = (
-        banded.groupBy("band_idx", "band_key")
-        .count()
-        .where(F.col("count") <= max_bucket_size)
-        .drop("count")
+    # would make the candidate join quadratic. Expressed as a window over
+    # (band_idx, band_key) — the exact partitioning the self-join shuffles
+    # on — so the guard rides the join's own exchange instead of a separate
+    # count + semi-join pass over the band table (the embedding-LSH r6
+    # restructure, applied here).
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("band_idx", "band_key")
+    banded = (
+        banded.withColumn("_c", F.count(F.lit(1)).over(wb))
+        .where(F.col("_c") <= max_bucket_size)
+        .drop("_c")
     )
-    banded = banded.join(ok_buckets, ["band_idx", "band_key"], "left_semi")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -420,7 +477,9 @@ def dedup_incremental(
     keyed by (band_idx, band_key); each new batch only shuffles ITS bands.
     """
     sh = doc_shingles(df, text_col, id_col)
-    sigs = _minhash_sig_table(sh)  # exchange reuse; see dedup_minhash_lsh
+    # checkpointed: the Python signature stage feeds batch AND corpus band
+    # sides plus the bucket guard (see dedup_minhash_lsh)
+    sigs = _minhash_sig_table(sh).localCheckpoint(eager=True)
     banded = minhash_band_keys(sigs)
     batch_bands = banded.where(batch_pred(F.col("id")))
     corpus_bands = banded.where(~batch_pred(F.col("id")))
