@@ -246,6 +246,65 @@ def test_full_outer_nation_activity_recount(spark, sf_dir):
     assert got == {k: (nc[k], ns[k]) for k in set(nc) | set(ns)}
 
 
+def test_triangles_capped_recount(spark, sf_dir):
+    """Sequential rebuild of the hub-capped triangle census from part-SET
+    baskets: support>=2 edges, degree orientation, hot-apex (dout > cap)
+    exclusion with exact dropped-wedge accounting, wedge closure."""
+    from yanwenxian_week3_data_pipeline_spark.plans.graph_ext import (
+        _TRI_MIN_SUPPORT,
+        TRI_HUB_CAP,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pylist()
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    sup: dict = defaultdict(int)
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                sup[(u, v)] += 1
+    edges = {e for e, s in sup.items() if s >= _TRI_MIN_SUPPORT}
+    deg: dict = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    out = defaultdict(set)
+    for u, v in edges:
+        lt = (deg[u], u) < (deg[v], v)
+        src, dst = (u, v) if lt else (v, u)
+        out[src].add(dst)
+    hot = {s for s, ds in out.items() if len(ds) > TRI_HUB_CAP}
+    dropped = sum(
+        len(out[s]) * (len(out[s]) - 1) // 2 for s in hot
+    )
+    oriented = {(s, d) for s, ds in out.items() for d in ds}
+    tri = 0
+    for s, ds in out.items():
+        if s in hot:
+            continue
+        dl = sorted(ds)
+        for i, a in enumerate(dl):
+            for b in dl[i + 1 :]:
+                # closure edge in its (degree, id)-oriented form
+                la, lb = (a, b) if (deg[a], a) < (deg[b], b) else (b, a)
+                if (la, lb) in oriented:
+                    tri += 1
+    [row] = _run(spark, sf_dir, "graph_triangles_capped")
+    assert (
+        row["n_nodes"],
+        row["n_edges"],
+        row["n_wedges"],
+        row["n_triangles"],
+        row["capped"],
+        row["n_wedges_dropped"],
+    ) == (len(deg), len(edges), n_wedges, tri, True, dropped)
+
+
 def test_range_views_before_purchase_recount(spark, sf_dir, events):
     got = {
         r["purchase_id"]: (r["user_id"], r["n_views_1h"])

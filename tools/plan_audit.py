@@ -95,6 +95,10 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row census scalars "
         "(nodes/edges/wedges counts) crossJoined into the single output row"
     },
+    "graph_triangles_capped": {
+        "BroadcastNestedLoopJoin": "1-row census scalars (nodes/edges/"
+        "wedges/dropped counts) crossJoined into the single output row"
+    },
     "text_chunking_udtf": {
         "BatchEvalPython": "Python UDTF twin — pins the table-function API surface; "
         "text_chunking (pure expressions) is the scale path sharing the same oracle"

@@ -206,6 +206,97 @@ FROM tri
 
 
 # ---------------------------------------------------------------------------
+# graph_triangles_capped — the SCALE TIER of the triangle census: the same
+# co-purchase graph through triangle_census(hub_cap=TRI_HUB_CAP), so the
+# wedge stage is bounded by m·cap/2 rows on ANY degree distribution (the
+# production setting for power-law graphs, stress-proven at hub/power-law
+# skew in tools/stress_graph.py). n_triangles is then a LOWER BOUND and
+# the exactly-accounted n_wedges_dropped (Σ C(d_out, 2) over hot apexes —
+# an out-degree aggregate, never wedge rows) is reported in-band with
+# capped=true. Registered so the capped plan is CORRECTNESS-gated like
+# the LSH wide tier — the oracle replays the identical hot-apex filter
+# and dropped-wedge arithmetic. The cap is deliberately LOW (4): the
+# support-thresholded fixture graph thins as sf grows (max oriented
+# out-degree 20 / 5 / 2 at sf0.001 / 0.01 / 0.1), and a cap of 4 BINDS at
+# the driver's sf0.01 correctness gate (11 hot apexes), so the sweep
+# hash-checks the dropped-wedge accounting itself, not just the
+# uncapped-equivalent path. Production would size the cap to the wedge
+# budget (e.g. 64 in tools/stress_graph.py).
+# ---------------------------------------------------------------------------
+
+TRI_HUB_CAP = 4
+
+
+def _q_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphstats import triangle_census
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    return triangle_census(edges, hub_cap=TRI_HUB_CAP)
+
+
+_SQL_TRIANGLES_CAPPED = f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_TRI_MIN_SUPPORT}),
+deg AS MATERIALIZED (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) t GROUP BY n),
+o AS MATERIALIZED (
+  SELECT CASE WHEN lt THEN u ELSE v END AS src,
+         CASE WHEN lt THEN v ELSE u END AS dst,
+         CASE WHEN lt THEN dv ELSE du END AS ddst
+  FROM (SELECT e.u, e.v, a.d AS du, b.d AS dv,
+               (a.d < b.d OR (a.d = b.d AND e.u < e.v)) AS lt
+        FROM e JOIN deg a ON e.u = a.n JOIN deg b ON e.v = b.n)),
+od AS MATERIALIZED (SELECT src, count(*) AS dout FROM o GROUP BY src),
+hot AS MATERIALIZED (SELECT src, dout FROM od WHERE dout > {TRI_HUB_CAP}),
+dropped AS (
+  SELECT CAST(coalesce(sum(dout * (dout - 1) // 2), 0) AS BIGINT)
+    AS n_wedges_dropped FROM hot),
+wb AS MATERIALIZED (
+  SELECT o.* FROM o ANTI JOIN hot ON o.src = hot.src),
+w AS (
+  SELECT CASE WHEN lt THEN b1 ELSE b2 END AS src,
+         CASE WHEN lt THEN b2 ELSE b1 END AS dst
+  FROM (SELECT w1.dst AS b1, w2.dst AS b2,
+               (w1.ddst < w2.ddst OR (w1.ddst = w2.ddst AND w1.dst < w2.dst)) AS lt
+        FROM wb w1 JOIN wb w2 ON w1.src = w2.src AND w1.dst < w2.dst)),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM w JOIN o ON w.src = o.src AND w.dst = o.dst)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       n_triangles,
+       CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) > 0
+            THEN CAST(n_triangles * 3 AS DOUBLE)
+                 / CAST((SELECT sum(d * (d - 1) // 2) FROM deg) AS DOUBLE)
+       END AS transitivity,
+       true AS capped,
+       (SELECT n_wedges_dropped FROM dropped) AS n_wedges_dropped
+FROM tri
+"""
+
+
+# ---------------------------------------------------------------------------
 # graph_kcore_copurchase — bounded-round k-core peel of the (unthresholded)
 # part co-purchase graph: repeatedly remove nodes of degree < k, keeping
 # only edges with both endpoints alive. Co-purchase degrees are
@@ -319,5 +410,15 @@ QUERIES = [
         "one closure equi-join (each triangle counted once at its "
         "orientation-minimal apex); nodes/edges/wedges/triangles + "
         "transitivity.",
+    ),
+    QuerySpec(
+        name="graph_triangles_capped",
+        build=_q_triangles_capped,
+        oracle=_SQL_TRIANGLES_CAPPED,
+        doc=f"Hub-capped triangle census (hub_cap={TRI_HUB_CAP}): wedges "
+        "only at apexes under the cap (m*cap/2-bounded on any degree "
+        "distribution), exact in-band dropped-wedge accounting, "
+        "n_triangles as a flagged lower bound — the scale-tier plan, "
+        "CORRECTNESS-gated like the LSH wide tier.",
     ),
 ]
