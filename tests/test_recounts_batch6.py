@@ -1,0 +1,141 @@
+"""Sixth recount batch: the r6 query wave (within-doc repetition ratio,
+keep-best exact-dup clusters, Zipf slope) — independent sequential
+recomputation from raw parquet with plain dicts/sets."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_independent_recounts import _clean, _quality, _round_half_up
+from yanwenxian_week3_data_pipeline_spark.constants import (
+    REP_DUP_FRAC_MAX,
+    REP_NGRAM,
+    ZIPF_LN_SCALE,
+    ZIPF_TOP_K,
+)
+
+
+def _run(spark, sf_dir, name):
+    from yanwenxian_week3_data_pipeline_spark.plans import all_queries
+
+    return all_queries()[name].build(spark, sf_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def documents(sf_dir):
+    return pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).to_pylist()
+
+
+def test_repetition_ratio_recount(spark, sf_dir, documents):
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_repetitive"],
+            r["gram_positions"],
+            r["distinct_grams"],
+            r["corpus_dup_frac"],
+        )
+        for r in _run(spark, sf_dir, "docs_repetition_ratio")
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n_docs, n_rep, n5, d5
+    for d in documents:
+        toks = _clean(d["text"]).split(" ") if _clean(d["text"]) else []
+        n5 = max(len(toks) - (REP_NGRAM - 1), 0)
+        grams = {
+            " ".join(toks[i : i + REP_NGRAM]) for i in range(n5)
+        }
+        d5 = len(grams)
+        dup = float(_round_half_up((n5 - d5) / max(n5, 1), 6))
+        a = agg[d["lang"]]
+        a[0] += 1
+        a[1] += 1 if (n5 > 0 and dup > REP_DUP_FRAC_MAX) else 0
+        a[2] += n5
+        a[3] += d5
+    exp = {
+        lang: (
+            a[0],
+            a[1],
+            a[2],
+            a[3],
+            float(_round_half_up((a[2] - a[3]) / max(a[2], 1), 6)),
+        )
+        for lang, a in agg.items()
+    }
+    assert got == exp
+
+
+def test_best_of_cluster_recount(spark, sf_dir, documents):
+    from yanwenxian_week3_data_pipeline_spark.plans.curation_ext import (
+        BEST_COPY_OFFSET,
+        BEST_HEAD_TOKENS,
+        BEST_JUNK_TAIL,
+    )
+
+    got = {
+        r["keep_id"]: (r["n_copies"], r["best_score"])
+        for r in _run(spark, sf_dir, "docs_best_of_cluster")
+    }
+    rows = [(d["doc_id"], d["text"]) for d in documents] + [
+        (d["doc_id"] + BEST_COPY_OFFSET, d["text"] + BEST_JUNK_TAIL)
+        for d in documents
+        if d["doc_id"] % 7 == 0
+    ]
+    # cluster by the canonical-head TOKEN STRING itself (stronger than
+    # re-deriving the hash): identical head <=> identical hash60
+    clusters = defaultdict(list)
+    for did, text in rows:
+        c = _clean(text)
+        toks = c.split(" ") if c else []
+        head = " ".join(toks[:BEST_HEAD_TOKENS])
+        _nt, score = _quality(c)
+        clusters[head].append((score, -did))
+    exp = {}
+    for members in clusters.values():
+        score, ni = max(members)
+        exp[-ni] = (len(members), float(score))
+    assert got == exp
+    n_multi = sum(1 for n, _s in got.values() if n > 1)
+    assert n_multi > 0  # the degraded re-captures form real clusters
+    # within a mixed cluster the junk tail always loses at fixture doc
+    # lengths (the alpha-ratio drop, weight 0.4, dominates the capped
+    # len_term gain), so every multi-member cluster keeps an ORIGINAL —
+    # this pins the argmax to the score, not an id-order accident
+    assert all(k < BEST_COPY_OFFSET for k, (n, _s) in got.items() if n > 1)
+    # copies of sub-head-length originals get junk tokens INTO the head,
+    # so they form their own singleton clusters — they must appear as
+    # keep_ids with n_copies == 1, never swallow their original
+    assert any(
+        k >= BEST_COPY_OFFSET and n == 1 for k, (n, _s) in got.items()
+    )
+
+
+def test_zipf_slope_recount(spark, sf_dir, documents):
+    [row] = _run(spark, sf_dir, "text_zipf_slope")
+    freq = Counter()
+    for d in documents:
+        c = _clean(d["text"])
+        if c:
+            freq.update(c.split(" "))
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP_K]
+    xs, ys = [], []
+    for rank, (_tok, f) in enumerate(top, start=1):
+        xs.append(int(_round_half_up(math.log(rank) * ZIPF_LN_SCALE, 0)))
+        ys.append(int(_round_half_up(math.log(f) * ZIPF_LN_SCALE, 0)))
+    k = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = float(_round_half_up((k * sxy - sx * sy) / (k * sxx - sx * sx), 6))
+    assert (
+        row["k_tokens"],
+        row["sum_lnrank_milli"],
+        row["sum_lnfreq_milli"],
+        row["zipf_slope"],
+    ) == (k, sx, sy, slope)
+    assert -2.0 < slope < 0.0  # Zipf-ish decay

@@ -337,3 +337,18 @@ PQ_TOPK = 10
 # verified by exact containment = |A∩B| / min(|A|,|B|).
 CONTAIN_MAX_DF = 64
 CONTAIN_THRESHOLD = 0.5
+
+# Within-doc repetition (the Gopher repetition-signal family, Rae et al.
+# 2021 §A1.1: "fraction of duplicate n-grams" as a quality filter): a doc
+# is repetitive when more than REP_DUP_FRAC_MAX of its REP_NGRAM-gram
+# positions are duplicates of an earlier position.
+REP_NGRAM = 5
+REP_DUP_FRAC_MAX = 0.2
+
+# Zipf slope fit: OLS of ln(freq) on ln(rank) over the ZIPF_TOP_K most
+# frequent tokens. Log values are quantized to exact MILLI integers
+# (round(ln(x)·1e3) — the DSIR logw_micro discipline at 1e3 so every OLS
+# moment stays below 2^53 and int64→double casts are EXACT, not merely
+# correctly rounded, at any corpus size).
+ZIPF_TOP_K = 256
+ZIPF_LN_SCALE = 1000

@@ -1243,6 +1243,234 @@ def _sql_kmeans_exact() -> str:
     return kmeans_exact_oracle_sql("SELECT * FROM embeddings", KM_K, KM_ROUNDS)
 
 
+# ---------------------------------------------------------------------------
+# docs_repetition_ratio — within-doc duplicate-n-gram repetition signals
+# per language (the Gopher repetition-filter family, Rae et al. 2021
+# §A1.1): a doc's REP_NGRAM-gram positions vs its DISTINCT n-grams; docs
+# whose duplicate fraction exceeds REP_DUP_FRAC_MAX are counted as
+# repetitive, and the per-language corpus-level duplicate fraction is an
+# exact ratio of INTEGER SUMS (gram positions, distinct grams) — never an
+# average of per-doc doubles, whose parallel reduction order would move
+# the result. Scale shape: pure per-row expressions (the let-bound
+# shingle builder) + one map-side-combinable aggregate; no joins.
+# ---------------------------------------------------------------------------
+
+def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import REP_DUP_FRAC_MAX, REP_NGRAM
+    from ..operators.dedup import shingles_from_text_expr
+
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        token_count_expr(clean_text_expr(F.col("text"))).alias("nt"),
+        F.size(shingles_from_text_expr(F.col("text"), REP_NGRAM))
+        .cast("long")
+        .alias("d5"),
+    )
+    per = d.select(
+        "lang",
+        F.greatest(F.col("nt") - (REP_NGRAM - 1), F.lit(0)).alias("n5"),
+        "d5",
+    ).withColumn(
+        "dup_frac",
+        F.round((F.col("n5") - F.col("d5")) / F.greatest(F.col("n5"), F.lit(1)), 6),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n5") > 0) & (F.col("dup_frac") > REP_DUP_FRAC_MAX), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_repetitive"),
+            F.sum("n5").cast("long").alias("gram_positions"),
+            F.sum("d5").cast("long").alias("distinct_grams"),
+        )
+        .withColumn(
+            "corpus_dup_frac",
+            F.round(
+                (F.col("gram_positions") - F.col("distinct_grams"))
+                / F.greatest(F.col("gram_positions"), F.lit(1)),
+                6,
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_repetition_ratio() -> str:
+    from ..constants import REP_DUP_FRAC_MAX, REP_NGRAM
+    from .llm_ops import _shingles_sql_inline
+
+    sh = _shingles_sql_inline("c", REP_NGRAM)
+    return f"""
+WITH d AS (SELECT lang, {CLEAN_SQL} AS c FROM documents),
+g AS (SELECT lang,
+        CAST(greatest(len({tokens_sql('c')}) - {REP_NGRAM - 1}, 0) AS BIGINT) AS n5,
+        CAST(len({sh}) AS BIGINT) AS d5
+      FROM d),
+p AS (SELECT lang, n5, d5,
+        round((n5 - d5) / greatest(n5, 1), 6) AS dup_frac FROM g)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN n5 > 0 AND dup_frac > {REP_DUP_FRAC_MAX}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+  CAST(sum(n5) AS BIGINT) AS gram_positions,
+  CAST(sum(d5) AS BIGINT) AS distinct_grams,
+  round((sum(n5) - sum(d5)) / greatest(sum(n5), 1), 6) AS corpus_dup_frac
+FROM p GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# docs_best_of_cluster — dedup that keeps the BEST capture, not the first:
+# re-captures of the same page share the content HEAD but differ in
+# boilerplate tails, so clusters key on a canonical-head fingerprint
+# (hash60 of the first BEST_HEAD_TOKENS cleaned tokens) and keep one
+# representative per cluster by (quality_score DESC, doc_id ASC) — the
+# production dedup policy for training corpora (dedup_keep_first /
+# dedup_exact cover the ingest-order and exact-content semantics). The
+# fixture has no re-captures, so the query unions a DEGRADED copy of the
+# doc_id % 7 == 0 subset (digit-junk tail appended → same head, lower
+# alpha ratio → lower score; the EMB_COPY_OFFSET demo precedent), making
+# the sweep hash-check the argmax itself. Scale shape: ONE shuffle on the
+# head fingerprint; the argmax is a max over (score, -doc_id) structs,
+# map-side combinable — never a sort within the group.
+# ---------------------------------------------------------------------------
+
+BEST_HEAD_TOKENS = 12
+BEST_COPY_OFFSET = 2_000_000
+BEST_JUNK_TAIL = " 000 111 222 333 444"
+
+
+def _q_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    degraded = base.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + BEST_COPY_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(BEST_JUNK_TAIL)).alias("text"),
+    )
+    u = base.unionByName(degraded)
+    c = clean_text_expr(F.col("text"))
+    score = quality_features_expr(c)["quality_score"]
+    head = F.concat_ws(" ", F.slice(tokens_expr(c), 1, BEST_HEAD_TOKENS))
+    d = u.select("doc_id", hash60_expr(head).alias("h"), score.alias("score"))
+    best = d.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max(F.struct(F.col("score").alias("s"), (-F.col("doc_id")).alias("ni"))).alias(
+            "m"
+        ),
+    )
+    return best.select(
+        (-F.col("m.ni")).cast("long").alias("keep_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("m.s").alias("best_score"),
+    )
+
+
+def _sql_best_of_cluster() -> str:
+    score = quality_features_sql("c")["quality_score"]
+    head = f"array_to_string(({tokens_sql('c')})[1:{BEST_HEAD_TOKENS}], ' ')"
+    return f"""
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {BEST_COPY_OFFSET}, text || '{BEST_JUNK_TAIL}'
+  FROM documents WHERE doc_id % 7 = 0),
+d AS (SELECT doc_id, {CLEAN_SQL} AS c FROM u),
+s AS (SELECT doc_id, {hash60_sql(head)} AS h, {score} AS score FROM d),
+r AS (SELECT doc_id, score,
+        row_number() OVER (PARTITION BY h ORDER BY score DESC, doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY h) AS n_copies
+      FROM s)
+SELECT doc_id AS keep_id, CAST(n_copies AS BIGINT) AS n_copies,
+       score AS best_score
+FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_slope — Zipf exponent of the corpus token distribution: OLS
+# slope of ln(freq) on ln(rank) over the ZIPF_TOP_K most frequent tokens
+# (≈ −1 for natural language; a strong drift flags synthetic/boilerplate
+# corpora — a one-row corpus-health gate next to vocab coverage). Exact-
+# arithmetic discipline: ln values are quantized to MILLI integers
+# (constants.ZIPF_LN_SCALE), so every OLS moment (K·Σxy, Σx·Σy, …) stays
+# below 2^53 at ANY corpus size — the int64→double casts before the one
+# final division are then EXACT, and round(num/den, 6) is bit-identical
+# across engines. Scale shape: one token-frequency aggregate (map-side
+# combinable) + a TakeOrdered top-K; the regression is a 1-row aggregate
+# over K=256 rows (K-bounded single-partition window, the sanctioned
+# bounded class).
+# ---------------------------------------------------------------------------
+
+def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import ZIPF_LN_SCALE, ZIPF_TOP_K
+
+    d = _docs(spark, sf_dir).select(clean_text_expr(F.col("text")).alias("c"))
+    freq = (
+        d.select(F.explode(tokens_expr(F.col("c"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(ZIPF_TOP_K)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    m = freq.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")) * ZIPF_LN_SCALE, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * ZIPF_LN_SCALE, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    a = m.agg(
+        F.count(F.lit(1)).cast("long").alias("k_tokens"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return a.select(
+        "k_tokens",
+        F.col("sx").alias("sum_lnrank_milli"),
+        F.col("sy").alias("sum_lnfreq_milli"),
+        F.round(
+            (F.col("k_tokens") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("k_tokens") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            ),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+def _sql_zipf_slope() -> str:
+    from ..constants import ZIPF_LN_SCALE, ZIPF_TOP_K
+
+    return f"""
+WITH d AS (SELECT {CLEAN_SQL} AS c FROM documents),
+t AS (SELECT unnest({tokens_sql('c')}) AS tok FROM d),
+f AS (SELECT tok, count(*) AS freq FROM t GROUP BY tok),
+r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+      FROM f ORDER BY freq DESC, tok ASC LIMIT {ZIPF_TOP_K}),
+m AS (SELECT CAST(round(ln(rank) * {ZIPF_LN_SCALE}, 0) AS BIGINT) AS x,
+             CAST(round(ln(freq) * {ZIPF_LN_SCALE}, 0) AS BIGINT) AS y
+      FROM r),
+a AS (SELECT CAST(count(*) AS BIGINT) AS k_tokens,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM m)
+SELECT k_tokens, sx AS sum_lnrank_milli, sy AS sum_lnfreq_milli,
+  round(CAST(k_tokens * sxy - sx * sy AS DOUBLE)
+        / CAST(k_tokens * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+FROM a
+"""
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
     QuerySpec("emb_kmeans_exact", _q_kmeans_exact, _sql_kmeans_exact()),
@@ -1250,6 +1478,9 @@ QUERIES = [
         "docs_token_budget_waterfill", _q_token_budget_waterfill, _SQL_TOKEN_BUDGET
     ),
     QuerySpec("docs_stratified_split", _q_stratified_split, _SQL_STRATIFIED_SPLIT),
+    QuerySpec("docs_repetition_ratio", _q_repetition_ratio, _sql_repetition_ratio()),
+    QuerySpec("docs_best_of_cluster", _q_best_of_cluster, _sql_best_of_cluster()),
+    QuerySpec("text_zipf_slope", _q_zipf_slope, _sql_zipf_slope()),
     QuerySpec("emb_int8_quant_error", _q_int8_quant_error, _SQL_INT8_QUANT),
     QuerySpec(
         "docs_temperature_mixture", _q_temperature_mixture, _temperature_mixture_sql()
