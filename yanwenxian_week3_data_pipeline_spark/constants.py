@@ -129,12 +129,14 @@ QUALITY_STOPWORDS: tuple[str, ...] = LANG_STOPWORDS["en"]
 
 # Driver testdata embedding dimensionality (embeddings.parquet, array<float>).
 EMB_DIM = 64
-# 32 hyperplanes = 4 bands x 8 bits. At the 0.99 cosine near-dup threshold
-# (theta ~ 8.1 deg, per-bit collision p ~ 0.955) this gives ~0.99 recall while
-# a random pair collides on a band with p = 2^-8 -> ~1.6% of pairs become
-# candidates. The +/-1 plane matrix is generated from a seeded PRNG and
-# embedded as literals in BOTH engines' expressions, so bucketing is
-# bit-identical.
+# 32 hyperplanes = 4 bands x 8 bits — the FIXED tier used by the streaming
+# twin (streaming/neardup.py), which cannot count its corpus up front; the
+# batch dedup_embedding_lsh default is count-adaptive (EMB_LSH_BITS_MAX
+# below). At the 0.99 cosine near-dup threshold (theta ~ 8.1 deg, per-bit
+# collision p ~ 0.955) 8-bit bands give ~0.99 recall while a random pair
+# collides on a band with p = 2^-8 -> ~1.6% of pairs become candidates.
+# The +/-1 plane matrix is generated from a seeded PRNG and embedded as
+# literals in BOTH engines' expressions, so bucketing is bit-identical.
 EMB_LSH_PLANES = 32
 EMB_LSH_BANDS = 4
 EMB_LSH_BITS_PER_BAND = EMB_LSH_PLANES // EMB_LSH_BANDS

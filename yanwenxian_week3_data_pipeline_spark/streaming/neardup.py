@@ -61,10 +61,11 @@ DOC_STREAM_SCHEMA = StructType(
 def minhash_sig_row_expr(shingles: Column, num: int = MINHASH_NUM_HASHES) -> Column:
     """array<long>[num] MinHash signature as a single per-row expression.
 
-    Same hash recipe as the batch ``_minhash_sig_table`` (one md5 per
-    shingle, split into 60/56-bit halves), but folded with array_min per
-    hash index instead of a groupBy aggregate. The digest list is let-bound
-    so the ``num`` folds don't recompute the md5s."""
+    Same hash recipe as the batch signature table (one md5 per shingle,
+    split into 60/56-bit halves — ``_minhash_sig_table_expr`` /
+    the Arrow kernel in operators/dedup.py), but folded with array_min
+    per hash index instead of a groupBy aggregate. The digest list is
+    let-bound so the ``num`` folds don't recompute the md5s."""
 
     def h1(d: Column) -> Column:
         return F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
