@@ -115,6 +115,130 @@ def test_best_of_cluster_recount(spark, sf_dir, documents):
     )
 
 
+def test_tokenizer_fertility_recount(spark, sf_dir, documents):
+    import re as _re
+
+    from yanwenxian_week3_data_pipeline_spark.constants import BPE_PIECE_REGEX
+
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_tokens"],
+            r["n_pieces"],
+            r["n_chars"],
+            r["fertility"],
+            r["pieces_per_100_chars"],
+        )
+        for r in _run(spark, sf_dir, "text_tokenizer_fertility")
+    }
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for d in documents:
+        c = _clean(d["text"])
+        a = agg[d["lang"]]
+        a[0] += 1
+        a[1] += len(c.split(" ")) if c else 0
+        a[2] += len(_re.findall(BPE_PIECE_REGEX, c))
+        a[3] += len(c)
+    exp = {
+        lang: (
+            a[0],
+            a[1],
+            a[2],
+            a[3],
+            float(_round_half_up(a[2] / max(a[1], 1), 6)),
+            float(_round_half_up(a[2] * 100 / max(a[3], 1), 6)),
+        )
+        for lang, a in agg.items()
+    }
+    assert got == exp
+
+
+def test_emb_knn_graph_recount(spark, sf_dir):
+    """Sequential rebuild of the approximate kNN graph: hyperplane band
+    values via the same left-to-right float folds both engines use,
+    count-adaptive modulus from the frozen step table, bucket guard,
+    both-direction candidates, exact cosine, per-vector top-k."""
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        EMB_DIM,
+        EMB_LSH_ADAPTIVE_STEPS,
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS_MAX,
+        EMB_LSH_BMOD_MAX,
+        EMB_LSH_DEGEN_FACTOR,
+        EMB_LSH_MAX_BUCKET_ABS,
+        EMB_LSH_SEED,
+    )
+    from yanwenxian_week3_data_pipeline_spark.functions.vectors import (
+        hyperplane_matrix,
+    )
+    from yanwenxian_week3_data_pipeline_spark.plans.llm_ops import EMB_KNN_K
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pylist()
+    }
+    n = len(vecs)
+    bmod = EMB_LSH_BMOD_MAX
+    for thr, m in EMB_LSH_ADAPTIVE_STEPS:
+        if n < thr:
+            bmod = m
+            break
+    planes = hyperplane_matrix(EMB_LSH_BANDS * EMB_LSH_BITS_MAX, EMB_DIM, EMB_LSH_SEED)
+
+    def band_vals(v):
+        vals = []
+        for b in range(EMB_LSH_BANDS):
+            val = 0
+            for j in range(EMB_LSH_BITS_MAX):
+                p = planes[b * EMB_LSH_BITS_MAX + j]
+                dot = 0.0
+                for x, pl in zip(v, p):  # sequential fold, both engines' order
+                    dot += float(x) * float(pl)
+                if dot >= 0:
+                    val += 1 << j
+            vals.append(val % bmod)
+        return vals
+
+    buckets = defaultdict(list)
+    for vid, v in vecs.items():
+        for b, val in enumerate(band_vals(v)):
+            buckets[(b, val)].append(vid)
+    cap = max(EMB_LSH_MAX_BUCKET_ABS, (EMB_LSH_DEGEN_FACTOR * n) // bmod)
+    cand = defaultdict(set)
+    for members in buckets.values():
+        if len(members) > cap:
+            continue
+        for a in members:
+            for b in members:
+                if a != b:
+                    cand[a].add(b)
+
+    def cosine(a, b):
+        va, vb = vecs[a], vecs[b]
+        dot = na = nb = 0.0
+        for x, y in zip(va, vb):
+            dot += float(x) * float(y)
+        for x in va:
+            na += float(x) * float(x)
+        for y in vb:
+            nb += float(y) * float(y)
+        return float(_round_half_up(dot / (math.sqrt(na) * math.sqrt(nb)), 6))
+
+    exp = {}
+    for vid, nbs in cand.items():
+        ranked = sorted(((-cosine(vid, nb), nb) for nb in nbs))[:EMB_KNN_K]
+        for rank, (negc, nb) in enumerate(ranked, start=1):
+            exp[(vid, nb)] = (rank, -negc)
+    got = {
+        (r["vec_id"], r["neighbor_id"]): (r["knn_rank"], r["cosine"])
+        for r in _run(spark, sf_dir, "emb_knn_graph")
+    }
+    assert got == exp
+    assert len(got) > 0
+
+
 def test_zipf_slope_recount(spark, sf_dir, documents):
     [row] = _run(spark, sf_dir, "text_zipf_slope")
     freq = Counter()

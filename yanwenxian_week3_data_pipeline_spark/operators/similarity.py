@@ -230,26 +230,19 @@ def embedding_cosine_pairs(
     )
 
 
-def dedup_embedding_lsh(
+def embedding_band_table(
     embeddings: DataFrame,
-    threshold: float,
     n_planes: int | None = None,
     bands: int | None = None,
     seed: int | None = None,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate embedding near-dup via random-hyperplane LSH.
-
-    Plan shape (the scale path — no O(n²) stage):
-      1. per vector: ``bands`` integer band keys, bit j of band b = sign of
-         the projection onto plane (b·bits + j); the ±1 plane matrix is a
-         seeded-PRNG literal shared with the DuckDB oracle;
-      2. explode to (id, band_idx, band_val) and self-equi-join on the band
-         — the only shuffle that grows with data, keyed by the bucket;
-      3. distinct candidate pairs → exact-cosine verify (join the vectors
-         back) → round(cosine, 6) ≥ threshold.
+) -> tuple[DataFrame, DataFrame]:
+    """(base, banded): the shared random-hyperplane LSH band table behind
+    ``dedup_embedding_lsh`` and ``embedding_knn_graph`` — ``base`` is the
+    (id, vec) projection, ``banded`` the guarded, eagerly-checkpointed
+    (id, band_idx, band_val) table.
 
     Band width is COUNT-ADAPTIVE by default (``n_planes=None``): band keys
     are computed once at EMB_LSH_BITS_MAX bits and coarsened by
@@ -257,10 +250,7 @@ def dedup_embedding_lsh(
     ``emb_lsh_bmod_case_sql`` CASE over the corpus count — fixed-width
     bands grow candidates as N²·2^-bits, so bits must be sized to N
     (constants.py policy note). Passing ``n_planes`` pins a fixed tier
-    (the streaming twin and recall tests use this).
-
-    Identical vectors collide at every width, so exact-duplicate recall
-    is 1; 0.99-cosine recall is ~0.99/0.97/0.93 at 8/12/16 bits."""
+    (the streaming twin and recall tests use this)."""
     from ..constants import (
         EMB_DIM,
         EMB_LSH_BANDS,
@@ -353,6 +343,33 @@ def dedup_embedding_lsh(
     # guarantee single execution of the matmul + guard across both join
     # sides (the components.py / pagerank.py lineage discipline).
     banded = banded.localCheckpoint(eager=True)
+    return base, banded
+
+
+def dedup_embedding_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    n_planes: int | None = None,
+    bands: int | None = None,
+    seed: int | None = None,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding near-dup via random-hyperplane LSH.
+
+    Plan shape (the scale path — no O(n²) stage):
+      1. the shared adaptive band table (``embedding_band_table``);
+      2. self-equi-join on the band — the only shuffle that grows with
+         data, keyed by the bucket;
+      3. distinct candidate pairs → exact-cosine verify (join the vectors
+         back) → round(cosine, 6) ≥ threshold.
+
+    Identical vectors collide at every width, so exact-duplicate recall
+    is 1; 0.99-cosine recall is ~0.99/0.97/0.93 at 8/12/16 bits."""
+    base, banded = embedding_band_table(
+        embeddings, n_planes, bands, seed, dim, id_col, vec_col
+    )
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -375,6 +392,69 @@ def dedup_embedding_lsh(
         )
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def embedding_knn_graph(
+    embeddings: DataFrame,
+    k: int,
+    n_planes: int | None = None,
+    bands: int | None = None,
+    seed: int | None = None,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole table (every vector's top-k
+    cosine neighbors among its LSH band candidates) — the building block
+    for graph-based semantic dedup, cluster discovery, and
+    retrieval-index QA, distinct from ``cosine_topk`` (query-set search)
+    in that the "query set" is the corpus itself, so a broadcast-queries
+    plan is impossible and the band table IS the candidate generator.
+
+    Plan shape: the shared adaptive band table self-joins on the bucket
+    with ``id != id`` (both directions, since neighbor lists are
+    per-vector), exact cosine on the distinct candidate pairs, then one
+    window per vector (partitioned by id — never global) keeps
+    (cosine DESC, neighbor ASC) row_number ≤ k. Approximate by
+    construction: vectors whose buckets are all singletons yield no
+    rows, and true neighbors outside every shared band are missed — the
+    standard ANN-graph contract; recall is band-width-tunable."""
+    base, banded = embedding_band_table(
+        embeddings, n_planes, bands, seed, dim, id_col, vec_col
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id"), F.col("b.id").alias("nb"))
+        .distinct()
+    )
+    nrm = norm_expr(F.col("vec"))
+    va = base.select(F.col("id").alias("id"), F.col("vec").alias("v_a"), nrm.alias("n_a"))
+    vb = base.select(F.col("id").alias("nb"), F.col("vec").alias("v_b"), nrm.alias("n_b"))
+    scored = (
+        cand.join(va, "id")
+        .join(vb, "nb")
+        .withColumn(
+            "cosine",
+            F.round(dot_expr(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nb"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("nb").alias("neighbor_id"),
+            "knn_rank",
+            "cosine",
+        )
     )
 
 

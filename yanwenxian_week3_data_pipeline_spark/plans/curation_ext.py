@@ -1471,6 +1471,68 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# text_tokenizer_fertility — tokenizer-cost profile per language:
+# BPE-style pieces per whitespace token (fertility — the metric that
+# decides how many training tokens a corpus actually costs; >1.5 for a
+# language usually means the tokenizer under-serves it). Both counts are
+# per-row regex/split expressions summed as exact integers; the fertility
+# and pieces-per-100-chars ratios are single final divisions of those
+# sums, so parallel reduction order cannot move them. One map-side-
+# combinable aggregate, no joins.
+# ---------------------------------------------------------------------------
+
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import bpe_piece_count_expr
+
+    c = clean_text_expr(F.col("text"))
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        token_count_expr(c).alias("nt"),
+        bpe_piece_count_expr(c).alias("np"),
+        F.length(c).cast("long").alias("nc"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+            F.sum("np").cast("long").alias("n_pieces"),
+            F.sum("nc").cast("long").alias("n_chars"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("n_pieces") / F.greatest(F.col("n_tokens"), F.lit(1)), 6),
+        )
+        .withColumn(
+            "pieces_per_100_chars",
+            F.round(
+                F.col("n_pieces") * 100 / F.greatest(F.col("n_chars"), F.lit(1)), 6
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_tokenizer_fertility() -> str:
+    from ..functions.textstats import bpe_piece_count_sql
+
+    return f"""
+WITH d AS (SELECT lang, {CLEAN_SQL} AS c FROM documents),
+g AS (SELECT lang, {token_count_sql('c')} AS nt,
+             {bpe_piece_count_sql('c')} AS np,
+             CAST(length(c) AS BIGINT) AS nc
+      FROM d)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(nt) AS BIGINT) AS n_tokens,
+  CAST(sum(np) AS BIGINT) AS n_pieces,
+  CAST(sum(nc) AS BIGINT) AS n_chars,
+  round(sum(np) / greatest(sum(nt), 1), 6) AS fertility,
+  round(sum(np) * 100 / greatest(sum(nc), 1), 6) AS pieces_per_100_chars
+FROM g GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = [
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
     QuerySpec("emb_kmeans_exact", _q_kmeans_exact, _sql_kmeans_exact()),
@@ -1479,6 +1541,9 @@ QUERIES = [
     ),
     QuerySpec("docs_stratified_split", _q_stratified_split, _SQL_STRATIFIED_SPLIT),
     QuerySpec("docs_repetition_ratio", _q_repetition_ratio, _sql_repetition_ratio()),
+    QuerySpec(
+        "text_tokenizer_fertility", _q_tokenizer_fertility, _sql_tokenizer_fertility()
+    ),
     QuerySpec("docs_best_of_cluster", _q_best_of_cluster, _sql_best_of_cluster()),
     QuerySpec("text_zipf_slope", _q_zipf_slope, _sql_zipf_slope()),
     QuerySpec("emb_int8_quant_error", _q_int8_quant_error, _SQL_INT8_QUANT),

@@ -773,11 +773,13 @@ def _q_dedup_emb_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_embedding_lsh(e.unionByName(copies), EMB_COSINE_NEAR_DUP)
 
 
-def _sql_emb_lsh(planes_n: int | None, bands: int) -> str:
-    """Oracle builder for the embedding-LSH family — bit-exact twin of
-    dedup_embedding_lsh including the degenerate-bucket cap arithmetic.
-    ``planes_n=None`` = the count-adaptive default tier: band values at
-    EMB_LSH_BITS_MAX bits coarsened by the shared bmod CASE over COUNT(*)
+def _sql_emb_banded_ctes(planes_n: int | None, bands: int) -> str:
+    """The shared banded-table CTE fragment (expects a prior CTE named
+    ``e`` with vec_id, embedding; defines nn/banded0/banded) — bit-exact
+    twin of operators/similarity.py embedding_band_table including the
+    degenerate-bucket cap arithmetic. ``planes_n=None`` = the
+    count-adaptive default tier: band values at EMB_LSH_BITS_MAX bits
+    coarsened by the shared bmod CASE over COUNT(*)
     (constants.emb_lsh_bmod_case_sql — one string, both engines). The
     guard mirrors the operator: each id appears exactly once per band, so
     the per-band total IS the corpus count, and the bucket count is a
@@ -795,12 +797,7 @@ def _sql_emb_lsh(planes_n: int | None, bands: int) -> str:
     bmod_sql = (
         emb_lsh_bmod_case_sql("n_tot") if adaptive else f"CAST({1 << bits} AS BIGINT)"
     )
-    return f"""
-WITH e AS (
-  SELECT vec_id, embedding FROM embeddings
-  UNION ALL
-  SELECT vec_id + {EMB_COPY_OFFSET}, embedding FROM embeddings),
-nn AS (
+    return f"""nn AS (
   SELECT n_tot, {bmod_sql} AS bmod
   FROM (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM e)),
 banded0 AS (
@@ -814,7 +811,17 @@ banded AS (
       greatest(CAST({EMB_LSH_MAX_BUCKET_ABS} AS BIGINT),
                ({EMB_LSH_DEGEN_FACTOR} * n_tot) // bmod) AS cap
     FROM banded0)
-  WHERE c <= cap),
+  WHERE c <= cap)"""
+
+
+def _sql_emb_lsh(planes_n: int | None, bands: int) -> str:
+    """Oracle for the embedding-LSH near-dup family at a given tier."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_COPY_OFFSET}, embedding FROM embeddings),
+{_sql_emb_banded_ctes(planes_n, bands)},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b
@@ -861,6 +868,48 @@ def _q_dedup_emb_lsh_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_DEDUP_EMB_LSH_WIDE = _sql_emb_lsh(EMB_LSH_PLANES_WIDE, EMB_LSH_BANDS)
+
+
+# ---------------------------------------------------------------------------
+# emb_knn_graph — approximate k-NN GRAPH over the whole embedding table:
+# every vector's top-k cosine neighbors among its LSH band candidates
+# (operators/similarity.py embedding_knn_graph). Distinct from
+# sim_cosine_topk (broadcast query-set search): here the query set IS the
+# corpus, so the count-adaptive band table is the candidate generator and
+# the ranking window partitions by vector (never global). The building
+# block for graph-based semantic dedup, cluster discovery, and
+# retrieval-index QA. Approximate by contract: all-singleton-bucket
+# vectors yield no rows; recall is band-width-tunable.
+# ---------------------------------------------------------------------------
+
+EMB_KNN_K = 3
+
+
+def _q_emb_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_knn_graph
+
+    return embedding_knn_graph(
+        _emb(spark, sf_dir).select("vec_id", "embedding"), k=EMB_KNN_K
+    )
+
+
+_SQL_EMB_KNN_GRAPH = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+{_sql_emb_banded_ctes(None, EMB_LSH_BANDS)},
+cand AS (
+  SELECT DISTINCT a.id AS id, b.id AS nb
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.id <> b.id),
+n AS (SELECT vec_id, embedding, {_NORM_E} AS nrm FROM e),
+v AS (SELECT id, nb, round({_DOT_AB} / (a.nrm * b.nrm), 6) AS cosine
+      FROM cand JOIN n a ON a.vec_id = id JOIN n b ON b.vec_id = nb),
+r AS (SELECT id, nb, cosine,
+        row_number() OVER (PARTITION BY id
+          ORDER BY cosine DESC, nb ASC) AS knn_rank
+      FROM v)
+SELECT id AS vec_id, nb AS neighbor_id, knn_rank, cosine
+FROM r WHERE knn_rank <= {EMB_KNN_K}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2810,6 +2859,7 @@ QUERIES = [
     QuerySpec("sim_cosine_topk_ivf", _q_cosine_topk_ivf, _SQL_COSINE_TOPK_IVF),
     QuerySpec("dedup_embedding_cosine", _q_emb_cosine_pairs, _SQL_EMB_COSINE_PAIRS),
     QuerySpec("dedup_embedding_lsh", _q_dedup_emb_lsh, _SQL_DEDUP_EMB_LSH, headline=True),
+    QuerySpec("emb_knn_graph", _q_emb_knn_graph, _SQL_EMB_KNN_GRAPH),
     QuerySpec(
         "dedup_embedding_lsh_wide", _q_dedup_emb_lsh_wide, _SQL_DEDUP_EMB_LSH_WIDE
     ),
