@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 from collections import Counter, defaultdict
+from datetime import datetime
 
 import pyarrow.parquet as pq
 import pytest
@@ -237,6 +238,83 @@ def test_emb_knn_graph_recount(spark, sf_dir):
     }
     assert got == exp
     assert len(got) > 0
+
+
+def test_pack_sequences_recount(spark, sf_dir, documents):
+    """Sequential rebuild of sequence packing: per source in doc_id
+    order, running token total, bin = floor(cum_before / budget)."""
+    from yanwenxian_week3_data_pipeline_spark.constants import PACK_TOKEN_BUDGET
+
+    got = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["bin_tokens"])
+        for r in _run(spark, sf_dir, "docs_pack_sequences")
+    }
+    docs_full = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pylist()
+    per_source = defaultdict(list)
+    for d in docs_full:
+        c = _clean(d["text"])
+        per_source[d["source"]].append(
+            (d["doc_id"], len(c.split(" ")) if c else 0)
+        )
+    exp: dict = defaultdict(lambda: [0, 0])
+    for src, docs in per_source.items():
+        cum = 0
+        for _did, nt in sorted(docs):
+            b = cum // PACK_TOKEN_BUDGET
+            cum += nt
+            e = exp[(src, b)]
+            e[0] += 1
+            e[1] += nt
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_compaction_plan_recount(spark, sf_dir):
+    """Sequential rebuild of the compaction planner: hourly row counts,
+    per-day running-total capacity binning, per-group rollup."""
+    from yanwenxian_week3_data_pipeline_spark.plans.lakehouse_ext import (
+        COMPACT_TARGET_ROWS,
+    )
+
+    events = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    ).to_pylist()
+    hourly: dict = defaultdict(int)
+    for e in events:
+        if e["ts"] is None:
+            continue
+        hourly[(e["ts"].date(), e["ts"].hour)] += 1
+    per_day = defaultdict(list)
+    for (day, hr), n in hourly.items():
+        per_day[day].append((hr, n))
+    exp = {}
+    for day, hrs in per_day.items():
+        cum = 0
+        groups: dict = defaultdict(list)
+        for hr, n in sorted(hrs):
+            groups[cum // COMPACT_TARGET_ROWS].append((hr, n))
+            cum += n
+        for grp, members in groups.items():
+            key = (datetime(day.year, day.month, day.day), grp)
+            exp[key] = (
+                len(members),
+                sum(n for _h, n in members),
+                min(h for h, _n in members),
+                max(h for h, _n in members),
+                len(members) > 1,
+            )
+    got = {
+        (r["day"], r["grp"]): (
+            r["n_partitions"],
+            r["total_rows"],
+            r["hr_lo"],
+            r["hr_hi"],
+            r["needs_compaction"],
+        )
+        for r in _run(spark, sf_dir, "tbl_compaction_plan")
+    }
+    assert got == exp
 
 
 def test_zipf_slope_recount(spark, sf_dir, documents):
