@@ -239,6 +239,9 @@ WSAMPLE_SEED = 104729
 # 14.1→7.4 s. At real cluster scale scans have ≥ cores splits and the
 # fan-out self-disables.
 SCAN_FANOUT_TEXT_MIN_BYTES = 2 << 20
+# suffix-grain queries (docs_lrs_*) multiply map work by LRS_CAP (~30x),
+# so their fan-out pays at ~30x smaller inputs than the plain-text gate
+SCAN_FANOUT_SUFFIX_MIN_BYTES = 256 << 10
 SCAN_FANOUT_TABLE_MIN_BYTES = 8 << 20
 # stratified variant: independent per-source sample size
 WSAMPLE_PER_SOURCE_K = 5

@@ -10,20 +10,39 @@ tokens, via capped-suffix sort + adjacent-LCP. Classic suffix-array
 property, kept exact under the cap: the longest repeated prefix of any
 two suffixes is attained either by two EQUAL capped suffixes (count ≥ 2)
 or by an ADJACENT pair of distinct capped suffixes in sorted order.
-Spark-first shape: the distinct-suffix table is range-partitioned and
-sorted on the suffix string, within-partition adjacency comes from a
-``lag`` window over the partition id, and the O(nparts) cross-partition
-boundary pairs are collected (K-bounded) and compared driver-side — the
-frame is cut to an EAGER LOCAL CHECKPOINT first so the boundary-collect
-job and the window job see the SAME physical range assignment
-(RangePartitioner re-samples per job; pipeline.py round-4 fix, same
-discipline). Every candidate pair's LCP is a sound witness (two
-positions sharing an ℓ-prefix IS a repeated ℓ-substring), and sorted
-adjacency guarantees the max is witnessed, so the answer is exact and
-independent of both the partition boundaries and the engine's collation
-(max-over-all-pairs is order-free). Cost: O(cap · N) span rows through
-one sort — the cap bounds the blowup; this is the SQL-expressible form
-(DuckDB oracle mirrors it with a plain window sort).
+
+Spark-first shape (reworked r7 — the r4–r6 form range-partitioned the
+distinct-suffix table, which re-ran the explode+groupBy pipeline for the
+RangePartitioner's sample job, sorted three times (sortWithinPartitions
+plus two window passes), pinned the range assignment with an eager
+checkpoint, and collected boundary rows driver-side; measured 2.9–4.1 s
+at sf0.1 with heavy session-to-session variance from the sampling):
+sorted adjacency is recovered from TWO hash-partitioned windows, with no
+global sort, no checkpoint, and no driver collect. Fixed-length string
+prefixes are monotone under lexicographic order, so rows sharing a
+PREFIX_CHARS prefix form a CONTIGUOUS block of the global sorted order —
+a ``lag`` window hash-partitioned by that prefix yields exactly the
+within-block globally-adjacent pairs. The pairs that straddle two
+consecutive blocks are (max of block i, min of block i+1): a map-side
+combinable min/max per block plus a second ``lag`` window over the
+#blocks-row frame, partitioned by the block key's FIRST character
+(1-char prefixes are monotone too, so same-first-char blocks are
+contiguous among blocks; pairs straddling different first characters
+share no first token and have token-LCP 0, which the ``lcp > 0`` filter
+drops regardless). Union the block-internal pairs, the block-boundary
+pairs, and the equal-suffix duplicates (count ≥ 2) and every
+globally-adjacent candidate is accounted for — the answer is EXACTLY the
+one the global sort produces, unconditionally, on any input. Every
+candidate pair's LCP is a sound witness (two positions sharing an
+ℓ-prefix IS a repeated ℓ-substring), and sorted adjacency guarantees the
+max is witnessed. Cost: O(cap · N) span rows through one map-side
+combining aggregate, one window over distinct suffixes partitioned by
+the 8-char prefix (fine-grained, skew-bounded by how many DISTINCT
+suffixes share 8 leading chars), and one window over the much smaller
+block frame; the groupBy exchange is reused by all three consumers.
+This is the SQL-expressible form (DuckDB oracle mirrors the same
+candidate set with a plain global window sort); the uncapped probe
+formulation below remains the 100 TB scale path.
 
 Exactness precondition (adjacency-witnesses-the-max): suffixes are
 compared as SPACE-joined strings, and string-lex order agrees with
@@ -73,7 +92,7 @@ serves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
 LRS_CAP = 30  # tokens; the capped query reports min(true LRS, LRS_CAP)
@@ -88,22 +107,24 @@ def _lcp_tokens(a, b):
     )
 
 
-def _lcp_py(a: list, b: list) -> int:
-    n = 0
-    for x, y in zip(a, b):
-        if x != y:
-            break
-        n += 1
-    return n
+# block key width for the two-level adjacency (module docstring): long
+# enough that natural-text suffix blocks stay small relative to the
+# corpus, short enough that blocks rarely become singletons (which would
+# push all pairs to the level-2 boundary window)
+LRS_PREFIX_CHARS = 8
 
 
 def lrs_capped_sorted(
-    toks_df: DataFrame, toks_col: str = "toks", cap: int = LRS_CAP, nparts: int = 32
+    toks_df: DataFrame,
+    toks_col: str = "toks",
+    cap: int = LRS_CAP,
+    prefix_chars: int = LRS_PREFIX_CHARS,
 ) -> DataFrame:
     """1-row (lrs_len, lrs_text): the longest token-substring occurring at
     ≥2 positions corpus-wide, capped at ``cap`` tokens; ties broken by
-    lexicographically-smallest text. Empty input → empty result."""
-    spark = toks_df.sparkSession
+    lexicographically-smallest text. Empty input → empty result. Physical
+    shape: two-level prefix-bucketed sorted adjacency (module docstring) —
+    candidate-set-identical to a global sort, with only hash exchanges."""
     # empty-doc guard: F.sequence(1, 0) yields [1, 0] (descending), not []
     sfx = toks_df.where(F.size(toks_col) > 0).select(
         F.explode(
@@ -113,58 +134,78 @@ def lrs_capped_sorted(
             )
         ).alias("sstr")
     )
-    dist = sfx.groupBy("sstr").agg(F.count(F.lit(1)).alias("c"))
-    ranged = (
-        dist.repartitionByRange(nparts, F.col("sstr").asc())
-        .sortWithinPartitions("sstr")
-        .withColumn("_pid", F.spark_partition_id())
+    # distinct suffixes + multiplicity in ONE map-side-combining shuffle,
+    # cut to an eager checkpoint: the three candidate families below prune
+    # different columns off this frame, so Catalyst's per-branch column
+    # pruning de-unifies the subtrees and exchange reuse does NOT kick in
+    # (measured: the explode + span-string build ran once per branch, ~1 s
+    # each at sf0.1). One materialization of the distinct-suffix table —
+    # a strict subset of what the r4–r6 form checkpointed — feeds all
+    # three consumers.
+    dist = (
+        sfx.groupBy("sstr")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("_b", F.substring("sstr", 1, prefix_chars))
         .localCheckpoint(eager=True)
     )
     toks = F.split(F.col("sstr"), " ")
 
-    # within-partition adjacency (sorted): LCP with the previous suffix
-    w = W.partitionBy("_pid").orderBy("sstr")
-    adj = (
-        ranged.withColumn("prev", F.lag("sstr").over(w))
-        .where(F.col("prev").isNotNull())
-        .withColumn("lcp", _lcp_tokens(toks, F.split(F.col("prev"), " ")))
-        .where(F.col("lcp") > 0)
-        .select(
-            F.col("lcp").cast("long").alias("l"),
-            F.concat_ws(" ", F.slice(toks, 1, F.col("lcp"))).alias("sub"),
+    def _tok1(c):
+        return F.substring_index(c, " ", 1)
+
+    def _adj_pairs(frame, cur: str, prev: str, order_col: str, part):
+        """(l, sub) for sorted-adjacent (prev, cur) pairs within ``part``
+        windows. The expensive token-LCP runs ONCE per surviving row, in
+        the projection only: the survival filter is first-token equality,
+        which is exactly ``token-LCP > 0`` (and keeps the costly zip_with
+        out of a Filter that Catalyst would re-inline per reference)."""
+        cur_toks = F.split(F.col(cur), " ")
+        lcp = _lcp_tokens(cur_toks, F.split(F.col(prev), " "))
+        return (
+            frame.withColumn(prev, F.lag(cur).over(W.partitionBy(part).orderBy(order_col)))
+            .where(F.col(prev).isNotNull() & (_tok1(F.col(cur)) == _tok1(F.col(prev))))
+            .select(
+                lcp.cast("long").alias("l"),
+                F.concat_ws(" ", F.slice(cur_toks, 1, lcp)).alias("sub"),
+            )
         )
-    )
+
+    # level 1 — within-block adjacency: rows sharing the prefix are a
+    # contiguous run of the global sorted order, so lag() inside the block
+    # IS global adjacency there
+    adj = _adj_pairs(dist.select("sstr", "_b"), "sstr", "prev", "sstr", F.col("_b"))
     # duplicate capped suffixes: the whole (≤cap)-token suffix repeats
-    # (read off the checkpointed frame, not the pre-checkpoint span
-    # pipeline, so the spans are tokenized exactly once)
-    dups = ranged.where(F.col("c") >= 2).select(
+    dups = dist.where(F.col("c") >= 2).select(
         F.size(toks).cast("long").alias("l"), F.col("sstr").alias("sub")
     )
-    # cross-partition boundary pairs: first/last suffix of each partition
-    # (≤ 2·nparts rows — K-bounded collect, same class as the pipeline's
-    # partition-offset subtotals), LCP'd driver-side. Comparing every
-    # adjacent pair of this tiny sorted set covers last(p)↔first(q) for
-    # consecutive non-empty partitions; the extra within-partition pairs
-    # it also compares are sound (any pair's LCP witnesses a repeat) and
-    # can never exceed the true max.
-    wd = W.partitionBy("_pid").orderBy(F.col("sstr").desc())
-    edge_rows = sorted(
-        r["sstr"]
-        for r in ranged.withColumn("rn", F.row_number().over(w))
-        .withColumn("rnd", F.row_number().over(wd))
-        .where((F.col("rn") == 1) | (F.col("rnd") == 1))
-        .select("sstr")
-        .collect()
+    # level 2 — block-boundary adjacency: the one global-adjacent pair a
+    # block border hides is (max of block i, min of block i+1); same-first-
+    # char blocks are contiguous among blocks, and pairs straddling a
+    # first-char change share no first token (token-LCP 0 — excluded by
+    # the first-token filter in _adj_pairs, mirroring the oracle's l > 0).
+    # #blocks rows, map-side min/max. Pairing max(i) with min(i+1) is the
+    # lag over (mn, prev mx) below: each row contributes its mn as "cur"
+    # and hands its mx to the next block as "prev".
+    blocks = dist.groupBy("_b").agg(
+        F.min("sstr").alias("mn"), F.max("sstr").alias("mx")
     )
-    bnd = []
-    for prev, cur in zip(edge_rows, edge_rows[1:]):
-        l = _lcp_py(prev.split(" "), cur.split(" "))
-        if l > 0:
-            bnd.append((l, " ".join(cur.split(" ")[:l])))
-    bnd_df = spark.createDataFrame(bnd, "l long, sub string")
+    w2 = W.partitionBy(F.substring("_b", 1, 1)).orderBy("_b")
+    mtoks = F.split(F.col("mn"), " ")
+    blcp = _lcp_tokens(mtoks, F.split(F.col("prev_mx"), " "))
+    bnd = (
+        blocks.withColumn("prev_mx", F.lag("mx").over(w2))
+        .where(
+            F.col("prev_mx").isNotNull()
+            & (_tok1(F.col("mn")) == _tok1(F.col("prev_mx")))
+        )
+        .select(
+            blcp.cast("long").alias("l"),
+            F.concat_ws(" ", F.slice(mtoks, 1, blcp)).alias("sub"),
+        )
+    )
     return (
         adj.unionByName(dups)
-        .unionByName(bnd_df)
+        .unionByName(bnd)
         .orderBy(F.col("l").desc(), F.col("sub").asc())
         .limit(1)
         .select(F.col("l").cast("long").alias("lrs_len"), F.col("sub").alias("lrs_text"))

@@ -2510,9 +2510,20 @@ FROM assigned s WHERE s.id NOT IN (SELECT id FROM dropped)
 # ---------------------------------------------------------------------------
 
 def _toks_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cleaned_docs(spark, sf_dir).select(
-        tokens_expr(F.col("c")).alias("toks")
+    # suffix-grain fan-out floor: the generic gate (SCAN_FANOUT_TEXT_MIN
+    # _BYTES = 2 MB) keys on INPUT bytes, but the suffix explode multiplies
+    # map work by LRS_CAP (~30×) — a one-split 0.6 MB documents file builds
+    # ~45 MB of span strings on ONE core (measured r7: the explode stage
+    # was ~1.0 s of the 2.9–4.1 s sf0.1 wall, serialized). The lower floor
+    # fans out whenever the ×cap work is worth 32 tasks; still a no-op at
+    # sf0.01 oracle scale and at multi-split real scale.
+    from ..constants import SCAN_FANOUT_SUFFIX_MIN_BYTES
+    from ..sources.tables import read_parquet_fanout
+
+    d = read_parquet_fanout(
+        spark, f"{sf_dir}/documents.parquet", SCAN_FANOUT_SUFFIX_MIN_BYTES
     )
+    return d.select(tokens_expr(clean_text_expr(F.col("text"))).alias("toks"))
 
 
 def _q_lrs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
