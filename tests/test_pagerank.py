@@ -139,6 +139,59 @@ def test_pagerank_order_agrees_with_float_power_iteration(spark):
     assert all(abs(got[u] - r[u]) < 1e-9 for u in nodes)
 
 
+def test_pagerank_shuffle_shape_bit_identical_on_sf_graph(spark, sf_dir):
+    """The huge-N shuffle shape (never reached by the default
+    PR_BROADCAST_MAX_NODES gate at any test scale) must be bit-identical
+    to the broadcast shape — the module docstring claims it; this pins it
+    on the sf0.001 purchase graph for both plain and personalized
+    variants, plus a plan-level proof that the forced shape really does
+    run without broadcasting the rank frame (F.broadcast never invoked)."""
+    from yanwenxian_week3_data_pipeline_spark.operators import pagerank as pr_mod
+    from yanwenxian_week3_data_pipeline_spark.plans.graph_ext import _purchase_edges
+
+    edges = _purchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = spark.createDataFrame(
+        [(i * 2,) for i in range(1, 8)], "node long"
+    )  # a few customer nodes
+
+    calls = {"n": 0}
+    real_broadcast = pr_mod.F.broadcast
+
+    def counting_broadcast(df):
+        calls["n"] += 1
+        return real_broadcast(df)
+
+    pr_mod.F.broadcast = counting_broadcast
+    try:
+        calls["n"] = 0
+        shuf = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank(edges, iters=4, broadcast_max_nodes=0).collect()
+        }
+        assert calls["n"] == 0, "forced shuffle shape still broadcast the rank frame"
+        shuf_ppr = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank(
+                edges, iters=4, seeds=seeds, broadcast_max_nodes=0
+            ).collect()
+        }
+        calls["n"] = 0
+        bc = {
+            r["node"]: r["rank_scaled"] for r in pagerank(edges, iters=4).collect()
+        }
+        assert calls["n"] > 0, "default gate unexpectedly took the shuffle shape"
+        bc_ppr = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank(edges, iters=4, seeds=seeds).collect()
+        }
+    finally:
+        pr_mod.F.broadcast = real_broadcast
+
+    assert shuf == bc
+    assert shuf_ppr == bc_ppr
+    assert len(bc) > 0 and bc != bc_ppr  # both variants actually computed
+
+
 def test_pagerank_plan_size_constant_across_iterations(spark):
     # the per-round eager checkpoint must pin lineage: the FINAL plan is a
     # checkpoint scan + projection whose size does not grow with iters

@@ -75,9 +75,19 @@ MASS = 10**15
 DAMP_NUM = 85
 DAMP_DEN = 100
 # Broadcast the N-row rank frame into the per-round edge join while the
-# vertex state is small enough (~40 B/row -> ~200 MB at the cap); beyond
-# that, fall back to the shuffle shape. Both shapes are bit-identical.
-PR_BROADCAST_MAX_NODES = 5_000_000
+# vertex state is small enough; beyond that, fall back to the shuffle
+# shape. Both shapes are bit-identical (pinned by the forced-shape parity
+# tests in tests/test_pagerank.py), so the cap is purely a safety margin.
+# Sizing (r7, was 5M): a BroadcastHashJoin relation costs several times
+# the raw row width — UnsafeRow framing plus the LongHashedRelation /
+# BytesToBytesMap overhead puts a 2-long row nearer ~150 B than ~40 B —
+# and it is held on the driver AND every executor, with each of the
+# ``iters`` rounds creating two fresh broadcasts that are reclaimed only
+# by GC/ContextCleaner, so several can be live at once. 1M nodes ≈
+# 150 MB per relation keeps worst-case live broadcast memory comfortably
+# inside executor headroom; past that the per-round |rank| shuffle the
+# fallback pays is cheap relative to vertex state that size anyway.
+PR_BROADCAST_MAX_NODES = 1_000_000
 
 
 def pagerank(
@@ -86,6 +96,7 @@ def pagerank(
     dst: str = "dst",
     iters: int = 10,
     seeds: DataFrame | None = None,
+    broadcast_max_nodes: int | None = None,
 ) -> DataFrame:
     """Exact integer PageRank; returns ``(node, rank_scaled, rank)`` for
     every node appearing in ``edges`` (either endpoint). ``rank_scaled`` is
@@ -99,7 +110,11 @@ def pagerank(
     the random-walk-with-restart primitive behind seed-set expansion and
     segment-personalized recommendation. Identical integer discipline:
     base and dangling shares divide by |seeds| instead of N and land only
-    on seed rows."""
+    on seed rows.
+
+    ``broadcast_max_nodes`` overrides :data:`PR_BROADCAST_MAX_NODES` — the
+    physical-shape gate only (0 forces the shuffle shape); results are
+    bit-identical either way (tests/test_pagerank.py pins the parity)."""
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     ).distinct()
@@ -156,7 +171,8 @@ def pagerank(
     # while vertex state is task-memory-sized, else shuffle it per round —
     # under the shuffle shape, re-cut the edges to the src partitioning
     # the per-round rank join reuses (only the N-row rank side moves)
-    bcast = n <= PR_BROADCAST_MAX_NODES
+    cap = PR_BROADCAST_MAX_NODES if broadcast_max_nodes is None else broadcast_max_nodes
+    bcast = n <= cap
     if not bcast:
         ed = ed.repartition("s").localCheckpoint(eager=True)
 
