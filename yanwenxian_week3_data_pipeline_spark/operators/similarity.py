@@ -343,6 +343,32 @@ def embedding_band_table(
     # guarantee single execution of the matmul + guard across both join
     # sides (the components.py / pagerank.py lineage discipline).
     banded = banded.localCheckpoint(eager=True)
+    if adaptive:
+        # Clamp visibility (r7 ADVICE): past the last adaptive tier the
+        # CASE's ELSE pins bmod at 2^EMB_LSH_BITS_MAX and random band
+        # collisions resume growing ~N²/2^(bits+1) per band, with only the
+        # recall-lowering degenerate-bucket cap bounding the join. Extending
+        # the table is a deliberate code change (wider planes = +matmul for
+        # every corpus), so make the clamp LOUD instead of silent. N is read
+        # off the just-materialized checkpoint (rows ≈ N·bands post-guard) —
+        # a block scan, no recompute, negligible next to the matmul.
+        from ..constants import EMB_LSH_ADAPTIVE_STEPS
+
+        n_est = banded.count() // max(bands, 1)
+        last_thr = EMB_LSH_ADAPTIVE_STEPS[-1][0]
+        if n_est >= last_thr:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding LSH: corpus count ~%d >= %d lands in the clamped "
+                "ELSE tier (bmod = 2^%d); candidate pairs now grow "
+                "quadratically per band — extend constants."
+                "EMB_LSH_ADAPTIVE_STEPS (and widen EMB_LSH_BITS_MAX planes) "
+                "before running at this scale.",
+                n_est,
+                last_thr,
+                bits,
+            )
     return base, banded
 
 

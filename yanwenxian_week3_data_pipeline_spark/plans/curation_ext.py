@@ -1431,19 +1431,18 @@ def _q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
     )
+    # zero-denominator guard (CASE-guarded in BOTH engines, the
+    # triangle-census transitivity pattern): a degenerate corpus with < 2
+    # distinct ranks gives den = 0, where Spark doubles yield NaN but
+    # DuckDB's /0 semantics can differ — NULL is the agreed answer. den is
+    # K·Σx² − (Σx)² ≥ 0 (Cauchy–Schwarz), so > 0 is the only live branch.
+    den = (F.col("k_tokens") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    num = (F.col("k_tokens") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     return a.select(
         "k_tokens",
         F.col("sx").alias("sum_lnrank_milli"),
         F.col("sy").alias("sum_lnfreq_milli"),
-        F.round(
-            (F.col("k_tokens") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                "double"
-            )
-            / (F.col("k_tokens") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                "double"
-            ),
-            6,
-        ).alias("zipf_slope"),
+        F.when(den > 0, F.round(num / den, 6)).alias("zipf_slope"),
     )
 
 
@@ -1465,8 +1464,10 @@ a AS (SELECT CAST(count(*) AS BIGINT) AS k_tokens,
              CAST(sum(x * x) AS BIGINT) AS sxx
       FROM m)
 SELECT k_tokens, sx AS sum_lnrank_milli, sy AS sum_lnfreq_milli,
-  round(CAST(k_tokens * sxy - sx * sy AS DOUBLE)
-        / CAST(k_tokens * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+  CASE WHEN k_tokens * sxx - sx * sx > 0
+       THEN round(CAST(k_tokens * sxy - sx * sy AS DOUBLE)
+                  / CAST(k_tokens * sxx - sx * sx AS DOUBLE), 6)
+       END AS zipf_slope
 FROM a
 """
 
