@@ -75,6 +75,8 @@ def main() -> None:
     EXTENDED = ["docs_lrs_capped", "graph_pagerank_purchases"]
     import statistics
 
+    from yanwenxian_week3_data_pipeline_spark.session import release_persistent_rdds
+
     def run_set(names: dict | list) -> tuple[dict, dict, dict, dict]:
         timings: dict[str, float] = {}
         cold: dict[str, float] = {}
@@ -88,6 +90,15 @@ def main() -> None:
                 df = spec.build(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 per_run.append(round(time.perf_counter() - t0, 3))
+                # Drop the run's eager-localCheckpoint blocks OUTSIDE the
+                # timer: every run rebuilds its plan from scratch, so the
+                # blocks are garbage the moment the write returns, but
+                # ContextCleaner only reclaims them on GC — across 6 runs
+                # x 12 queries the accumulation measurably pressured the
+                # queries at the end of the suite (r7 diagnosis: +0.15 s
+                # on docs_lrs_capped after the full headline set vs after
+                # an explicit release).
+                release_persistent_rdds(spark)
             cold[name] = per_run[0]
             warm = sorted(per_run[1:])
             samples[name] = per_run[1:]

@@ -24,7 +24,11 @@ python -m pytest tests/ -q
 python tools/verify_all.py /root/testdata/sf0.01
 VERIFY_TZ=America/New_York python tools/verify_all.py /root/testdata/sf0.01
 python tools/plan_audit.py
-python bench.py
+python bench.py | tee /tmp/bench_gate.json
+# r7: round-over-round tripwire on BOTH headline and extended medians —
+# the r6 lesson: an extended-query regression (+30-40% on docs_lrs_capped)
+# survived a "definitive ALL GREEN" gate because nothing thresholded it
+python tools/bench_regression.py /tmp/bench_gate.json
 if [ -n "$1" ]; then
   python tools/verify_all.py "$1"
 fi

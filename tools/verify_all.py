@@ -93,7 +93,10 @@ def main() -> int:
     import duckdb
 
     from yanwenxian_week3_data_pipeline_spark.plans import all_queries
-    from yanwenxian_week3_data_pipeline_spark.session import get_spark
+    from yanwenxian_week3_data_pipeline_spark.session import (
+        get_spark,
+        release_persistent_rdds,
+    )
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     prefixes = tuple(sys.argv[2:])
@@ -136,6 +139,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 - report and continue
             bad.append(name)
             print(f"ERROR {name}: {str(e)[:200]}")
+        finally:
+            # each query is fully consumed above; drop its eager
+            # localCheckpoint blocks so a 200-query sweep keeps
+            # block-manager storage flat (session.py contract)
+            release_persistent_rdds(spark)
     status = "ALL MATCH" if not bad else f"FAILED: {bad}"
     print(
         f"{len(names)} queries ({rows_only} rows-only) in {time.time() - t0:.0f}s -> {status}"

@@ -129,8 +129,21 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "n_name", "r_name")
     )
+    # The orders side of the fact-fact join sat exactly at AQE's runtime
+    # broadcast threshold at sf0.1 — the plan flipped between SMJ and BHJ
+    # run to run (driver IQR 0.17 s on a 1.39 s median, bimodal samples in
+    # two rounds). Pin it, but SIZE-GATED on the local file like the scan
+    # fan-out: a hard broadcast pin would embed "orders fits in memory",
+    # which is false at 100 TB where both fact sides must shuffle on the
+    # order key and AQE should keep choosing.
+    from ..sources.tables import _local_parquet_bytes
+
+    okeys = orders.select("o_orderkey", "o_custkey")
+    obytes = _local_parquet_bytes(f"{sf_dir}/orders.parquet")
+    if obytes is not None and obytes < 64 * 1024 * 1024:
+        okeys = F.broadcast(okeys)
     return (
-        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        li.join(okeys, li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name")
         .agg(

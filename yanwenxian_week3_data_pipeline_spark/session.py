@@ -33,3 +33,25 @@ def get_spark(app_name: str = "ywx-pipeline-spark", shuffle_partitions: int | No
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     return builder.getOrCreate()
+
+
+def release_persistent_rdds(spark: SparkSession) -> int:
+    """Unpersist every persistent RDD (the eager ``localCheckpoint`` blocks
+    the operators leave behind) and return how many were released.
+
+    The engine's iterative/fan-out operators cut lineage with
+    ``localCheckpoint(eager=True)`` and deliberately do NOT unpersist —
+    the checkpointed frame's lifetime is the returned DataFrame's, and an
+    operator cannot know when its caller is done (ContextCleaner reclaims
+    the blocks once the Python references die). Harnesses that build and
+    fully consume many queries in one session (bench.py, sweep tools) can
+    instead call this BETWEEN queries to keep block-manager storage flat.
+
+    Contract: only call this when no previously built DataFrame will be
+    re-executed — a localCheckpointed frame has truncated lineage, so its
+    blocks cannot be recomputed once dropped."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    ids = list(jmap.keySet())
+    for rid in ids:
+        jmap.get(rid).unpersist(False)
+    return len(ids)
