@@ -302,3 +302,117 @@ def test_heavy_hitters_mg_candidate_soundness(events):
         for p in parts:
             cand |= set(_mg(p, HH_K))
         assert true_hh <= cand, (true_hh - cand, len(parts))
+
+
+# ---------------------------------------------------------------------------
+# emb_knn_recall — sequential replay of BOTH sides of the recall gate:
+# brute-force exact top-k for the sampled queries (sequential float folds,
+# the engines' evaluation order) and the banded approximate graph (frozen
+# adaptive step table, bucket guard, per-vector top-k), then the per-query
+# recall ratio. Pins the reported recall VALUES, not just their shape.
+# ---------------------------------------------------------------------------
+
+
+def test_emb_knn_recall_replay(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        EMB_DIM,
+        EMB_LSH_ADAPTIVE_STEPS,
+        EMB_LSH_BANDS,
+        EMB_LSH_BITS_MAX,
+        EMB_LSH_BMOD_MAX,
+        EMB_LSH_DEGEN_FACTOR,
+        EMB_LSH_MAX_BUCKET_ABS,
+        EMB_LSH_SEED,
+    )
+    from yanwenxian_week3_data_pipeline_spark.functions.vectors import (
+        hyperplane_matrix,
+    )
+    from yanwenxian_week3_data_pipeline_spark.plans.llm_ops import (
+        EMB_KNN_K,
+        EMB_KNN_RECALL_MAX_QUERIES,
+        EMB_KNN_RECALL_MOD,
+    )
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pylist()
+    }
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def cosine(a, b):
+        return dot(vecs[a], vecs[b]) / math.sqrt(
+            dot(vecs[a], vecs[a]) * dot(vecs[b], vecs[b])
+        )
+
+    sample = sorted(
+        v
+        for v in vecs
+        if v % EMB_KNN_RECALL_MOD == 0
+        and v < EMB_KNN_RECALL_MOD * EMB_KNN_RECALL_MAX_QUERIES
+    )
+    assert sample, "fixture must contain sampled query ids"
+    exact = {
+        q: {
+            nb
+            for _negc, nb in sorted(
+                (-cosine(q, c), c) for c in vecs if c != q
+            )[:EMB_KNN_K]
+        }
+        for q in sample
+    }
+
+    # approximate side: banding replay (frozen constants)
+    n = len(vecs)
+    bmod = EMB_LSH_BMOD_MAX
+    for thr, m in EMB_LSH_ADAPTIVE_STEPS:
+        if n < thr:
+            bmod = m
+            break
+    planes = hyperplane_matrix(EMB_LSH_BANDS * EMB_LSH_BITS_MAX, EMB_DIM, EMB_LSH_SEED)
+    buckets = defaultdict(list)
+    for vid, v in vecs.items():
+        for b in range(EMB_LSH_BANDS):
+            val = 0
+            for j in range(EMB_LSH_BITS_MAX):
+                if dot(v, planes[b * EMB_LSH_BITS_MAX + j]) >= 0:
+                    val += 1 << j
+            buckets[(b, val % bmod)].append(vid)
+    cap = max(EMB_LSH_MAX_BUCKET_ABS, (EMB_LSH_DEGEN_FACTOR * n) // bmod)
+    cand = defaultdict(set)
+    for members in buckets.values():
+        if len(members) > cap:
+            continue
+        for a in members:
+            for b_ in members:
+                if a != b_:
+                    cand[a].add(b_)
+    approx = {}
+    for q in sample:
+        ranked = sorted(
+            (float(_round_half_up(cosine(q, nb), 6)) * -1, nb) for nb in cand.get(q, ())
+        )[:EMB_KNN_K]
+        approx[q] = {nb for _negc, nb in ranked}
+
+    exp = {}
+    for q in sample:
+        hits = len(exact[q] & approx[q])
+        exp[q] = (
+            len(exact[q]),
+            hits,
+            float(_round_half_up(hits / len(exact[q]), 6)),
+        )
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall_at_k"])
+        for r in _run(spark, sf_dir, "emb_knn_recall")
+    }
+    assert got == exp
+    # the gate must measure something: at least one sampled query recalls
+    # at least one true neighbour on every fixture scale
+    assert any(h > 0 for _ne, h, _r in got.values())

@@ -45,6 +45,9 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "intentional 25-row dimension grid (5 regions x 5 segments)",
     },
     "sim_cosine_topk": {"BroadcastNestedLoopJoin": "tiny |Q| query-vector side broadcast"},
+    "emb_knn_recall": {
+        "BroadcastNestedLoopJoin": "K-bounded sample (<=64 query vectors) broadcast into the exact-top-k side (the sim_cosine_topk class; the graph side stays band-bucketed)"
+    },
     "sim_cosine_topk_ivf": {"BroadcastNestedLoopJoin": "broadcast centroids + query side"},
     "sim_cosine_topk_ivf_kmeans": {"BroadcastNestedLoopJoin": "broadcast trained centroids"},
     "sim_ivf_recall": {"BroadcastNestedLoopJoin": "tiny query side broadcast"},

@@ -913,6 +913,89 @@ FROM r WHERE knn_rank <= {EMB_KNN_K}
 
 
 # ---------------------------------------------------------------------------
+# emb_knn_recall — measured recall of the approximate kNN graph against
+# brute-force exact top-k, per sampled query vector (vec_id % MOD == 0 —
+# a deterministic sample so the exact side stays |sample|·N, never N²;
+# the graph side is the full registered emb_knn_graph, filtered). The
+# r6 verdict's point: an ANN graph without a pinned recall number is an
+# unquantified approximation — this is the dedup_lsh_recall pattern
+# applied to the corpus-as-query-set surface. The sample is K-BOUNDED
+# (every MOD-th vec_id, at most MAX_QUERIES of them), so the broadcast
+# query side never grows with the corpus — the recall gate stays a
+# bounded probe at 100 TB while the graph side stays band-bucketed.
+# Composition of registered queries, so the metric itself is
+# oracle-checked; a recount test pins the recall values against a
+# sequential replay.
+# ---------------------------------------------------------------------------
+
+EMB_KNN_RECALL_MOD = 50
+EMB_KNN_RECALL_MAX_QUERIES = 64
+
+
+def _q_emb_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import cosine_expr
+
+    e = _emb(spark, sf_dir)
+    queries = e.where(
+        (F.col("vec_id") % EMB_KNN_RECALL_MOD == 0)
+        & (F.col("vec_id") < EMB_KNN_RECALL_MOD * EMB_KNN_RECALL_MAX_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    base = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    # exact side: broadcast the sampled queries against the full table,
+    # rank per query on the UNROUNDED cosine (the cosine_topk recipe)
+    scored = base.join(
+        F.broadcast(queries), F.col("cand_id") != F.col("query_id")
+    ).withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= EMB_KNN_K)
+        .select("query_id", "cand_id")
+    )
+    approx = (
+        _q_emb_knn_graph(spark, sf_dir)
+        .where(
+            (F.col("vec_id") % EMB_KNN_RECALL_MOD == 0)
+            & (F.col("vec_id") < EMB_KNN_RECALL_MOD * EMB_KNN_RECALL_MAX_QUERIES)
+        )
+        .select(F.col("vec_id").alias("_aq"), F.col("neighbor_id").alias("_ac"))
+    )
+    j = exact.join(
+        approx, (F.col("query_id") == F.col("_aq")) & (F.col("cand_id") == F.col("_ac")), "left"
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("_ac").alias("n_hit"),
+        F.round(F.count("_ac") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+    )
+
+
+_SQL_EMB_KNN_RECALL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id % {EMB_KNN_RECALL_MOD} = 0
+             AND vec_id < {EMB_KNN_RECALL_MOD * EMB_KNN_RECALL_MAX_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id, {_COS} AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id ASC) AS rnk
+    FROM scored)
+  WHERE rnk <= {EMB_KNN_K}),
+approx AS ({_SQL_EMB_KNN_GRAPH})
+SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(count(a.neighbor_id) / count(*), 6) AS recall_at_k
+FROM exact e LEFT JOIN approx a
+  ON a.vec_id = e.query_id AND a.neighbor_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
@@ -2871,6 +2954,7 @@ QUERIES = [
     QuerySpec("dedup_embedding_cosine", _q_emb_cosine_pairs, _SQL_EMB_COSINE_PAIRS),
     QuerySpec("dedup_embedding_lsh", _q_dedup_emb_lsh, _SQL_DEDUP_EMB_LSH, headline=True),
     QuerySpec("emb_knn_graph", _q_emb_knn_graph, _SQL_EMB_KNN_GRAPH),
+    QuerySpec("emb_knn_recall", _q_emb_knn_recall, _SQL_EMB_KNN_RECALL),
     QuerySpec(
         "dedup_embedding_lsh_wide", _q_dedup_emb_lsh_wide, _SQL_DEDUP_EMB_LSH_WIDE
     ),
