@@ -1,0 +1,173 @@
+"""Recount batch 8 — the r7 new-operator wave: BM25 retrieval, corpus
+unigram entropy, matryoshka prefix-dim recall. Sequential pure-Python
+replays over raw parquet, sharing only frozen constants with the engine
+(the standing rule: every new count-bearing query lands with a third
+opinion in the same round)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import pyarrow.parquet as pq
+import pytest
+
+from yanwenxian_week3_data_pipeline_spark.constants import (
+    BM25_QUERY_TERMS,
+    BM25_TOPK,
+    EMB_PREFIX_DIM,
+    EMB_PREFIX_K,
+    HTML_ENTITIES,
+)
+
+
+def _run(spark, sf_dir, name):
+    from yanwenxian_week3_data_pipeline_spark.plans import all_queries
+
+    return all_queries()[name].build(spark, sf_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def documents(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+
+
+_WS = re.compile("[ \t\n\r\f\x0b\xa0]+")
+
+
+def _clean(t: str | None) -> str:
+    if t is None:
+        return ""
+    for ent, ch in HTML_ENTITIES:
+        t = t.replace(ent, ch)
+    return _WS.sub(" ", t).strip(" ")
+
+
+def _tokens(t: str | None) -> list[str]:
+    c = _clean(t)
+    return c.split(" ") if c else []
+
+
+def _round_half_up(x: float, places: int) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal(1).scaleb(-places), ROUND_HALF_UP)
+
+
+def test_bm25_topk_recount(spark, sf_dir, documents):
+    rows = [(d["doc_id"], _tokens(d["text"])) for d in documents]
+    n_docs = len(rows)
+    t_tokens = sum(len(toks) for _id, toks in rows)
+    tf = {
+        doc_id: [toks.count(t) for t in BM25_QUERY_TERMS] for doc_id, toks in rows
+    }
+    dl = {doc_id: len(toks) for doc_id, toks in rows}
+    dfs = [
+        sum(1 for doc_id, _ in rows if tf[doc_id][i] > 0)
+        for i in range(len(BM25_QUERY_TERMS))
+    ]
+    idf_milli = [
+        int(_round_half_up(math.log((n_docs + 1.0) / (dfs[i] + 0.5)) * 1000, 0))
+        for i in range(len(BM25_QUERY_TERMS))
+    ]
+    scored = []
+    for doc_id, _toks in rows:
+        if sum(tf[doc_id]) == 0:
+            continue
+        s = 0.0
+        for i in range(len(BM25_QUERY_TERMS)):
+            num = 88 * t_tokens * tf[doc_id][i]
+            den = 40 * t_tokens * tf[doc_id][i] + 12 * t_tokens + 36 * dl[doc_id] * n_docs
+            s = s + float(idf_milli[i]) * (float(num) / float(den)) / 1000.0
+        matched = sum(1 for i in range(len(BM25_QUERY_TERMS)) if tf[doc_id][i] > 0)
+        scored.append((doc_id, matched, float(_round_half_up(s, 6))))
+    exp = sorted(scored, key=lambda r: (-r[2], r[0]))[:BM25_TOPK]
+    got = [
+        (r["doc_id"], r["n_terms_matched"], r["bm25"])
+        for r in _run(spark, sf_dir, "text_bm25_topk")
+    ]
+    assert got == exp
+    assert len(got) == BM25_TOPK  # the fixed terms must match at every scale
+
+
+def test_unigram_entropy_recount(spark, sf_dir, documents):
+    counts: dict = defaultdict(int)
+    for d in documents:
+        for t in _tokens(d["text"]):
+            counts[t] += 1
+    t_tokens = sum(counts.values())
+    s_clnc = sum(
+        c * int(_round_half_up(math.log(float(c)) * 1000, 0))
+        for c in counts.values()
+    )
+    lnt_milli = int(_round_half_up(math.log(float(t_tokens)) * 1000, 0))
+    entropy = float(
+        _round_half_up((lnt_milli * t_tokens - s_clnc) / (t_tokens * 1000.0), 6)
+    )
+    [r] = _run(spark, sf_dir, "text_unigram_entropy")
+    assert (r["n_tokens"], r["vocab_size"], r["entropy_nats"]) == (
+        t_tokens,
+        len(counts),
+        entropy,
+    )
+    # corpus-health sanity: entropy is positive and bounded by ln(vocab)
+    assert 0 < entropy <= math.log(len(counts)) + 1e-9
+
+
+def test_emb_prefix_recall_recount(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.plans.llm_ops import (
+        EMB_KNN_RECALL_MAX_QUERIES,
+        EMB_KNN_RECALL_MOD,
+    )
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).to_pylist()
+    }
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    def cos(a, b):
+        return dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+
+    sample = sorted(
+        v
+        for v in vecs
+        if v % EMB_KNN_RECALL_MOD == 0
+        and v < EMB_KNN_RECALL_MOD * EMB_KNN_RECALL_MAX_QUERIES
+    )
+    exp = {}
+    for q in sample:
+        full = {
+            nb
+            for _negc, nb in sorted(
+                (-cos(vecs[q], vecs[c]), c) for c in vecs if c != q
+            )[:EMB_PREFIX_K]
+        }
+        pre = {
+            nb
+            for _negc, nb in sorted(
+                (
+                    -cos(vecs[q][:EMB_PREFIX_DIM], vecs[c][:EMB_PREFIX_DIM]),
+                    c,
+                )
+                for c in vecs
+                if c != q
+            )[:EMB_PREFIX_K]
+        }
+        hits = len(full & pre)
+        exp[q] = (EMB_PREFIX_K, hits, float(_round_half_up(hits / EMB_PREFIX_K, 6)))
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall_at_k"])
+        for r in _run(spark, sf_dir, "emb_prefix_dim_recall")
+    }
+    assert got == exp
+    # truncation must lose SOMETHING on 64-dim near-random vectors (if it
+    # didn't, the gate would be measuring nothing)
+    assert any(h < EMB_PREFIX_K for _ne, h, _r in got.values())

@@ -48,6 +48,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "emb_knn_recall": {
         "BroadcastNestedLoopJoin": "K-bounded sample (<=64 query vectors) broadcast into the exact-top-k side (the sim_cosine_topk class; the graph side stays band-bucketed)"
     },
+    "emb_prefix_dim_recall": {
+        "BroadcastNestedLoopJoin": "same K-bounded <=64-query sample broadcast into BOTH exact sides (full-dim and prefix-dim ground truths; the sim_cosine_topk class)"
+    },
+    "text_bm25_topk": {
+        "BroadcastNestedLoopJoin": "1-row corpus-stats scalar (N, T, df_i) cross-joined back — the sanctioned docs_unigram_logprob scalar class"
+    },
     "sim_cosine_topk_ivf": {"BroadcastNestedLoopJoin": "broadcast centroids + query side"},
     "sim_cosine_topk_ivf_kmeans": {"BroadcastNestedLoopJoin": "broadcast trained centroids"},
     "sim_ivf_recall": {"BroadcastNestedLoopJoin": "tiny query side broadcast"},

@@ -357,3 +357,18 @@ REP_DUP_FRAC_MAX = 0.2
 # correctly rounded, at any corpus size).
 ZIPF_TOP_K = 256
 ZIPF_LN_SCALE = 1000
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval + corpus entropy + matryoshka prefix recall (round 7)
+# ---------------------------------------------------------------------------
+# Fixed lexical query for the BM25 gate — tokens present at every fixture
+# scale. k1 = 1.2 and b = 0.75 are carried as the exact rationals 12/10 and
+# 3/4, so the tf normalization is ONE double division of two exact int64
+# values (see plans/lm_ext.py derivation) — no float accumulates anywhere.
+BM25_QUERY_TERMS: tuple[str, ...] = ("column", "window", "scan")
+BM25_TOPK = 15
+# Matryoshka-style prefix-dimension ANN check: recall of exact top-k under
+# the first EMB_PREFIX_DIM coordinates vs the full-dimension ground truth,
+# over the same K-bounded query sample as emb_knn_recall.
+EMB_PREFIX_DIM = 16
+EMB_PREFIX_K = 5

@@ -972,6 +972,98 @@ def _q_emb_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# emb_prefix_dim_recall — Matryoshka-style truncation check (Kusupati et
+# al. 2022, arXiv:2205.13147): recall@k of exact top-k computed on the
+# FIRST EMB_PREFIX_DIM coordinates against the full-dimension ground
+# truth, over the same K-bounded query sample as emb_knn_recall. The
+# question a production index answers before storing truncated vectors:
+# how much ranking quality do the dropped dimensions carry. Both sides
+# are exact brute force with the ≤64-query side broadcast; shared fold
+# recipes keep the cosines bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def _q_emb_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..constants import EMB_PREFIX_DIM, EMB_PREFIX_K
+    from ..functions.vectors import cosine_expr
+
+    e = _emb(spark, sf_dir)
+    queries = e.where(
+        (F.col("vec_id") % EMB_KNN_RECALL_MOD == 0)
+        & (F.col("vec_id") < EMB_KNN_RECALL_MOD * EMB_KNN_RECALL_MAX_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    base = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    scored = base.join(
+        F.broadcast(queries), F.col("cand_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "cand_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cos_full"),
+        cosine_expr(
+            F.slice(F.col("qv"), 1, EMB_PREFIX_DIM),
+            F.slice(F.col("cv"), 1, EMB_PREFIX_DIM),
+        ).alias("cos_pre"),
+    )
+
+    def topk(col: str):
+        w = Window.partitionBy("query_id").orderBy(F.desc(col), F.asc("cand_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= EMB_PREFIX_K)
+            .select("query_id", "cand_id")
+        )
+
+    exact = topk("cos_full")
+    approx = topk("cos_pre").select(
+        F.col("query_id").alias("_aq"), F.col("cand_id").alias("_ac")
+    )
+    j = exact.join(
+        approx,
+        (F.col("query_id") == F.col("_aq")) & (F.col("cand_id") == F.col("_ac")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("_ac").alias("n_hit"),
+        F.round(F.count("_ac") / F.count(F.lit(1)), 6).alias("recall_at_k"),
+    )
+
+
+def _sql_emb_prefix_recall() -> str:
+    from ..constants import EMB_PREFIX_DIM, EMB_PREFIX_K
+
+    cos_pre = cosine_sql(
+        f"q.embedding[1:{EMB_PREFIX_DIM}]", f"e.embedding[1:{EMB_PREFIX_DIM}]"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id % {EMB_KNN_RECALL_MOD} = 0
+             AND vec_id < {EMB_KNN_RECALL_MOD * EMB_KNN_RECALL_MAX_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS cand_id, {_COS} AS cos_full, {cos_pre} AS cos_pre
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+exact AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, cand_id ASC) AS rnk
+    FROM scored) WHERE rnk <= {EMB_PREFIX_K}),
+approx AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY cos_pre DESC, cand_id ASC) AS rnk
+    FROM scored) WHERE rnk <= {EMB_PREFIX_K})
+SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.cand_id) AS BIGINT) AS n_hit,
+       round(count(a.cand_id) / count(*), 6) AS recall_at_k
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+GROUP BY e.query_id
+"""
+
+
 _SQL_EMB_KNN_RECALL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            WHERE vec_id % {EMB_KNN_RECALL_MOD} = 0
@@ -2955,6 +3047,7 @@ QUERIES = [
     QuerySpec("dedup_embedding_lsh", _q_dedup_emb_lsh, _SQL_DEDUP_EMB_LSH, headline=True),
     QuerySpec("emb_knn_graph", _q_emb_knn_graph, _SQL_EMB_KNN_GRAPH),
     QuerySpec("emb_knn_recall", _q_emb_knn_recall, _SQL_EMB_KNN_RECALL),
+    QuerySpec("emb_prefix_dim_recall", _q_emb_prefix_recall, _sql_emb_prefix_recall()),
     QuerySpec(
         "dedup_embedding_lsh_wide", _q_dedup_emb_lsh_wide, _SQL_DEDUP_EMB_LSH_WIDE
     ),

@@ -603,6 +603,180 @@ ORDER BY df DESC, tok ASC LIMIT {INVIDX_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# text_bm25_topk — BM25 lexical retrieval for a FIXED query (the classic
+# Robertson/Sparck Jones ranking; the lexical half of hybrid retrieval
+# next to sim_rrf_hybrid). Exactness discipline: k1 = 1.2 and b = 0.75 are
+# carried as the exact rationals 12/10 and 3/4, so the tf normalization
+#   tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))        with avgdl = T/N
+# multiplies out (×40T) to ONE division of two exact int64 values:
+#   num = 88·T·tf,   den = 40·T·tf + 12·T + 36·dl·N
+# (all terms < 8·10^16 even at 10^13 corpus tokens — int64-exact, and the
+# int→double casts are correctly rounded identically in both engines).
+# idf = ln((N − df + 0.5)/(df + 0.5) + 1) = ln((N+1)/(df+0.5)) is the one
+# libm call, quantized to exact MILLI integers (the zipf-slope rule) so a
+# last-ulp ln() difference cannot move the hash. The 3 per-term scores
+# sum in FIXED expression order (s1+s2+s3), never an aggregate over rows.
+# Scale shape: one scan computes per-doc (tf_i, dl); N/T/df_i come from
+# ONE 1-row aggregate broadcast back (the sanctioned scalar class);
+# ranking is a TakeOrdered over matching docs only. No shuffle grows
+# with the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import BM25_QUERY_TERMS, BM25_TOPK
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens_expr(clean_text_expr(F.col("text"))).alias("toks")
+    )
+    def _tf(term: str):
+        # closure, not a default arg: PySpark reads lambda ARITY to decide
+        # between (element) and (element, index) signatures
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    tf_cols = [
+        _tf(t).cast("long").alias(f"tf{i}") for i, t in enumerate(BM25_QUERY_TERMS)
+    ]
+    stats = d.select("doc_id", F.size("toks").cast("long").alias("dl"), *tf_cols)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("t_tokens"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    ]
+    g = stats.agg(*aggs)
+
+    def term_score(i: int):
+        idf_milli = F.round(
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col(f"df{i}") + F.lit(0.5)))
+            * 1000,
+            0,
+        ).cast("long")
+        num = F.lit(88) * F.col("t_tokens") * F.col(f"tf{i}")
+        den = (
+            F.lit(40) * F.col("t_tokens") * F.col(f"tf{i}")
+            + F.lit(12) * F.col("t_tokens")
+            + F.lit(36) * F.col("dl") * F.col("n_docs")
+        )
+        return (
+            idf_milli.cast("double")
+            * (num.cast("double") / den.cast("double"))
+            / F.lit(1000.0)
+        )
+
+    scored = stats.crossJoin(F.broadcast(g))
+    score = term_score(0)
+    for i in range(1, len(BM25_QUERY_TERMS)):
+        score = score + term_score(i)
+    matched = sum(
+        (F.col(f"tf{i}") > 0).cast("int") for i in range(len(BM25_QUERY_TERMS))
+    )
+    return (
+        scored.where(sum(F.col(f"tf{i}") for i in range(len(BM25_QUERY_TERMS))) > 0)
+        .select(
+            "doc_id",
+            matched.alias("n_terms_matched"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+    )
+
+
+def _sql_bm25_topk() -> str:
+    from ..constants import BM25_QUERY_TERMS, BM25_TOPK
+
+    toks = tokens_sql("c")
+    tf_exprs = ", ".join(
+        f"CAST(len(list_filter({toks}, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY_TERMS)
+    )
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    scores = " + ".join(
+        f"(CAST(CAST(round(ln((n_docs + 1.0) / (df{i} + 0.5)) * 1000, 0) AS BIGINT) AS DOUBLE)"
+        f" * (CAST(88 * t_tokens * tf{i} AS DOUBLE)"
+        f" / CAST(40 * t_tokens * tf{i} + 12 * t_tokens + 36 * dl * n_docs AS DOUBLE))"
+        f" / 1000.0)"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    matched = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(BM25_QUERY_TERMS))
+    )
+    any_tf = " + ".join(f"tf{i}" for i in range(len(BM25_QUERY_TERMS)))
+    return f"""
+WITH d AS ({_CLEANED_LM}),
+s AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS dl, {tf_exprs} FROM d),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS t_tokens, {dfs} FROM s)
+SELECT doc_id, CAST({matched} AS INT) AS n_terms_matched,
+       round({scores}, 6) AS bm25
+FROM s, g WHERE {any_tf} > 0
+ORDER BY bm25 DESC, doc_id ASC LIMIT {BM25_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_unigram_entropy — corpus unigram entropy in nats (the corpus-health
+# gate next to text_zipf_slope: entropy collapse flags synthetic or
+# template-heavy corpora before training). H = ln T − (Σ c·ln c)/T over
+# token frequencies c. Same exact-milli quantization as the zipf slope:
+# ln values become exact MILLI integers, Σ c·lnmilli(c) is an exact int64
+# sum under any reduction order (< 2·10^17 even at 10^13 tokens), and the
+# final expression is one division of two correctly-rounded int→double
+# casts. Scale: one map-side-combining token-frequency shuffle + a 1-row
+# aggregate. ---------------------------------------------------------------
+
+
+def _q_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        tokens_expr(clean_text_expr(F.col("text"))).alias("toks")
+    )
+    freq = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ln_milli = F.round(F.log(F.col("c").cast("double")) * 1000, 0).cast("long")
+    a = freq.agg(
+        F.sum("c").alias("t_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.col("c") * ln_milli).alias("s_clnc"),
+    )
+    lnt_milli = F.round(F.log(F.col("t_tokens").cast("double")) * 1000, 0).cast("long")
+    return a.select(
+        F.col("t_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.round(
+            (lnt_milli * F.col("t_tokens") - F.col("s_clnc")).cast("double")
+            / (F.col("t_tokens").cast("double") * F.lit(1000.0)),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+def _sql_unigram_entropy() -> str:
+    toks = tokens_sql("c")
+    return f"""
+WITH d AS ({_CLEANED_LM}),
+t AS (SELECT unnest({toks}) AS tok FROM d),
+f AS (SELECT tok, count(*) AS c FROM t GROUP BY tok),
+a AS (SELECT CAST(sum(c) AS BIGINT) AS t_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000, 0) AS BIGINT)) AS BIGINT) AS s_clnc
+      FROM f)
+SELECT t_tokens AS n_tokens, vocab_size,
+  round(CAST(CAST(round(ln(CAST(t_tokens AS DOUBLE)) * 1000, 0) AS BIGINT) * t_tokens - s_clnc AS DOUBLE)
+        / (CAST(t_tokens AS DOUBLE) * 1000.0), 6) AS entropy_nats
+FROM a
+"""
+
+
 QUERIES = [
     QuerySpec(
         name="text_bpe_learn",
@@ -648,6 +822,23 @@ QUERIES = [
         doc="Multinomial Naive Bayes language-ID on a deterministic "
         "half split: hashed-unigram features, Laplace smoothing, exact "
         "micro-nat argmax; outputs the held-out confusion matrix.",
+    ),
+    QuerySpec(
+        name="text_bm25_topk",
+        build=_q_bm25_topk,
+        oracle=_sql_bm25_topk(),
+        doc="BM25 top-15 for a fixed 3-term query: exact-rational tf "
+        "normalization (one int64/int64 division), milli-quantized idf, "
+        "fixed-order per-term sum; one scan + a broadcast 1-row stats "
+        "aggregate + TakeOrdered.",
+    ),
+    QuerySpec(
+        name="text_unigram_entropy",
+        build=_q_unigram_entropy,
+        oracle=_sql_unigram_entropy(),
+        doc="Corpus unigram entropy in nats via exact milli-quantized "
+        "ln sums (the zipf-slope discipline); one token-frequency "
+        "shuffle + a 1-row aggregate.",
     ),
     QuerySpec(
         name="docs_ccnet_perplexity_buckets",
