@@ -171,3 +171,118 @@ def test_emb_prefix_recall_recount(spark, sf_dir):
     # truncation must lose SOMETHING on 64-dim near-random vectors (if it
     # didn't, the gate would be measuring nothing)
     assert any(h < EMB_PREFIX_K for _ne, h, _r in got.values())
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_estimate_gate — replay the full minhash chain (as in
+# batch 7's survivors replay) and the estimator: per verified pair,
+# matching signature positions / num_hashes next to the exact Jaccard.
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_estimate_gate_recount(spark, sf_dir, documents):
+    import hashlib
+
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        DEDUP_MAX_BUCKET,
+        MINHASH_BANDS,
+        MINHASH_JACCARD_THRESHOLD,
+        MINHASH_NUM_HASHES,
+        MINHASH_PRIME,
+        MINHASH_ROWS_PER_BAND,
+        MINHASH_SHINGLE_K,
+    )
+
+    def shingles(text):
+        toks = _tokens(text)
+        k = MINHASH_SHINGLE_K
+        if len(toks) < k:
+            return set()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    def signature(sh_set):
+        p = MINHASH_PRIME
+        sig = [None] * MINHASH_NUM_HASHES
+        for s in sh_set:
+            d = hashlib.md5(s.encode()).hexdigest()
+            h1, h2 = int(d[0:15], 16), int(d[15:29], 16)
+            for i in range(MINHASH_NUM_HASHES):
+                g = h1 if i == 0 else (h1 + (i * h2) % p) % p
+                if sig[i] is None or g < sig[i]:
+                    sig[i] = g
+        return sig
+
+    sh = {d["doc_id"]: shingles(d["text"]) for d in documents}
+    sig = {i: signature(s) for i, s in sh.items() if s}
+    buckets = defaultdict(list)
+    for doc_id in sorted(sig):
+        for b in range(MINHASH_BANDS):
+            sl = sig[doc_id][b * MINHASH_ROWS_PER_BAND : (b + 1) * MINHASH_ROWS_PER_BAND]
+            key = hashlib.md5(",".join(str(v) for v in sl).encode()).hexdigest()
+            buckets[(b, key)].append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        if len(ids) > DEDUP_MAX_BUCKET:
+            continue
+        for i, a in enumerate(ids):
+            for b_ in ids[i + 1 :]:
+                cand.add((min(a, b_), max(a, b_)))
+    thr = Decimal(repr(MINHASH_JACCARD_THRESHOLD))
+    exp = {}
+    for a, b_ in sorted(cand):
+        inter = len(sh[a] & sh[b_])
+        union = len(sh[a]) + len(sh[b_]) - inter
+        if not union:
+            continue
+        jac = _round_half_up(inter / union, 6)
+        if jac < thr:
+            continue
+        nm = sum(1 for x, y in zip(sig[a], sig[b_]) if x == y)
+        est = _round_half_up(nm / MINHASH_NUM_HASHES, 6)
+        err = _round_half_up(abs(float(est) - float(jac)), 6)
+        exp[(a, b_)] = (float(jac), float(est), float(err))
+    assert exp, "fixture must contain verified pairs"
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["jaccard_est"], r["abs_err"])
+        for r in _run(spark, sf_dir, "dedup_minhash_estimate_gate")
+    }
+    assert got == exp
+
+
+def test_ngram_novelty_recount(spark, sf_dir, documents):
+    from yanwenxian_week3_data_pipeline_spark.plans.curation_ext import NOVELTY_NGRAM
+
+    k = NOVELTY_NGRAM
+    doc_grams = {}
+    for d in documents:
+        toks = _tokens(d["text"])
+        doc_grams[d["doc_id"]] = (
+            {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            if len(toks) >= k
+            else set()
+        )
+    first = {}
+    for doc_id in sorted(doc_grams):
+        for g in doc_grams[doc_id]:
+            if g not in first or doc_id < first[g]:
+                first[g] = doc_id
+    by_source = defaultdict(lambda: [0, 0, 0])  # docs with grams? see below
+    src = {d["doc_id"]: d["source"] for d in documents}
+    for doc_id, grams in doc_grams.items():
+        if not grams:
+            continue  # docs with no 5-gram vanish at the explode
+        cell = by_source[src[doc_id]]
+        cell[0] += 1
+        cell[1] += len(grams)
+        cell[2] += sum(1 for g in grams if first[g] == doc_id)
+    exp = {
+        s: (nd, ng, nn, float(_round_half_up(nn / ng, 6)))
+        for s, (nd, ng, nn) in by_source.items()
+    }
+    got = {
+        r["source"]: (r["n_docs"], r["n_grams"], r["n_novel"], r["novelty_ratio"])
+        for r in _run(spark, sf_dir, "docs_ngram_novelty_by_source")
+    }
+    assert got == exp
+    # ingest-order novelty must strictly bind: some gram repeats somewhere
+    assert any(nn < ng for _nd, ng, nn, _r in exp.values())

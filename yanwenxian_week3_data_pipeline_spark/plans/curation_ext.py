@@ -1534,7 +1534,98 @@ FROM g GROUP BY lang ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_ngram_novelty_by_source — per-source novelty of the corpus in
+# ingest (doc_id) order: a doc's distinct 5-grams are NOVEL when their
+# first corpus occurrence (min doc_id over all docs containing them) is
+# this doc. Declining novelty across sources/snapshots is the standard
+# signal that a crawl has started re-collecting itself (data-curation
+# dashboards track exactly this curve before spending training tokens).
+# Exactness: all counts are integers; the ratio is one final division
+# rounded to 6. Scale shape: one (gram → min doc_id) map-side-combining
+# aggregate, one join back on the gram (co-partitioned by the same key),
+# one per-doc aggregate, one per-source rollup — every shuffle is keyed,
+# nothing global, output bounded by |sources|.
+# ---------------------------------------------------------------------------
+
+NOVELTY_NGRAM = 5
+
+
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", clean_text_expr(F.col("text")).alias("c")
+    )
+    toks = tokens_expr(F.col("c"))
+    n = F.size(toks)
+    grams = F.when(
+        n >= NOVELTY_NGRAM,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (NOVELTY_NGRAM - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, NOVELTY_NGRAM)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = d.select("doc_id", "source", F.explode(grams).alias("g"))
+    firsts = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        dg.join(firsts, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty_ratio"),
+        )
+    )
+
+
+def _sql_ngram_novelty() -> str:
+    k = NOVELTY_NGRAM
+    toks = tokens_sql("c")
+    grams = (
+        f"(CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {k - 2}), "
+        f"i -> array_to_string({toks}[i:i + {k - 1}], ' '))) "
+        f"ELSE []::VARCHAR[] END)"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, source, {CLEAN_SQL} AS c FROM documents),
+dg AS (SELECT doc_id, source, unnest({grams}) AS g FROM d),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM dg GROUP BY g),
+per_doc AS (
+  SELECT doc_id, source, count(*) AS n_grams,
+         sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM dg JOIN firsts USING (g) GROUP BY doc_id, source)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+       CAST(sum(n_novel) AS BIGINT) AS n_novel,
+       round(sum(n_novel) / sum(n_grams), 6) AS novelty_ratio
+FROM per_doc GROUP BY source
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "docs_ngram_novelty_by_source",
+        _q_ngram_novelty,
+        _sql_ngram_novelty(),
+    ),
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
     QuerySpec("emb_kmeans_exact", _q_kmeans_exact, _sql_kmeans_exact()),
     QuerySpec(

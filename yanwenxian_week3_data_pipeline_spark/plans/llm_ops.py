@@ -64,6 +64,7 @@ from ..operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
     dedup_simhash,
+    doc_shingles,
     minhash_signatures,
     simhash_signatures,
 )
@@ -388,6 +389,65 @@ verified AS (
   JOIN sigs sa ON sa.doc_id = doc_a
   JOIN sigs sb ON sb.doc_id = doc_b)
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {MINHASH_JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_estimate_gate — the MinHash ESTIMATOR itself, gated: for
+# every verified near-dup pair, the signature-based Jaccard estimate
+# (matching positions / num_hashes — the only number a signature store
+# can answer without the shingle sets) next to the exact Jaccard, with
+# the absolute error. Completes the sketch-gate family (HLL bound replay,
+# MG soundness, LSH/kNN recall): before a 100 TB pipeline drops shingle
+# sets and keeps only 32 longs per doc, this is the measured quality of
+# what remains. est = nm/32 is exactly representable; the error is
+# computed from the two ALREADY-ROUNDED columns, so every double op is
+# identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def _q_minhash_est_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _minhash_sig_table
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_minhash_lsh(
+        docs, "text", "doc_id", threshold=MINHASH_JACCARD_THRESHOLD
+    )
+    sigs = _minhash_sig_table(doc_shingles(docs, "text", "doc_id"))
+    sa = sigs.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
+    sb = sigs.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    nm = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    est = F.round(nm.cast("double") / F.lit(float(MINHASH_NUM_HASHES)), 6)
+    return j.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
+        est.alias("jaccard_est"),
+        F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+_SQL_MINHASH_EST_GATE = f"""
+WITH d AS ({_CLEANED}),
+sh AS (SELECT doc_id, {_shingles_sql_inline('c')} AS shingles FROM d),
+hashed AS (SELECT doc_id, shingles, {_minhash_digests_sql('shingles')} AS ds FROM sh WHERE len(shingles) > 0),
+sigs AS (SELECT doc_id, shingles, {_minhash_sig_sql('ds')} AS sig FROM hashed),
+pairs AS (SELECT doc_a, doc_b, jaccard FROM ({_SQL_DEDUP_MINHASH}))
+SELECT p.doc_a, p.doc_b, p.jaccard,
+  round(CAST(len(list_filter(range(1, {MINHASH_NUM_HASHES + 1}),
+                             i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+        / {float(MINHASH_NUM_HASHES)}, 6) AS jaccard_est,
+  round(abs(round(CAST(len(list_filter(range(1, {MINHASH_NUM_HASHES + 1}),
+                                       i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                  / {float(MINHASH_NUM_HASHES)}, 6) - p.jaccard), 6) AS abs_err
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
 """
 
 
@@ -3017,6 +3077,7 @@ QUERIES = [
     QuerySpec("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     QuerySpec("text_minhash_signature", _q_minhash_sig, _SQL_MINHASH_SIG),
     QuerySpec("dedup_minhash_lsh", _q_dedup_minhash, _SQL_DEDUP_MINHASH, headline=True),
+    QuerySpec("dedup_minhash_estimate_gate", _q_minhash_est_gate, _SQL_MINHASH_EST_GATE),
     QuerySpec("text_simhash", _q_simhash, _SQL_SIMHASH),
     QuerySpec("dedup_simhash_pairs", _q_dedup_simhash, _SQL_DEDUP_SIMHASH),
     QuerySpec("dedup_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
