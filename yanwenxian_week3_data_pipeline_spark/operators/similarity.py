@@ -230,6 +230,11 @@ def embedding_cosine_pairs(
     )
 
 
+# adaptive-tier clamp checks already performed this session, keyed by the
+# pre-checkpoint banded plan's semanticHash (same corpus -> same key)
+_CLAMP_CHECKED: set = set()
+
+
 def embedding_band_table(
     embeddings: DataFrame,
     n_planes: int | None = None,
@@ -342,8 +347,16 @@ def embedding_band_table(
     # vectors themselves — so materializing it once is the cheapest way to
     # guarantee single execution of the matmul + guard across both join
     # sides (the components.py / pagerank.py lineage discipline).
+    # key the clamp check below on the PRE-checkpoint logical plan: the
+    # checkpointed frame's plan is a new RDD scan per build (never equal),
+    # but the pre-checkpoint plan is identical whenever the same corpus is
+    # re-banded in one session
+    try:
+        clamp_key = banded.semanticHash()
+    except Exception:  # noqa: BLE001 - visibility must never break the build
+        clamp_key = None
     banded = banded.localCheckpoint(eager=True)
-    if adaptive:
+    if adaptive and clamp_key not in _CLAMP_CHECKED:
         # Clamp visibility (r7 ADVICE): past the last adaptive tier the
         # CASE's ELSE pins bmod at 2^EMB_LSH_BITS_MAX and random band
         # collisions resume growing ~N²/2^(bits+1) per band, with only the
@@ -351,9 +364,12 @@ def embedding_band_table(
         # the table is a deliberate code change (wider planes = +matmul for
         # every corpus), so make the clamp LOUD instead of silent. N is read
         # off the just-materialized checkpoint (rows ≈ N·bands post-guard) —
-        # a block scan, no recompute, negligible next to the matmul.
+        # a block scan, no recompute; memoized per logical plan so repeated
+        # builds of the same corpus in one session (bench warm loops) pay
+        # the ~50 ms count job exactly once.
         from ..constants import EMB_LSH_ADAPTIVE_STEPS
 
+        _CLAMP_CHECKED.add(clamp_key)
         n_est = banded.count() // max(bands, 1)
         last_thr = EMB_LSH_ADAPTIVE_STEPS[-1][0]
         if n_est >= last_thr:
