@@ -482,6 +482,30 @@ def test_lrs_cap_and_empty_semantics(spark):
     assert longest_repeated_substring(uniq).collect() == []
 
 
+def test_lrs_boundary_pair_across_prefix_blocks(spark):
+    """The r7 two-level shape's LEVEL-2 path, targeted: the max-LCP pair
+    here shares only the 2-char token 'ab', so the two witnessing suffixes
+    ('ab xx…' / 'ab yy…') land in DIFFERENT 8-char-prefix blocks and the
+    repeat is invisible to within-block adjacency — it must be recovered
+    by the block-boundary (max of block i, min of block i+1) window. All
+    other tokens are unique, so a wrong or missing boundary pass returns
+    an empty result, not a smaller answer."""
+    from yanwenxian_week3_data_pipeline_spark.operators.substrings import (
+        lrs_capped_sorted,
+    )
+
+    rows = [
+        ("ab xx1 u1 u2 u3",),
+        ("ab yy1 v1 v2 v3",),
+        ("w1 w2 w3 w4 w5",),
+    ]
+    t = spark.createDataFrame(rows, "text string").select(
+        F.split("text", " ").alias("toks")
+    )
+    got = lrs_capped_sorted(t).collect()
+    assert [(r["lrs_len"], r["lrs_text"]) for r in got] == [(1, "ab")]
+
+
 def test_partitioned_parquet_roundtrip_prunes(spark, sf_dir, tmp_path):
     from yanwenxian_week3_data_pipeline_spark.sinks.columnar import (
         read_partitioned_parquet,

@@ -286,3 +286,36 @@ def test_ngram_novelty_recount(spark, sf_dir, documents):
     assert got == exp
     # ingest-order novelty must strictly bind: some gram repeats somewhere
     assert any(nn < ng for _nd, ng, nn, _r in exp.values())
+
+
+def test_source_lang_kl_recount(spark, sf_dir, documents):
+    """Sequential replay of the per-source language-mixture KL gate:
+    (source, lang) cells, milli-quantized per-cell log ratios, exact
+    integer term sums, one final division per source."""
+    cells = defaultdict(int)
+    for d in documents:
+        if d["lang"] is None or d["source"] is None:
+            continue
+        cells[(d["source"], d["lang"])] += 1
+    n = sum(cells.values())
+    n_s = defaultdict(int)
+    c_l = defaultdict(int)
+    for (s, l), c in cells.items():
+        n_s[s] += c
+        c_l[l] += c
+    s_milli = defaultdict(int)
+    for (s, l), c in cells.items():
+        lr = int(_round_half_up(math.log((c * n) / (n_s[s] * c_l[l])) * 1000, 0))
+        s_milli[s] += c * lr
+    exp = {
+        s: (n_s[s], float(_round_half_up(s_milli[s] / (n_s[s] * 1000.0), 6)))
+        for s in n_s
+    }
+    got = {
+        r["source"]: (r["n_docs"], r["kl_nats"])
+        for r in _run(spark, sf_dir, "docs_source_lang_kl")
+    }
+    assert got == exp
+    # milli-rounding can push a near-uniform source a hair below 0; real
+    # divergence must stay far from pathological
+    assert all(k > -0.001 for _n, k in exp.values())

@@ -54,6 +54,9 @@ ALLOW: dict[str, dict[str, str]] = {
     "text_bm25_topk": {
         "BroadcastNestedLoopJoin": "1-row corpus-stats scalar (N, T, df_i) cross-joined back — the sanctioned docs_unigram_logprob scalar class"
     },
+    "docs_source_lang_kl": {
+        "BroadcastNestedLoopJoin": "1-row corpus-total scalar cross-joined into the |sources|x|langs| cell frame — the sanctioned scalar class"
+    },
     "sim_cosine_topk_ivf": {"BroadcastNestedLoopJoin": "broadcast centroids + query side"},
     "sim_cosine_topk_ivf_kmeans": {"BroadcastNestedLoopJoin": "broadcast trained centroids"},
     "sim_ivf_recall": {"BroadcastNestedLoopJoin": "tiny query side broadcast"},

@@ -1620,11 +1620,88 @@ FROM per_doc GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_source_lang_kl — per-source language-mixture drift: KL(P_s ‖ Q) of
+# each source's language distribution against the corpus-wide one — the
+# gate a curation pipeline puts on a new crawl snapshot before mixing it
+# in (a source whose language mix diverges from the corpus shifts the
+# training mixture silently). Exact-milli discipline: each cell's log
+# ratio ln(p_sl/q_l) = ln((c_sl·n)/(n_s·c_l)) is ONE libm call on a
+# deterministic double (products cast correctly-rounded identically in
+# both engines), milli-quantized; Σ c_sl·lr_milli is an exact int64 sum
+# under any reduction order; one final division per source. Cells with
+# c_sl = 0 contribute 0 and never materialize. Scale: one (source, lang)
+# map-side-combining count — everything after is |sources|·|langs| rows.
+# ---------------------------------------------------------------------------
+
+
+def _q_source_lang_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("source", "lang").where(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )  # KL is over the labeled mass; NULL keys would silently drop at the joins
+    cell = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c_sl"))
+    srctot = cell.groupBy("source").agg(F.sum("c_sl").cast("long").alias("n_s"))
+    langtot = cell.groupBy("lang").agg(F.sum("c_sl").cast("long").alias("c_l"))
+    tot = cell.agg(F.sum("c_sl").cast("long").alias("n"))
+    j = (
+        cell.join(srctot, "source")
+        .join(F.broadcast(langtot), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    lr_milli = F.round(
+        F.log(
+            (F.col("c_sl") * F.col("n")).cast("double")
+            / (F.col("n_s") * F.col("c_l")).cast("double")
+        )
+        * 1000,
+        0,
+    ).cast("long")
+    return (
+        j.groupBy("source", "n_s")
+        .agg(F.sum(F.col("c_sl") * lr_milli).alias("s_milli"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            F.round(
+                F.col("s_milli").cast("double")
+                / (F.col("n_s").cast("double") * F.lit(1000.0)),
+                6,
+            ).alias("kl_nats"),
+        )
+    )
+
+
+_SQL_SOURCE_LANG_KL = """
+WITH cell AS (SELECT source, lang, count(*) AS c_sl FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL
+              GROUP BY source, lang),
+srctot AS (SELECT source, CAST(sum(c_sl) AS BIGINT) AS n_s FROM cell GROUP BY source),
+langtot AS (SELECT lang, CAST(sum(c_sl) AS BIGINT) AS c_l FROM cell GROUP BY lang),
+tot AS (SELECT CAST(sum(c_sl) AS BIGINT) AS n FROM cell),
+j AS (SELECT cell.source, cell.lang, cell.c_sl, srctot.n_s, langtot.c_l, tot.n
+      FROM cell JOIN srctot USING (source) JOIN langtot USING (lang), tot),
+terms AS (SELECT source, n_s,
+            c_sl * CAST(round(ln(CAST(c_sl * n AS DOUBLE)
+                                 / CAST(n_s * c_l AS DOUBLE)) * 1000, 0) AS BIGINT)
+              AS t_milli
+          FROM j)
+SELECT source, n_s AS n_docs,
+       round(CAST(sum(t_milli) AS DOUBLE) / (CAST(n_s AS DOUBLE) * 1000.0), 6)
+         AS kl_nats
+FROM terms GROUP BY source, n_s
+"""
+
+
 QUERIES = [
     QuerySpec(
         "docs_ngram_novelty_by_source",
         _q_ngram_novelty,
         _sql_ngram_novelty(),
+    ),
+    QuerySpec(
+        "docs_source_lang_kl",
+        _q_source_lang_kl,
+        _SQL_SOURCE_LANG_KL,
     ),
     QuerySpec("emb_label_centroids", _q_label_centroids, _SQL_LABEL_CENTROIDS),
     QuerySpec("emb_kmeans_exact", _q_kmeans_exact, _sql_kmeans_exact()),
