@@ -97,6 +97,7 @@ def pagerank(
     iters: int = 10,
     seeds: DataFrame | None = None,
     broadcast_max_nodes: int | None = None,
+    rounds_per_checkpoint: int = 1,
 ) -> DataFrame:
     """Exact integer PageRank; returns ``(node, rank_scaled, rank)`` for
     every node appearing in ``edges`` (either endpoint). ``rank_scaled`` is
@@ -114,7 +115,18 @@ def pagerank(
 
     ``broadcast_max_nodes`` overrides :data:`PR_BROADCAST_MAX_NODES` — the
     physical-shape gate only (0 forces the shuffle shape); results are
-    bit-identical either way (tests/test_pagerank.py pins the parity)."""
+    bit-identical either way (tests/test_pagerank.py pins the parity).
+
+    ``rounds_per_checkpoint`` fuses that many recurrence rounds into one
+    plan per eager checkpoint (a physical knob only — the recurrence and
+    its bit-exact results are unchanged for any value; parity pinned by
+    tests/test_pagerank.py). To make fusion viable at all, the flag side
+    of each round reads the static ``flagged`` checkpoint instead of the
+    previous rank frame — identical rows, but an unfused round then
+    references its predecessor only TWICE (dangling aggregate + rank
+    side), and both references share the predecessor's groupBy(d)
+    shuffle, which ReuseExchange dedupes. Without that change a fused
+    round re-executed its predecessor three times."""
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     ).distinct()
@@ -188,42 +200,48 @@ def pagerank(
         .alias("r"),
     )
 
-    for _ in range(iters):
-        dang = rank.where("is_dang").agg(
-            F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
-        )
-        rside = rank.select("node", "r")
-        if bcast:
-            rside = F.broadcast(rside)
-        incoming = (
-            ed.join(rside, ed["s"] == rside["node"])
-            .select("d", F.expr("r div deg").alias("c"))
-            .groupBy("d")
-            .agg(F.sum("c").cast("long").alias("inc"))
-        )
-        prev = rank.select("node", "is_seed", "is_dang")
-        rank = (
-            prev.join(
-                F.broadcast(incoming) if bcast else incoming,
-                prev["node"] == incoming["d"],
-                "left",
+    done = 0
+    while done < iters:
+        group = min(max(rounds_per_checkpoint, 1), iters - done)
+        for _ in range(group):
+            dang = rank.where("is_dang").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
             )
-            .crossJoin(dang)
-            .select(
-                "node",
-                "is_seed",
-                "is_dang",
-                (
-                    seed_base
-                    + F.expr(
-                        f"{DAMP_NUM} * (coalesce(inc, 0L)"
-                        f" + (CASE WHEN is_seed THEN dm div {tp} ELSE 0 END))"
-                        f" div {DAMP_DEN}"
-                    )
-                ).cast("long").alias("r"),
+            rside = rank.select("node", "r")
+            if bcast:
+                rside = F.broadcast(rside)
+            incoming = (
+                ed.join(rside, ed["s"] == rside["node"])
+                .select("d", F.expr("r div deg").alias("c"))
+                .groupBy("d")
+                .agg(F.sum("c").cast("long").alias("inc"))
             )
-            .localCheckpoint(eager=True)
-        )
+            # flag side from the STATIC flagged checkpoint (same rows as
+            # rank's flag columns) — see the fusion note in the docstring
+            prev = flagged
+            rank = (
+                prev.join(
+                    F.broadcast(incoming) if bcast else incoming,
+                    prev["node"] == incoming["d"],
+                    "left",
+                )
+                .crossJoin(dang)
+                .select(
+                    "node",
+                    "is_seed",
+                    "is_dang",
+                    (
+                        seed_base
+                        + F.expr(
+                            f"{DAMP_NUM} * (coalesce(inc, 0L)"
+                            f" + (CASE WHEN is_seed THEN dm div {tp} ELSE 0 END))"
+                            f" div {DAMP_DEN}"
+                        )
+                    ).cast("long").alias("r"),
+                )
+            )
+        rank = rank.localCheckpoint(eager=True)
+        done += group
 
     return rank.select(
         "node",
