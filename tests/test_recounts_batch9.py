@@ -1,0 +1,222 @@
+"""Recount batch 9 — the round-8 new-operator wave: event-type Markov
+transitions, PMI collocations, token-anchor CDC dedup, embedding centroid
+outliers. Sequential pure-Python replays over raw parquet, sharing only
+frozen constants with the engine (the standing rule: every new
+count-bearing query lands with a third opinion in the same round)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import pyarrow.parquet as pq
+import pytest
+
+from yanwenxian_week3_data_pipeline_spark.constants import (
+    CDC_GEAR_MOD,
+    CDC_MAX_FP_BUCKET,
+    CDC_MIN_CHUNK_TOKENS,
+    CDC_MIN_SHARED_CHUNKS,
+    HTML_ENTITIES,
+    PMI_MIN_COUNT,
+    PMI_TOPK,
+)
+
+
+def _run(spark, sf_dir, name):
+    from yanwenxian_week3_data_pipeline_spark.plans import all_queries
+
+    return all_queries()[name].build(spark, sf_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def documents(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+
+
+_WS = re.compile("[ \t\n\r\f\x0b\xa0]+")
+
+
+def _clean(t: str | None) -> str:
+    if t is None:
+        return ""
+    for ent, ch in HTML_ENTITIES:
+        t = t.replace(ent, ch)
+    return _WS.sub(" ", t).strip(" ")
+
+
+def _tokens(t: str | None) -> list[str]:
+    c = _clean(t)
+    return c.split(" ") if c else []
+
+
+def _hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _round_half_up(x: float, places: int) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal(1).scaleb(-places), ROUND_HALF_UP)
+
+
+def _lmilli(x: int) -> int:
+    return int(_round_half_up(math.log(float(x)) * 1000, 0))
+
+
+def test_markov_transitions_recount(spark, sf_dir):
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    by_user: dict = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append((e["ts"], e["event_id"], e["event_type"]))
+    counts: dict = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()  # (ts, event_id) — event_id unique, deterministic order
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    totals: dict = defaultdict(int)
+    for (a, _b), n in counts.items():
+        totals[a] += n
+    exp = {
+        (a, b): (n, float(_round_half_up(n / totals[a], 6)))
+        for (a, b), n in counts.items()
+    }
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p_next"])
+        for r in _run(spark, sf_dir, "events_markov_transitions")
+    }
+    assert got == exp
+    # row-conditional probabilities must sum to ~1 per prev type
+    for a in totals:
+        s = sum(p for (x, _), (_, p) in got.items() if x == a)
+        assert abs(s - 1.0) < 1e-4
+
+
+def test_pmi_bigrams_recount(spark, sf_dir, documents):
+    cb: dict = defaultdict(int)
+    for d in documents:
+        toks = _tokens(d["text"])
+        for a, b in zip(toks, toks[1:]):
+            cb[(a, b)] += 1
+    cf: dict = defaultdict(int)
+    cs: dict = defaultdict(int)
+    for (a, b), n in cb.items():
+        cf[a] += n
+        cs[b] += n
+    total = sum(cb.values())
+    scored = []
+    for (a, b), n in cb.items():
+        if n < PMI_MIN_COUNT:
+            continue
+        pmi_milli = _lmilli(n) + _lmilli(total) - _lmilli(cf[a]) - _lmilli(cs[b])
+        scored.append((-pmi_milli, a, b, n))
+    scored.sort()
+    exp = [
+        (a, b, n, float(_round_half_up(-negp / 1000.0, 6)))
+        for negp, a, b, n in scored[:PMI_TOPK]
+    ]
+    got = [
+        (r["w1"], r["w2"], r["n_pair"], r["pmi_nats"])
+        for r in _run(spark, sf_dir, "text_pmi_bigrams")
+    ]
+    assert got == exp
+    assert len(got) == PMI_TOPK  # the floor must leave enough pairs at test scales
+
+
+def _cdc_chunks(toks: list[str]) -> set:
+    if len(toks) < CDC_MIN_CHUNK_TOKENS:
+        return set()
+    edges = [0]
+    for i, t in enumerate(toks, start=1):
+        if _hash60(t) % CDC_GEAR_MOD == 0:
+            edges.append(i)
+    edges.append(len(toks))
+    fps = set()
+    for a, b in zip(edges, edges[1:]):
+        if b - a >= CDC_MIN_CHUNK_TOKENS:
+            chunk = " ".join(toks[a:b])
+            fps.add(hashlib.md5(chunk.encode()).hexdigest())
+    return fps
+
+
+def test_cdc_chunks_recount(spark, sf_dir, documents):
+    doc_fps = {d["doc_id"]: _cdc_chunks(_tokens(d["text"])) for d in documents}
+    by_fp: dict = defaultdict(list)
+    for doc_id, fps in doc_fps.items():
+        for fp in fps:
+            by_fp[fp].append(doc_id)
+    shared: dict = defaultdict(int)
+    for fp, ids in by_fp.items():
+        if len(ids) > CDC_MAX_FP_BUCKET:
+            continue  # the mega-bucket guard
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                shared[(a, b)] += 1
+    exp = {
+        pair: n for pair, n in shared.items() if n >= CDC_MIN_SHARED_CHUNKS
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in _run(spark, sf_dir, "dedup_cdc_chunks")
+    }
+    assert got == exp
+    assert len(got) > 0  # the fixture's planted near-dups must surface
+
+
+def test_cdc_resync_property():
+    """The CDC property itself: inserting one token near the front changes
+    only the chunk(s) around the edit — every boundary at or after the
+    next anchor survives (fixed-width shingling shifts them all)."""
+    toks = [f"w{i}" for i in range(200)]
+    edited = toks[:3] + ["INSERTED"] + toks[3:]
+    a = _cdc_chunks(toks)
+    b = _cdc_chunks(edited)
+    assert a  # non-degenerate fixture
+    # all chunks strictly after the edit region are shared
+    assert len(a & b) >= len(a) - 3
+
+
+def test_centroid_outliers_recount(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.constants import EMB_OUTLIER_TOPK
+    from yanwenxian_week3_data_pipeline_spark.operators.kmeans_exact import (
+        KM_OFFSET,
+        KM_SCALE,
+    )
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    rows = [
+        (
+            e["vec_id"],
+            e["label"],
+            [int(math.floor(float(x) * KM_SCALE + 0.5)) + KM_OFFSET for x in e["embedding"]],
+        )
+        for e in emb
+    ]
+    sums: dict = defaultdict(lambda: defaultdict(int))
+    ns: dict = defaultdict(int)
+    for _vid, label, q in rows:
+        ns[label] += 1
+        for pos, v in enumerate(q):
+            sums[label][pos] += v
+    cent = {
+        label: [sums[label][pos] // ns[label] for pos in range(len(sums[label]))]
+        for label in sums
+    }
+    d2 = [
+        (label, vid, sum((a - b) * (a - b) for a, b in zip(q, cent[label])))
+        for vid, label, q in rows
+    ]
+    exp = []
+    for label in sorted(ns):
+        ranked = sorted(
+            [(d, v) for lb, v, d in d2 if lb == label], key=lambda t: (-t[0], t[1])
+        )[: EMB_OUTLIER_TOPK]
+        for rank, (d, v) in enumerate(ranked, start=1):
+            exp.append((label, v, rank, d, float(_round_half_up(d / 1e12, 6))))
+    got = sorted(
+        (r["label"], r["vec_id"], r["rank"], r["dist_sq_q"], r["dist_sq"])
+        for r in _run(spark, sf_dir, "emb_centroid_outliers")
+    )
+    assert got == sorted(exp)

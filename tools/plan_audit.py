@@ -35,6 +35,11 @@ ALLOW: dict[str, dict[str, str]] = {
     "docs_temperature_mixture": {"BroadcastNestedLoopJoin": "1-row sqrt-mass normalizer crossJoin"},
     "docs_unigram_logprob": {"BroadcastNestedLoopJoin": "1-row corpus token-total crossJoin"},
     "text_tfidf_top_terms": {"BroadcastNestedLoopJoin": "1-row doc-count crossJoin"},
+    "text_pmi_bigrams": {
+        "BroadcastNestedLoopJoin": "1-row bigram-total crossJoin into the "
+        "floor-filtered pair frame — the sanctioned docs_unigram_logprob "
+        "scalar class"
+    },
     "docs_equidepth_histogram": {
         "BroadcastNestedLoopJoin": "9-row decile-cut table, non-equi containment probe"
     },

@@ -372,3 +372,33 @@ BM25_TOPK = 15
 # over the same K-bounded query sample as emb_knn_recall.
 EMB_PREFIX_DIM = 16
 EMB_PREFIX_K = 5
+
+# ---------------------------------------------------------------------------
+# round-8 wave: PMI collocations, token-anchor CDC dedup, embedding outliers
+# ---------------------------------------------------------------------------
+# PMI collocation mining: bigrams with fewer than PMI_MIN_COUNT occurrences
+# are dropped before scoring (the standard sparse-count guard — PMI of a
+# count-1 pair is pure noise and unbounded), top PMI_TOPK reported. Ln
+# values ride the ZIPF_LN_SCALE milli-quantization so the score is an
+# exact int64 sum of four terms; ranking ties break on (w1, w2).
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+# Token-anchor content-defined chunking (window-1 gear CDC): a chunk
+# boundary falls AFTER any token whose portable hash60 is ≡ 0 mod
+# CDC_GEAR_MOD (expected chunk ≈ CDC_GEAR_MOD tokens) — boundaries depend
+# only on local content, so edits re-sync immediately (the CDC property
+# fixed-width shingles lack). Chunks shorter than CDC_MIN_CHUNK_TOKENS are
+# noise and skipped; per-fingerprint fan-out is capped at
+# CDC_MAX_FP_BUCKET docs (the LSH mega-bucket guard — boilerplate chunks
+# shared by ~every doc would otherwise make the pair join quadratic); doc
+# pairs must share at least CDC_MIN_SHARED_CHUNKS chunks to be reported.
+CDC_GEAR_MOD = 16
+CDC_MIN_CHUNK_TOKENS = 3
+CDC_MAX_FP_BUCKET = 64
+CDC_MIN_SHARED_CHUNKS = 2
+# Embedding outlier gate: coordinates ride the SHARED kmeans_exact micro
+# quantization (floor(x·1e6 + 0.5) + 1e7 — positive ints, so Spark `div`
+# and DuckDB `//` agree on the centroid floor-division, and the offset
+# cancels exactly in q − m); top EMB_OUTLIER_TOPK furthest vectors per
+# label by exact integer distance².
+EMB_OUTLIER_TOPK = 5

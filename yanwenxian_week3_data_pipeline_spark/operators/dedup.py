@@ -606,3 +606,99 @@ def dedup_containment(
         .where(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-anchor content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+def cdc_chunks_expr(toks: Column, gear_mod: int, min_tokens: int) -> Column:
+    """array<string> of token-anchor CDC chunks over a token array that is
+    a PLAIN REFERENCE (the shingles_expr let-binding rule — an inlined
+    tokenizer would be re-evaluated per boundary probe).
+
+    A boundary falls AFTER every token whose portable ``hash60`` is
+    ≡ 0 (mod gear_mod) — the window-1 gear variant of content-defined
+    chunking (Muthitacharoen et al., LBFS, SOSP'01): boundary decisions
+    depend only on local content, so an insertion shifts at most one chunk
+    and the stream re-synchronizes immediately, unlike fixed-width
+    shingling where one edit shifts every downstream shingle. Chunks
+    shorter than ``min_tokens`` (including the zero-length artifact when
+    the final token is itself an anchor) are dropped."""
+    from ..functions.hashing import hash60_expr
+
+    n = F.size(toks)
+    bnd = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.pmod(hash60_expr(F.element_at(toks, i)), F.lit(gear_mod)) == 0,
+    )
+    edges = F.concat(F.array(F.lit(0)), bnd, F.array(n))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(edges) - 1),
+        lambda j: F.struct(
+            (F.element_at(edges, j + 1) - F.element_at(edges, j)).alias("ln"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks,
+                    F.element_at(edges, j) + 1,
+                    F.element_at(edges, j + 1) - F.element_at(edges, j),
+                ),
+            ).alias("ch"),
+        ),
+    )
+    kept = F.filter(chunks, lambda s: s["ln"] >= min_tokens)
+    # gate BEFORE building: F.sequence(1, 0) on an empty token array would
+    # yield a DESCENDING range (the _doc_bigram_buckets pitfall)
+    return F.when(n >= min_tokens, F.transform(kept, lambda s: s["ch"])).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def cdc_chunk_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gear_mod: int,
+    min_tokens: int,
+    max_bucket: int,
+    min_shared: int,
+) -> DataFrame:
+    """(id_a < id_b, n_shared): document pairs sharing >= min_shared
+    distinct CDC chunk fingerprints — the storage-layer near-dup primitive
+    (rsync/LBFS lineage) next to the similarity-layer MinHash family:
+    CDC finds docs sharing exact long spans even when overall Jaccard is
+    low (a quote, a license block, a lifted paragraph).
+
+    Scale shape: chunking is per-row Column work on the doc's own
+    partition; the only corpus-sized shuffle is the distinct (id, fp)
+    dedup + the fp equi-join. Boilerplate chunks shared by ~every doc
+    would make that join quadratic, so per-fp fan-out is capped at
+    ``max_bucket`` docs via a window over the join's own key (the
+    dedup_minhash_lsh mega-bucket guard); output is bounded by the
+    surviving fp buckets' pair fan-out, never all-pairs."""
+    toks = F.transform(
+        F.array(tokens_expr(clean_text_expr(F.col(text_col)))),
+        lambda t: cdc_chunks_expr(t, gear_mod, min_tokens),
+    )[0]
+    fps = (
+        df.select(F.col(id_col).alias("id"), F.explode(toks).alias("chunk"))
+        .select("id", F.md5(F.col("chunk")).alias("fp"))
+        .distinct()
+    )
+    wb = Window.partitionBy("fp")
+    fps = (
+        fps.withColumn("_c", F.count(F.lit(1)).over(wb))
+        .where(F.col("_c") <= max_bucket)
+        .drop("_c")
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1895,9 +1895,71 @@ FROM d GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# events_markov_transitions — first-order behavior model: the event-type
+# transition matrix over per-user clickstreams (the Markov-chain input for
+# next-action prediction, bot detection — improbable transition chains —
+# and funnel design). Each user's events are ordered by (ts, event_id)
+# (event_id breaks same-timestamp ties deterministically); lead() pairs
+# each event with its successor; the matrix is the (prev, next) count table
+# with a row-conditional probability.
+#
+# Scale shape (100 TB): ONE shuffle of the fact on user_id for the
+# sequence window (the same partitioning sessionization uses — at 100 TB
+# this is the natural layout for clickstream data, so the exchange is
+# often free); the transition table is |types|² rows, so the per-row
+# total is a window over a K²-row frame and the output is K²-bounded.
+# Float determinism: p_next is ONE division of two exact int64 counts.
+# ---------------------------------------------------------------------------
+
+def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    tr = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    cnt = tr.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wp = Window.partitionBy("event_type")
+    return cnt.withColumn("_tot", F.sum("n_transitions").over(wp)).select(
+        F.col("event_type").alias("prev_type"),
+        "next_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.round(
+            F.col("n_transitions").cast("double") / F.col("_tot").cast("double"), 6
+        ).alias("p_next"),
+    )
+
+
+_SQL_MARKOV_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+  FROM events),
+c AS (SELECT event_type AS prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n_transitions,
+  round(CAST(n_transitions AS DOUBLE)
+        / CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p_next
+FROM c
+"""
+
+
 QUERIES = [
     QuerySpec(
         "events_out_of_order_stats", _q_out_of_order_stats, _SQL_OUT_OF_ORDER
+    ),
+    QuerySpec(
+        "events_markov_transitions",
+        _q_markov_transitions,
+        _SQL_MARKOV_TRANSITIONS,
+        doc="Event-type transition matrix (first-order Markov) over "
+        "per-user streams ordered by (ts, event_id); one user_id shuffle, "
+        "K²-bounded output, conditional probability as one exact-int "
+        "division.",
     ),
     QuerySpec("events_funnel_timed", _q_funnel_timed, _SQL_FUNNEL_TIMED),
     QuerySpec("events_hll_rollup_daily", _q_hll_rollup_daily, _SQL_HLL_ROLLUP),

@@ -1692,6 +1692,80 @@ FROM terms GROUP BY source, n_s
 """
 
 
+# ---------------------------------------------------------------------------
+# emb_centroid_outliers — embedding data-quality gate: the top-K vectors
+# furthest from their label's centroid (mislabeled rows, encoder failures,
+# adversarial points — the curation step run before centroid-based
+# semantic dedup trusts the labels). Coordinates ride the SHARED
+# kmeans_exact micro quantization, the per-(label, dim) centroid is an
+# exact floor-division on the positive quantized domain (Spark `div` ==
+# DuckDB `//` there; the +1e7 offset cancels exactly in q − m), and
+# distance² is an exact int64 sum (diffs < 2²¹, 64 dims → < 2⁴⁸), so the
+# ranking is bit-identical across engines. Scale shape: one posexplode
+# shuffle to the (label, dim)-bounded centroid table, broadcast back onto
+# the exploded scan, one map-side-combinable per-vector aggregate, and a
+# per-label top-K window over rank-limited partitions.
+# ---------------------------------------------------------------------------
+
+def _q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import EMB_OUTLIER_TOPK
+    from ..operators.kmeans_exact import quantize_expr
+
+    ex = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "label", F.posexplode(quantize_expr(F.col("embedding"))).alias("pos", "q"))
+    )
+    cen = ex.groupBy("label", "pos").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    ).select("label", "pos", F.expr("s div n").alias("m"))
+    d2 = (
+        ex.join(F.broadcast(cen), ["label", "pos"])
+        .select("vec_id", "label", ((F.col("q") - F.col("m")) * (F.col("q") - F.col("m"))).alias("t"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t").cast("long").alias("d2"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), F.col("vec_id").asc())
+    return (
+        d2.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= EMB_OUTLIER_TOPK)
+        .select(
+            "label",
+            "vec_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("d2").alias("dist_sq_q"),
+            F.round(F.col("d2").cast("double") / F.lit(1e12), 6).alias("dist_sq"),
+        )
+    )
+
+
+def _sql_centroid_outliers() -> str:
+    from ..constants import EMB_OUTLIER_TOPK
+    from ..operators.kmeans_exact import KM_OFFSET, KM_SCALE
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, pos, q
+  FROM (SELECT vec_id, label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE} + 0.5) AS BIGINT)
+                      + {KM_OFFSET})) AS q
+        FROM embeddings) raw),
+c AS (SELECT label, pos, CAST(sum(q) // count(*) AS BIGINT) AS m
+      FROM e GROUP BY label, pos),
+d AS (SELECT e.vec_id, e.label,
+             CAST(sum((e.q - c.m) * (e.q - c.m)) AS BIGINT) AS d2
+      FROM e JOIN c USING (label, pos) GROUP BY 1, 2),
+r AS (SELECT label, vec_id, d2,
+             row_number() OVER (PARTITION BY label
+               ORDER BY d2 DESC, vec_id ASC) AS rank
+      FROM d)
+SELECT label, vec_id, CAST(rank AS INT) AS rank, d2 AS dist_sq_q,
+       round(CAST(d2 AS DOUBLE) / 1e12, 6) AS dist_sq
+FROM r WHERE rank <= {EMB_OUTLIER_TOPK}
+"""
+
+
 QUERIES = [
     QuerySpec(
         "docs_ngram_novelty_by_source",
@@ -1716,6 +1790,15 @@ QUERIES = [
     QuerySpec("docs_best_of_cluster", _q_best_of_cluster, _sql_best_of_cluster()),
     QuerySpec("text_zipf_slope", _q_zipf_slope, _sql_zipf_slope()),
     QuerySpec("emb_int8_quant_error", _q_int8_quant_error, _SQL_INT8_QUANT),
+    QuerySpec(
+        "emb_centroid_outliers",
+        _q_centroid_outliers,
+        _sql_centroid_outliers(),
+        doc="Per-label top-5 embedding outliers by exact integer "
+        "distance² to the label centroid (shared kmeans micro "
+        "quantization) — the mislabel/encoder-failure gate before "
+        "centroid-trusting semantic dedup.",
+    ),
     QuerySpec(
         "docs_temperature_mixture", _q_temperature_mixture, _temperature_mixture_sql()
     ),

@@ -3032,6 +3032,74 @@ def _q_pq_clustered_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# dedup_cdc_chunks — token-anchor content-defined chunking dedup (see
+# operators/dedup.py:cdc_chunk_pairs): the storage-layer near-dup primitive
+# (LBFS/rsync lineage) next to the similarity-layer MinHash family. Finds
+# doc pairs sharing exact multi-token spans (quotes, license blocks,
+# lifted paragraphs) even when whole-doc Jaccard is low. Boundaries come
+# from the portable hash60, so the DuckDB twin replays the identical
+# chunking decision stream.
+# ---------------------------------------------------------------------------
+
+def _q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import (
+        CDC_GEAR_MOD,
+        CDC_MAX_FP_BUCKET,
+        CDC_MIN_CHUNK_TOKENS,
+        CDC_MIN_SHARED_CHUNKS,
+    )
+    from ..operators.dedup import cdc_chunk_pairs
+
+    return cdc_chunk_pairs(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        gear_mod=CDC_GEAR_MOD,
+        min_tokens=CDC_MIN_CHUNK_TOKENS,
+        max_bucket=CDC_MAX_FP_BUCKET,
+        min_shared=CDC_MIN_SHARED_CHUNKS,
+    ).withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+
+
+def _sql_cdc_chunks() -> str:
+    from ..constants import (
+        CDC_GEAR_MOD,
+        CDC_MAX_FP_BUCKET,
+        CDC_MIN_CHUNK_TOKENS,
+        CDC_MIN_SHARED_CHUNKS,
+    )
+
+    toks = tokens_sql("c")
+    anchor = hash60_sql("t[i]")
+    return f"""
+WITH d AS ({_CLEANED}),
+tk AS (SELECT doc_id, {toks} AS t FROM d WHERE len({toks}) >= {CDC_MIN_CHUNK_TOKENS}),
+e AS (SELECT doc_id, t,
+        [0] || list_filter(range(1, len(t) + 1), i -> {anchor} % {CDC_GEAR_MOD} = 0)
+            || [len(t)] AS ed
+      FROM tk),
+ch AS (
+  SELECT doc_id, u.s.ch AS chunk
+  FROM (SELECT doc_id,
+          list_filter(
+            list_transform(range(1, len(ed)), j ->
+              {{'ln': ed[j + 1] - ed[j],
+                'ch': array_to_string(list_slice(t, ed[j] + 1, ed[j + 1]), ' ')}}),
+            s -> s.ln >= {CDC_MIN_CHUNK_TOKENS}) AS cl
+        FROM e),
+       UNNEST(cl) AS u(s)),
+fps AS (SELECT DISTINCT doc_id, md5(chunk) AS fp FROM ch),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {CDC_MAX_FP_BUCKET}),
+fk AS (SELECT fps.* FROM fps SEMI JOIN ok USING (fp)),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= {CDC_MIN_SHARED_CHUNKS}
+"""
+
+
 QUERIES = [
     QuerySpec(
         "emb_jl_distortion",
@@ -3089,6 +3157,15 @@ QUERIES = [
         "rare-shingle prefix filter (df-capped fan-out) + exact "
         "containment/Jaccard verify — catches subset duplication that "
         "the Jaccard threshold misses.",
+    ),
+    QuerySpec(
+        "dedup_cdc_chunks",
+        _q_cdc_chunks,
+        _sql_cdc_chunks(),
+        doc="Token-anchor content-defined chunking dedup (window-1 gear, "
+        "portable hash60 anchors): doc pairs sharing >= 2 distinct chunk "
+        "fingerprints; per-fp fan-out capped via a window over the join's "
+        "own key — catches exact-span reuse that whole-doc Jaccard misses.",
     ),
     QuerySpec("dedup_repeated_spans", _q_repeated_spans, _SQL_REPEATED_SPANS),
     QuerySpec(

@@ -51,6 +51,8 @@ from ..constants import (
     LM_TRAIN_LANG,
     NB_BUCKETS,
     NB_SPLIT_SEED,
+    PMI_MIN_COUNT,
+    PMI_TOPK,
     SCAN_FANOUT_TEXT_MIN_BYTES,
 )
 from ..functions.hashing import hash60_expr, hash60_sql
@@ -777,6 +779,108 @@ FROM a
 """
 
 
+# ---------------------------------------------------------------------------
+# text_pmi_bigrams — collocation mining: top-K adjacent-token pairs by
+# pointwise mutual information, PMI = ln(c12·B / (cf1·cs2)) with B the
+# total bigram count and cf1/cs2 the positional marginals (count of w1 in
+# first position, w2 in second). The standard phrase-detection primitive
+# (word2vec's phrase pass, quality-filter boilerplate detection). A
+# min-count floor drops sparse pairs whose PMI is noise.
+#
+# Exactness: each ln rides the ZIPF_LN_SCALE milli quantization —
+# pmi_milli = L(c12) + L(B) − L(cf1) − L(cs2) is an exact int64 sum of
+# four engine-agreed integers, so ranking and the final /1000 division
+# are bit-identical. Scale: ONE corpus-sized map-side-combining bigram
+# shuffle; marginals derive from the vocab²-bounded pair table (never
+# re-scanning the corpus); the floor cuts the scored frame before the
+# broadcast joins; TakeOrdered bounds the output.
+# ---------------------------------------------------------------------------
+
+def _lmilli(col):
+    return F.round(F.log(col.cast("double")) * 1000, 0).cast("long")
+
+
+def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(clean_text_expr(F.col("text")).alias("c"))
+    tk = tokens_expr(F.col("c"))
+    # F.sequence on size<2 would yield a DESCENDING range — gate it (the
+    # _doc_bigram_buckets pitfall)
+    pairs = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.struct(
+                F.element_at(tk, i).alias("w1"),
+                F.element_at(tk, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = d.select(F.explode(pairs).alias("pr")).select("pr.w1", "pr.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    cf = cb.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
+    cs = cb.groupBy("w2").agg(F.sum("n_pair").alias("n_second"))
+    tot = cb.agg(F.sum("n_pair").alias("n_bigrams"))
+    scored = (
+        cb.where(F.col("n_pair") >= PMI_MIN_COUNT)
+        .join(F.broadcast(cf), "w1")
+        .join(F.broadcast(cs), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_pmi_milli",
+            _lmilli(F.col("n_pair"))
+            + _lmilli(F.col("n_bigrams"))
+            - _lmilli(F.col("n_first"))
+            - _lmilli(F.col("n_second")),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.col("_pmi_milli").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(PMI_TOPK)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.col("_pmi_milli").cast("double") / F.lit(1000.0), 6).alias(
+                "pmi_nats"
+            ),
+        )
+    )
+
+
+def _sql_pmi_bigrams() -> str:
+    toks = tokens_sql("c")
+
+    def lmilli(x: str) -> str:
+        return f"CAST(round(ln(CAST({x} AS DOUBLE)) * 1000, 0) AS BIGINT)"
+
+    return f"""
+WITH d AS ({_CLEANED_LM}),
+tk AS (SELECT {toks} AS t FROM d),
+big AS (
+  SELECT u.b.w1 AS w1, u.b.w2 AS w2
+  FROM (SELECT list_transform(range(1, len(t)), i -> {{'w1': t[i], 'w2': t[i + 1]}}) AS bl
+        FROM tk WHERE len(t) >= 2),
+       UNNEST(bl) AS u(b)),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair FROM big GROUP BY 1, 2),
+cf AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS n_first FROM cb GROUP BY 1),
+cs AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS n_second FROM cb GROUP BY 1),
+tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_bigrams FROM cb),
+scored AS (
+  SELECT w1, w2, n_pair,
+    {lmilli('n_pair')} + {lmilli('n_bigrams')}
+      - {lmilli('n_first')} - {lmilli('n_second')} AS pmi_milli
+  FROM cb JOIN cf USING (w1) JOIN cs USING (w2), tot
+  WHERE n_pair >= {PMI_MIN_COUNT})
+SELECT w1, w2, n_pair,
+       round(CAST(pmi_milli AS DOUBLE) / 1000.0, 6) AS pmi_nats
+FROM scored
+ORDER BY pmi_milli DESC, w1 ASC, w2 ASC
+LIMIT {PMI_TOPK}
+"""
+
+
 QUERIES = [
     QuerySpec(
         name="text_bpe_learn",
@@ -831,6 +935,15 @@ QUERIES = [
         "normalization (one int64/int64 division), milli-quantized idf, "
         "fixed-order per-term sum; one scan + a broadcast 1-row stats "
         "aggregate + TakeOrdered.",
+    ),
+    QuerySpec(
+        name="text_pmi_bigrams",
+        build=_q_pmi_bigrams,
+        oracle=_sql_pmi_bigrams(),
+        doc="Top-20 collocations by PMI over adjacent-token bigrams with "
+        "a min-count floor: one map-side-combining bigram shuffle, "
+        "vocab²-bounded marginals, exact milli-quantized ln sums, "
+        "TakeOrdered output.",
     ),
     QuerySpec(
         name="text_unigram_entropy",
