@@ -77,6 +77,16 @@ def main() -> None:
 
     from yanwenxian_week3_data_pipeline_spark.session import release_persistent_rdds
 
+    # Sub-second queries swing ±25% session-to-session under the box's
+    # intermittent background load (r7 observation) — a 5-sample median is
+    # a point guess there, and the extra samples cost <1 s each. Queries
+    # whose provisional median lands under the threshold get
+    # SUBSEC_EXTRA_RUNS more warm samples; multi-second queries keep the
+    # driver-time-bounded 5 (their noise is drift, which more samples in
+    # the same session cannot fix).
+    SUBSEC_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC", "0.6"))
+    SUBSEC_EXTRA_RUNS = 4 if WARM_RUNS >= 5 else 0
+
     def run_set(names: dict | list) -> tuple[dict, dict, dict, dict]:
         timings: dict[str, float] = {}
         cold: dict[str, float] = {}
@@ -84,12 +94,12 @@ def main() -> None:
         samples: dict[str, list[float]] = {}
         for name in sorted(names):
             spec = registry[name]
-            per_run = []
-            for _ in range(1 + WARM_RUNS):
+
+            def one_run() -> float:
                 t0 = time.perf_counter()
                 df = spec.build(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
-                per_run.append(round(time.perf_counter() - t0, 3))
+                wall = round(time.perf_counter() - t0, 3)
                 # Drop the run's eager-localCheckpoint blocks OUTSIDE the
                 # timer: every run rebuilds its plan from scratch, so the
                 # blocks are garbage the moment the write returns, but
@@ -99,11 +109,16 @@ def main() -> None:
                 # on docs_lrs_capped after the full headline set vs after
                 # an explicit release).
                 release_persistent_rdds(spark)
+                return wall
+
+            per_run = [one_run() for _ in range(1 + WARM_RUNS)]
+            warm = per_run[1:]
+            if SUBSEC_EXTRA_RUNS and statistics.median(warm) < SUBSEC_THRESHOLD:
+                warm.extend(one_run() for _ in range(SUBSEC_EXTRA_RUNS))
             cold[name] = per_run[0]
-            warm = sorted(per_run[1:])
-            samples[name] = per_run[1:]
-            timings[name] = round(statistics.median(warm), 3)
-            q = statistics.quantiles(warm, n=4, method="inclusive")
+            samples[name] = warm
+            timings[name] = round(statistics.median(sorted(warm)), 3)
+            q = statistics.quantiles(sorted(warm), n=4, method="inclusive")
             iqr[name] = round(q[2] - q[0], 3)
         return timings, cold, iqr, samples
 
