@@ -220,3 +220,78 @@ def test_centroid_outliers_recount(spark, sf_dir):
         for r in _run(spark, sf_dir, "emb_centroid_outliers")
     )
     assert got == sorted(exp)
+
+
+def test_transition_surprisal_recount(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.plans.analytic_ext import (
+        SURPRISAL_MIN_TRANSITIONS,
+        SURPRISAL_TOPK,
+    )
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    by_user: dict = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append((e["ts"], e["event_id"], e["event_type"]))
+    counts: dict = defaultdict(int)
+    per_user: dict = defaultdict(list)
+    for uid, seq in by_user.items():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+            per_user[uid].append((a, b))
+    totals: dict = defaultdict(int)
+    for (a, _b), n in counts.items():
+        totals[a] += n
+    sur = {
+        (a, b): _lmilli(totals[a]) - _lmilli(n) for (a, b), n in counts.items()
+    }
+    scored = []
+    for uid, trs in per_user.items():
+        if len(trs) < SURPRISAL_MIN_TRANSITIONS:
+            continue
+        s = sum(sur[t] for t in trs)
+        scored.append(
+            (uid, len(trs), float(_round_half_up(s / (len(trs) * 1000.0), 6)))
+        )
+    exp = sorted(scored, key=lambda r: (-r[2], r[0]))[:SURPRISAL_TOPK]
+    got = [
+        (r["user_id"], r["n_transitions"], r["avg_surprisal_nats"])
+        for r in _run(spark, sf_dir, "events_user_transition_surprisal")
+    ]
+    assert got == exp
+    assert len(got) == SURPRISAL_TOPK  # the floor must leave enough users
+
+
+def test_knn_label_confusion_recount(spark, sf_dir):
+    """Replays the VOTE/ARGMAX/MATRIX layers sequentially on top of the
+    engine's own graph edges (the graph itself is pinned bit-exact by its
+    oracle twin and the emb_knn_recall gate) and cross-checks coverage
+    against the vertex set."""
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    label = {e["vec_id"]: e["label"] for e in emb}
+    edges = [
+        (r["vec_id"], r["neighbor_id"])
+        for r in _run(spark, sf_dir, "emb_knn_graph")
+    ]
+    votes: dict = defaultdict(lambda: defaultdict(int))
+    for v, nb in edges:
+        votes[v][label[nb]] += 1
+    conf: dict = defaultdict(int)
+    for v, lv in votes.items():
+        pred = min(lv, key=lambda lb: (-lv[lb], lb))
+        conf[(label[v], pred)] += 1
+    got = {
+        (r["true_label"], r["pred_label"]): r["n_vecs"]
+        for r in _run(spark, sf_dir, "emb_knn_label_confusion")
+    }
+    assert got == dict(conf)
+    # coverage: the matrix counts exactly the graph's vertex set
+    assert sum(got.values()) == len({v for v, _ in edges})
+    # The synthetic fixture's labels are UNCORRELATED with embedding
+    # geometry (measured: leave-one-out accuracy ≈ 1/|labels| at every
+    # sf), so the gate's honest answer here is "labels are not
+    # cosine-separable" — assert the matrix is well-formed and spread
+    # over many cells rather than concentrated on the diagonal.
+    n_labels = len(set(label.values()))
+    assert len(got) > n_labels  # off-diagonal mass exists
+    assert all(n > 0 for n in got.values())

@@ -1912,14 +1912,22 @@ FROM d GROUP BY user_id ORDER BY user_id
 # Float determinism: p_next is ONE division of two exact int64 counts.
 # ---------------------------------------------------------------------------
 
-def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _transition_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, event_type, next_type) — one row per consecutive event
+    pair within a user's stream, ordered by (ts, event_id)."""
     from ..sources.tables import load_events
 
     ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    tr = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
-        F.col("next_type").isNotNull()
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select("user_id", "event_type", "next_type")
     )
+
+
+def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _transition_stream(spark, sf_dir)
     cnt = tr.groupBy("event_type", "next_type").agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
@@ -1934,17 +1942,97 @@ def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_MARKOV_TRANSITIONS = """
-WITH seq AS (
-  SELECT event_type,
-         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
-  FROM events),
+_SQL_TRANSITION_STREAM = """
+  SELECT user_id, event_type, next_type
+  FROM (SELECT user_id, event_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type
+        FROM events)
+  WHERE next_type IS NOT NULL"""
+
+_SQL_MARKOV_TRANSITIONS = f"""
+WITH seq AS ({_SQL_TRANSITION_STREAM}),
 c AS (SELECT event_type AS prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
-      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      FROM seq GROUP BY 1, 2)
 SELECT prev_type, next_type, n_transitions,
   round(CAST(n_transitions AS DOUBLE)
         / CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p_next
 FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_user_transition_surprisal — the bot/anomaly gate the Markov matrix
+# exists for: per user, the mean surprisal −(1/B)·Σ ln p(next|prev) of
+# their own transitions under the corpus matrix. Scripted traffic follows
+# improbable chains (error→error loops, signup spam), so the most
+# surprising users are the review queue. A min-transition floor drops
+# users whose mean is one-sample noise.
+#
+# Exactness: per-transition surprisal is L(row_total) − L(n_pair) in
+# exact milli-nats (the ZIPF_LN_SCALE discipline), the per-user sum is an
+# exact int64, and the mean is ONE division of two exact ints — ranking
+# is bit-identical. Scale: the matrix is K²-bounded and broadcast back
+# onto the transition stream; per-user aggregation is map-side
+# combinable; TakeOrdered bounds the output.
+# ---------------------------------------------------------------------------
+
+SURPRISAL_MIN_TRANSITIONS = 5
+SURPRISAL_TOPK = 15
+
+
+def _q_transition_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = _transition_stream(spark, sf_dir)
+    lmilli = lambda c: F.round(F.log(c.cast("double")) * 1000, 0).cast("long")  # noqa: E731
+    cnt = tr.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("event_type")
+    m = cnt.withColumn("_tot", F.sum("n").over(wp)).select(
+        "event_type",
+        "next_type",
+        (lmilli(F.col("_tot")) - lmilli(F.col("n"))).alias("sur_milli"),
+    )
+    per_user = (
+        tr.join(F.broadcast(m), ["event_type", "next_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum("sur_milli").alias("_s"),
+        )
+        .where(F.col("n_transitions") >= SURPRISAL_MIN_TRANSITIONS)
+    )
+    return (
+        per_user.withColumn(
+            "avg_surprisal_nats",
+            F.round(
+                F.col("_s").cast("double")
+                / (F.col("n_transitions").cast("double") * F.lit(1000.0)),
+                6,
+            ),
+        )
+        .orderBy(F.col("avg_surprisal_nats").desc(), F.col("user_id").asc())
+        .limit(SURPRISAL_TOPK)
+        .select("user_id", "n_transitions", "avg_surprisal_nats")
+    )
+
+
+_SQL_TRANSITION_SURPRISAL = f"""
+WITH seq AS ({_SQL_TRANSITION_STREAM}),
+c AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq GROUP BY 1, 2),
+m AS (SELECT event_type, next_type,
+        CAST(round(ln(CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE)) * 1000, 0) AS BIGINT)
+        - CAST(round(ln(CAST(n AS DOUBLE)) * 1000, 0) AS BIGINT) AS sur_milli
+      FROM c),
+u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_transitions,
+             CAST(sum(sur_milli) AS BIGINT) AS s
+      FROM seq JOIN m USING (event_type, next_type)
+      GROUP BY user_id
+      HAVING count(*) >= {SURPRISAL_MIN_TRANSITIONS})
+SELECT user_id, n_transitions,
+       round(CAST(s AS DOUBLE) / (CAST(n_transitions AS DOUBLE) * 1000.0), 6)
+         AS avg_surprisal_nats
+FROM u
+ORDER BY avg_surprisal_nats DESC, user_id ASC
+LIMIT {SURPRISAL_TOPK}
 """
 
 
@@ -1960,6 +2048,15 @@ QUERIES = [
         "per-user streams ordered by (ts, event_id); one user_id shuffle, "
         "K²-bounded output, conditional probability as one exact-int "
         "division.",
+    ),
+    QuerySpec(
+        "events_user_transition_surprisal",
+        _q_transition_surprisal,
+        _SQL_TRANSITION_SURPRISAL,
+        doc="Bot/anomaly gate over the Markov matrix: top-15 users by "
+        "mean transition surprisal in exact milli-nats (K²-bounded "
+        "matrix broadcast back onto the stream, map-side-combinable "
+        "per-user sums, one exact-int division).",
     ),
     QuerySpec("events_funnel_timed", _q_funnel_timed, _SQL_FUNNEL_TIMED),
     QuerySpec("events_hll_rollup_daily", _q_hll_rollup_daily, _SQL_HLL_ROLLUP),

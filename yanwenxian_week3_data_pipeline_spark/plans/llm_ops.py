@@ -973,6 +973,69 @@ FROM r WHERE knn_rank <= {EMB_KNN_K}
 
 
 # ---------------------------------------------------------------------------
+# emb_knn_label_confusion — the kNN graph put to work: leave-one-out
+# k-NN label prediction (majority over each vector's ≤k graph neighbors,
+# ties to the smallest label) and the resulting confusion matrix — the
+# label-quality / cluster-separability gate run before any
+# label-trusting curation step (stratified mixtures, per-label dedup
+# budgets). Vectors the banded graph found no neighbor for drop out —
+# the matrix covers exactly the graph's vertex set, so coverage is
+# visible as sum(n_vecs) vs the table count.
+#
+# Exactness: the graph is the registered bit-exact emb_knn_graph; votes
+# and the argmax are integer counts with a deterministic tie-break;
+# output is |labels|²-bounded. Scale: two broadcast label joins and one
+# K²-bounded aggregate on top of the graph's banded join — nothing new
+# grows with the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _q_emb_knn_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    lab = _emb(spark, sf_dir).select("vec_id", "label")
+    g = _q_emb_knn_graph(spark, sf_dir)
+    votes = (
+        g.join(
+            F.broadcast(
+                lab.withColumnsRenamed({"vec_id": "neighbor_id", "label": "nb_label"})
+            ),
+            "neighbor_id",
+        )
+        .groupBy("vec_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_c").desc(), F.col("nb_label").asc())
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", F.col("nb_label").alias("pred_label"))
+    )
+    return (
+        pred.join(F.broadcast(lab), "vec_id")
+        .groupBy(F.col("label").alias("true_label"), "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    )
+
+
+_SQL_EMB_KNN_LABEL_CONFUSION = f"""
+WITH g AS ({_SQL_EMB_KNN_GRAPH}),
+lv AS (SELECT vec_id, label FROM embeddings),
+votes AS (SELECT g.vec_id, l.label AS nb_label, count(*) AS c
+          FROM g JOIN lv l ON l.vec_id = g.neighbor_id GROUP BY 1, 2),
+pred AS (SELECT vec_id, nb_label AS pred_label
+         FROM (SELECT vec_id, nb_label,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY c DESC, nb_label ASC) AS rn
+               FROM votes) WHERE rn = 1)
+SELECT t.label AS true_label, pred.pred_label,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM pred JOIN lv t ON t.vec_id = pred.vec_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # emb_knn_recall — measured recall of the approximate kNN graph against
 # brute-force exact top-k, per sampled query vector (vec_id % MOD == 0 —
 # a deterministic sample so the exact side stays |sample|·N, never N²;
@@ -3184,6 +3247,15 @@ QUERIES = [
     QuerySpec("dedup_embedding_cosine", _q_emb_cosine_pairs, _SQL_EMB_COSINE_PAIRS),
     QuerySpec("dedup_embedding_lsh", _q_dedup_emb_lsh, _SQL_DEDUP_EMB_LSH, headline=True),
     QuerySpec("emb_knn_graph", _q_emb_knn_graph, _SQL_EMB_KNN_GRAPH),
+    QuerySpec(
+        "emb_knn_label_confusion",
+        _q_emb_knn_label_confusion,
+        _SQL_EMB_KNN_LABEL_CONFUSION,
+        doc="Leave-one-out kNN label prediction over the banded kNN "
+        "graph (majority of ≤k neighbors, ties to smallest label) and "
+        "its confusion matrix — the label-quality gate before "
+        "label-trusting curation; |labels|²-bounded output.",
+    ),
     QuerySpec("emb_knn_recall", _q_emb_knn_recall, _SQL_EMB_KNN_RECALL),
     QuerySpec("emb_prefix_dim_recall", _q_emb_prefix_recall, _sql_emb_prefix_recall()),
     QuerySpec(
