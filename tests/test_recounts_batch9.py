@@ -295,3 +295,72 @@ def test_knn_label_confusion_recount(spark, sf_dir):
     n_labels = len(set(label.values()))
     assert len(got) > n_labels  # off-diagonal mass exists
     assert all(n > 0 for n in got.values())
+
+
+def _python_lpa(edges: list[tuple[int, int]], rounds: int) -> dict[int, int]:
+    """Sequential synchronous LPA with the frozen total-order tie-break."""
+    und = set()
+    for u, v in edges:
+        und.add((u, v))
+        und.add((v, u))
+    nbrs: dict = defaultdict(list)
+    for s, d in und:
+        nbrs[d].append(s)
+    lb = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            c: dict = defaultdict(int)
+            for s in ns:
+                c[lb[s]] += 1
+            new[n] = min(c, key=lambda l: (-c[l], l))
+        lb = new
+    return lb
+
+
+def test_label_propagation_recount(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.constants import LPA_ROUNDS, LPA_TOPK
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pylist()
+    by_order: dict = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+    lb = _python_lpa(sorted(edges), LPA_ROUNDS)
+    sizes: dict = defaultdict(int)
+    for _n, l in lb.items():
+        sizes[l] += 1
+    exp = sorted(((-(n), l) for l, n in sizes.items()))[:LPA_TOPK]
+    exp = [(l, -negn) for negn, l in exp]
+    got = [
+        (r["community"], r["n_members"])
+        for r in _run(spark, sf_dir, "graph_label_propagation")
+    ]
+    assert got == exp
+
+
+def test_label_propagation_two_cliques(spark):
+    """The algorithmic property: two 4-cliques bridged by one edge settle
+    into two communities labeled by each clique's smallest node."""
+    from yanwenxian_week3_data_pipeline_spark.operators.graphstats import (
+        label_propagation,
+    )
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(df, rounds=4).collect()
+    }
+    assert got == _python_lpa(edges, 4)
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}

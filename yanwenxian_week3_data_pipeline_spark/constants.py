@@ -327,6 +327,13 @@ CMS_TOPK = 20
 KCORE_K = 80
 KCORE_ROUNDS = 8
 
+# Synchronous label propagation (community detection) on the same
+# co-purchase graph: a fixed round budget bounds the iteration (the
+# kcore/pagerank discipline; LPA label counts move fastest in the first
+# few rounds), top LPA_TOPK communities reported by (size, label).
+LPA_ROUNDS = 4
+LPA_TOPK = 20
+
 # Product quantization (Jegou et al. 2011): M subspaces, K codewords per
 # subspace (seeded id-order heuristic codebook, the IVF recipe), ADC
 # recall probed on the next NQ ids against the exact L2^2 top-k.

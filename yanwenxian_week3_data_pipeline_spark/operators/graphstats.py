@@ -174,3 +174,99 @@ def kcore_summary(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         (F.col("deg_sum") / 2).cast("long").alias("n_core_edges"),
         F.lit(converged).alias("converged"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    broadcast_max_nodes: int | None = None,
+) -> DataFrame:
+    """(node, community) after ``rounds`` SYNCHRONOUS label-propagation
+    updates over an undirected edge list (``u``/``v`` columns, any
+    direction, parallels tolerated) — community detection (Raghavan et
+    al. 2007, arXiv:0709.2938) next to components.py's connectivity:
+    LPA finds DENSITY communities inside one connected component.
+
+    Determinism contract (the pagerank.py discipline): classic LPA is
+    run-order dependent (asynchronous updates, random tie-breaks); this
+    implementation is the synchronous variant with a TOTAL-ORDER
+    tie-break — each node adopts the neighbor label with the highest
+    count, ties to the SMALLEST label — so every round is a pure
+    function of the previous frame and the result is bit-identical
+    across partitionings and engines. Labels start as node ids.
+
+    Scale shape: the symmetrized edge table is built once,
+    hash-partitioned on dst (the update key) and checkpointed. Per
+    round: one broadcast of the N-row label frame into the edge join
+    (same node-count gate as pagerank's PR_BROADCAST_MAX_NODES, same
+    shuffle fallback beyond it — the label side then reshuffles and the
+    edges are re-cut to src once), one map-side-combining (dst, label)
+    count, and a map-side-combinable struct argmax (the
+    docs_best_of_cluster pattern — never a within-group sort); eager
+    per-round checkpoint keeps lineage flat. Synchronous LPA on a fixed
+    round budget is exactly how you bound it at 100 TB — the
+    components.py / kcore discipline."""
+    from .pagerank import PR_BROADCAST_MAX_NODES
+
+    e = edges.select(
+        F.col("u").cast("long").alias("s"), F.col("v").cast("long").alias("d")
+    )
+    und = e.union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    ed = und.repartition("d").localCheckpoint(eager=True)
+    labels = (
+        ed.select(F.col("d").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lb"))
+        .localCheckpoint(eager=True)
+    )
+    cap = PR_BROADCAST_MAX_NODES if broadcast_max_nodes is None else broadcast_max_nodes
+    bcast = labels.count() <= cap
+    if not bcast:
+        ed = ed.repartition("s").localCheckpoint(eager=True)
+
+    for _ in range(rounds):
+        lside = labels
+        if bcast:
+            lside = F.broadcast(lside)
+        cnt = (
+            ed.join(lside, ed["s"] == lside["node"])
+            .groupBy("d", "lb")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy("d")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lb")).alias("nl"))).alias("m"))
+            .select(F.col("d").alias("node"), (-F.col("m.nl")).cast("long").alias("lb"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lb").alias("community"))
+
+
+def label_propagation_oracle_sql(edges_sql: str, rounds: int) -> str:
+    """DuckDB replay of the identical synchronous recurrence, rounds
+    unrolled as MATERIALIZED CTEs (the pagerank_oracle_sql discipline).
+    ``edges_sql`` must yield columns ``u, v``; the argmax is replayed as
+    a row_number over (count DESC, label ASC) — the same total order the
+    Spark struct-argmax encodes. Yields (node, community)."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT u, v FROM ({edges_sql})),",
+        "e AS MATERIALIZED (SELECT u AS s, v AS d FROM e0"
+        " UNION SELECT v AS s, u AS d FROM e0),",
+        "l0 AS MATERIALIZED (SELECT DISTINCT d AS node, d AS lb FROM e),",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT node, lb FROM (
+    SELECT node, lb, row_number() OVER (PARTITION BY node
+      ORDER BY c DESC, lb ASC) AS rn
+    FROM (SELECT e.d AS node, l.lb AS lb, count(*) AS c
+          FROM e JOIN l{p} l ON l.node = e.s GROUP BY 1, 2))
+  WHERE rn = 1),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(f"SELECT node, CAST(lb AS BIGINT) AS community FROM l{rounds}")
+    return "\n".join(parts)

@@ -332,6 +332,45 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# graph_label_propagation — synchronous LPA community detection on the
+# part co-purchase graph (see operators/graphstats.py:label_propagation
+# for the determinism contract and scale shape): components.py answers
+# connectivity, this answers DENSITY structure inside a component — the
+# catalog-clustering / collaborative-filtering-neighborhood primitive.
+# Output: the top-LPA_TOPK communities by size after LPA_ROUNDS rounds.
+# ---------------------------------------------------------------------------
+
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import LPA_ROUNDS, LPA_TOPK
+    from ..operators.graphstats import label_propagation
+
+    lab = label_propagation(_copurchase_edges(spark, sf_dir), rounds=LPA_ROUNDS)
+    return (
+        lab.groupBy("community")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.col("n_members").desc(), F.col("community").asc())
+        .limit(LPA_TOPK)
+    )
+
+
+def _sql_label_propagation() -> str:
+    from ..constants import LPA_ROUNDS, LPA_TOPK
+    from ..operators.graphstats import label_propagation_oracle_sql
+
+    edges = (
+        "SELECT a.l_partkey AS u, b.l_partkey AS v"
+        " FROM lineitem a JOIN lineitem b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " GROUP BY 1, 2"
+    )
+    inner = label_propagation_oracle_sql(edges, LPA_ROUNDS)
+    return (
+        f"SELECT community, CAST(count(*) AS BIGINT) AS n_members FROM ({inner})"
+        f" GROUP BY community ORDER BY n_members DESC, community ASC LIMIT {LPA_TOPK}"
+    )
+
+
 def _q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphstats import kcore_summary
 
@@ -391,6 +430,16 @@ QUERIES = [
         doc="Personalized PageRank from the BUILDING segment: teleport and "
         "dangling mass restricted to seed customers, exact integer "
         "recurrence; top-20 suppliers by proximity to the cohort.",
+    ),
+    QuerySpec(
+        name="graph_label_propagation",
+        build=_q_label_propagation,
+        oracle=_sql_label_propagation(),
+        doc=f"Synchronous label-propagation communities (fixed "
+        f"round budget, total-order tie-break — bit-identical across "
+        f"engines) on the part co-purchase graph; top communities by "
+        f"size; oracle unrolls the identical rounds as materialized "
+        f"CTEs.",
     ),
     QuerySpec(
         name="graph_kcore_copurchase",
