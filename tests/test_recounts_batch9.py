@@ -364,3 +364,48 @@ def test_label_propagation_two_cliques(spark):
     assert got == _python_lpa(edges, 4)
     assert {got[n] for n in range(4)} == {0}
     assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_rfm_segments_recount(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.plans.analytic_ext import RFM_FRACTIONS
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    per: dict = {}
+    for e in ev:
+        uid = e["user_id"]
+        v = Decimal(repr(e["value"])).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+        if uid not in per:
+            per[uid] = [e["ts"], 0, Decimal(0)]
+        per[uid][0] = max(per[uid][0], e["ts"])
+        per[uid][1] += 1
+        per[uid][2] += v
+    anchor = max(p[0] for p in per.values()).date()
+    rows = [
+        (uid, (anchor - p[0].date()).days, p[1], p[2]) for uid, p in per.items()
+    ]
+    n = len(rows)
+
+    def cuts(idx: int) -> list:
+        vals = sorted(r[idx] for r in rows)
+        return [vals[(n * num + den - 1) // den - 1] for num, den in RFM_FRACTIONS]
+
+    cr, cf, cm = cuts(1), cuts(2), cuts(3)
+
+    def score(x, cs) -> int:
+        return 1 + sum(1 for c in cs if x > c)
+
+    seg: dict = defaultdict(lambda: [0, Decimal(0)])
+    for _uid, r, f, m in rows:
+        k = (score(r, cr), score(f, cf), score(m, cm))
+        seg[k][0] += 1
+        seg[k][1] += m
+    got = {
+        (r["r_score"], r["f_score"], r["m_score"]): (r["n_users"], r["total_value"])
+        for r in _run(spark, sf_dir, "events_rfm_segments")
+    }
+    # canonical_projection casts the final decimal to double (one
+    # correctly-rounded cast — float(Decimal) is the same rounding)
+    assert got == {k: (v[0], float(v[1])) for k, v in seg.items()}
+    assert sum(v[0] for v in seg.values()) == n  # every user lands in a segment

@@ -943,3 +943,29 @@ def test_nb_score_stream_matches_batch_and_registered_query(
     }
     stream_conf = Counter(v for k, v in got_rows.items() if k in with_tokens)
     assert dict(stream_conf) == reg
+
+
+def test_stateful_transitions_match_batch(spark, sf_dir, stream_src):
+    """availableNow drains everything in one batch, so the streaming
+    transition stream must equal the batch lead() window exactly —
+    including the (ts, event_id) tie-break inside the sort."""
+    from yanwenxian_week3_data_pipeline_spark.plans.analytic_ext import (
+        _transition_stream,
+    )
+    from yanwenxian_week3_data_pipeline_spark.streaming.jobs import (
+        run_available_now,
+        transitions_stateful,
+    )
+
+    got = run_available_now(transitions_stateful(spark, stream_src), "transitions_test")
+    stream_counts = {}
+    for r in got.collect():
+        k = (r.user_id, r.prev_type, r.next_type)
+        stream_counts[k] = stream_counts.get(k, 0) + 1
+
+    batch_counts = {}
+    for r in _transition_stream(spark, sf_dir).collect():
+        k = (r.user_id, r.event_type, r.next_type)
+        batch_counts[k] = batch_counts.get(k, 0) + 1
+    assert stream_counts == batch_counts
+    assert len(stream_counts) > 0

@@ -88,6 +88,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row target/pool feature-total crossJoins (DSIR normalizers)"
     },
     "agg_heavy_hitters_mg": {"BroadcastNestedLoopJoin": "1-row total-count threshold scalar"},
+    "events_rfm_segments": {
+        "BroadcastNestedLoopJoin": "1-row scalars only: the anchor-ts "
+        "crossJoin, the three 1-row quintile-cut tables (4 values each, "
+        "pivoted to one row), and exact_rank_cuts' internal target "
+        "containment probes — the sanctioned scalar class; the user "
+        "frame itself joins nothing non-broadcast"
+    },
     "events_decayed_heavy_hitters": {
         "BroadcastNestedLoopJoin": "1-row max-ts decay anchor crossJoin"
     },

@@ -2036,9 +2036,137 @@ LIMIT {SURPRISAL_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# events_rfm_segments — RFM (recency / frequency / monetary) user
+# segmentation, the classic CRM cut: per user, days since last event,
+# event count, and DECIMAL-exact spend; each metric bucketed into
+# quintiles and the segment grid reported with user counts and total
+# value. Bucket semantics are VALUE-based (ties share a bucket): the four
+# cut points per metric are exact order statistics at ceil(n·k/5) from
+# operators/quantiles.exact_rank_cuts — histogram-cumsum, NO global sort,
+# no single-partition exchange (ntile() would need one) — and the score
+# is 1 + #cuts strictly below the value, ascending for every metric (so
+# r_score 1 = most recent, f_score/m_score 1 = lowest; direction is a
+# labeling convention, the grid is the answer). Cross-engine exactness:
+# counts and day-diffs are ints, spend is DECIMAL(25,6) (the DEC6 rule),
+# cut comparison is exact; output is ≤ 125 segment rows.
+# Scale: one user_id aggregation of the fact; everything after is
+# |users|-sized; the three cut tables are 4-row broadcasts.
+# ---------------------------------------------------------------------------
+
+RFM_FRACTIONS = [(1, 5), (2, 5), (3, 5), (4, 5)]
+
+
+def _q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantiles import exact_rank_cuts
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", F.col("value").cast(DEC6).alias("v")
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v").alias("monetary"),
+    )
+    anchor = pu.agg(F.max("last_ts").alias("anchor_ts"))
+    m = pu.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.to_date("anchor_ts"), F.to_date("last_ts"))
+        .cast("long")
+        .alias("recency_days"),
+        "n_events",
+        "monetary",
+    )
+    m = m.localCheckpoint(eager=True)  # three cut scans + the score pass
+
+    def score(metric: str) -> F.Column:
+        cuts = exact_rank_cuts(m, metric, RFM_FRACTIONS)
+        row = cuts.agg(
+            *[
+                F.max(F.when(F.col("cut_id") == j + 1, F.col("cut"))).alias(f"_c{j}")
+                for j in range(len(RFM_FRACTIONS))
+            ]
+        )
+        expr = F.lit(1)
+        for j in range(len(RFM_FRACTIONS)):
+            expr = expr + F.when(F.col(metric) > F.col(f"_c{j}"), 1).otherwise(0)
+        return F.broadcast(row), expr
+
+    rrow, rexpr = score("recency_days")
+    frow, fexpr = score("n_events")
+    mrow, mexpr = score("monetary")
+    scored = (
+        m.crossJoin(rrow)
+        .withColumn("r_score", rexpr.cast("int"))
+        .drop(*[f"_c{j}" for j in range(len(RFM_FRACTIONS))])
+        .crossJoin(frow)
+        .withColumn("f_score", fexpr.cast("int"))
+        .drop(*[f"_c{j}" for j in range(len(RFM_FRACTIONS))])
+        .crossJoin(mrow)
+        .withColumn("m_score", mexpr.cast("int"))
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("monetary").alias("total_value"),
+    )
+
+
+def _sql_rfm_segments() -> str:
+    def cuts(metric: str, tag: str) -> str:
+        subs = []
+        for j, (num, den) in enumerate(RFM_FRACTIONS):
+            subs.append(
+                f"(SELECT v FROM (SELECT {metric} AS v,"
+                f" row_number() OVER (ORDER BY {metric} ASC) AS rn FROM m)"
+                f" WHERE rn = (SELECT ({num} * n + {den} - 1) // {den} FROM nn))"
+                f" AS {tag}{j}"
+            )
+        return ", ".join(subs)
+
+    def score(metric: str, tag: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN {metric} > c.{tag}{j} THEN 1 ELSE 0 END)"
+            for j in range(len(RFM_FRACTIONS))
+        )
+        return f"CAST(1 + {terms} AS INT)"
+
+    return f"""
+WITH pu AS (
+  SELECT user_id, max(ts) AS last_ts, CAST(count(*) AS BIGINT) AS n_events,
+         sum(CAST(value AS DECIMAL(25,6))) AS monetary
+  FROM events GROUP BY user_id),
+a AS (SELECT max(last_ts) AS anchor_ts FROM pu),
+m AS (SELECT user_id,
+        CAST(date_diff('day', CAST(last_ts AS DATE), CAST(anchor_ts AS DATE)) AS BIGINT)
+          AS recency_days,
+        n_events, monetary
+      FROM pu, a),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+c AS (SELECT {cuts('recency_days', 'r')}, {cuts('n_events', 'f')}, {cuts('monetary', 'mo')}),
+scored AS (
+  SELECT {score('recency_days', 'r')} AS r_score,
+         {score('n_events', 'f')} AS f_score,
+         {score('monetary', 'mo')} AS m_score,
+         monetary
+  FROM m, c)
+SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS n_users,
+       sum(monetary) AS total_value
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = [
     QuerySpec(
         "events_out_of_order_stats", _q_out_of_order_stats, _SQL_OUT_OF_ORDER
+    ),
+    QuerySpec(
+        "events_rfm_segments",
+        _q_rfm_segments,
+        _sql_rfm_segments(),
+        doc="RFM quintile segmentation: exact order-statistic cuts "
+        "(histogram-cumsum, no global sort), value-tied users share a "
+        "bucket, DECIMAL-exact spend; ≤125 segment rows.",
     ),
     QuerySpec(
         "events_markov_transitions",

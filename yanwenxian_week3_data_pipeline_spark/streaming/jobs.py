@@ -530,3 +530,76 @@ def sliding_stream(
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin of plans/analytic_ext._transition_stream: per-user
+# event-type transitions via applyInPandasWithState. State carries only
+# the user's LAST event (ts, event_id, type) — O(1) per user — so
+# transitions span micro-batch boundaries; within a batch rows are
+# ordered by (ts, event_id) exactly like the batch lead() window. The
+# at-least-once caveat mirrors sessionize_stateful: an event arriving in
+# a LATER micro-batch than a same-user successor pairs in arrival order
+# (the standard streaming tradeoff; the batch twin is the exact answer).
+# ---------------------------------------------------------------------------
+
+TRANSITION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("prev_type", StringType(), True),
+        StructField("next_type", StringType(), True),
+    ]
+)
+
+TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType(), True),
+        StructField("last_event_id", LongType(), True),
+        StructField("last_type", StringType(), True),
+    ]
+)
+
+
+def _transition_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    rows: list[tuple[int, int, str]] = []
+    for pdf in pdfs:
+        for ts, eid, et in zip(
+            pd.to_datetime(pdf["ts"]), pdf["event_id"], pdf["event_type"]
+        ):
+            rows.append((int(ts.value // 1000), int(eid), str(et)))
+    if not rows:
+        return
+    rows.sort()
+    prev = state.get if state.exists else None
+    out: list[tuple[int, str, str]] = []
+    for r in rows:
+        if prev is not None:
+            out.append((user_id, prev[2], r[2]))
+        prev = r
+    state.update(prev)
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "prev_type": [r[1] for r in out],
+                "next_type": [r[2] for r in out],
+            }
+        )
+
+
+def transitions_stateful(spark: SparkSession, src_dir: str) -> DataFrame:
+    """One output row per consecutive same-user event pair (the Markov
+    transition stream); aggregate downstream for the live transition
+    matrix. Drain mode only (no timers — the availableNow contract, see
+    sessionize_stateful)."""
+    ev = read_event_stream(spark, src_dir)
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=TRANSITION_OUT_SCHEMA,
+        stateStructType=TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
