@@ -409,3 +409,35 @@ def test_rfm_segments_recount(spark, sf_dir):
     # correctly-rounded cast — float(Decimal) is the same rounding)
     assert got == {k: (v[0], float(v[1])) for k, v in seg.items()}
     assert sum(v[0] for v in seg.values()) == n  # every user lands in a segment
+
+
+def test_lpa_modularity_recount(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.constants import LPA_ROUNDS
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pylist()
+    by_order: dict = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+    lb = _python_lpa(sorted(edges), LPA_ROUNDS)
+    m = len(edges)
+    intra = sum(1 for u, v in edges if lb[u] == lb[v])
+    deg: dict = defaultdict(int)
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    dc: dict = defaultdict(int)
+    for n_, d_ in deg.items():
+        dc[lb[n_]] += d_
+    sd2 = sum(d * d for d in dc.values())
+    q = float(_round_half_up((4 * m * intra - sd2) / float(4 * m * m), 6))
+    [r] = _run(spark, sf_dir, "graph_lpa_modularity")
+    assert (r["n_communities"], r["n_edges"], r["modularity"]) == (len(dc), m, q)
+    assert -0.5 <= r["modularity"] <= 1.0  # Q's mathematical range

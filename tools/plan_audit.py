@@ -88,6 +88,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row target/pool feature-total crossJoins (DSIR normalizers)"
     },
     "agg_heavy_hitters_mg": {"BroadcastNestedLoopJoin": "1-row total-count threshold scalar"},
+    "graph_lpa_modularity": {
+        "BroadcastNestedLoopJoin": "1-row intra-edge count crossJoined "
+        "with the 1-row degree-square aggregate — the sanctioned census "
+        "scalar class (graph_triangles shape)"
+    },
     "events_rfm_segments": {
         "BroadcastNestedLoopJoin": "1-row scalars only: the anchor-ts "
         "crossJoin, the three 1-row quintile-cut tables (4 values each, "

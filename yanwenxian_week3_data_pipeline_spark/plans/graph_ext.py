@@ -371,6 +371,98 @@ def _sql_label_propagation() -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# graph_lpa_modularity — Newman modularity Q of the LPA communities (the
+# quality number for the partition graph_label_propagation reports):
+# Q = Σ_c [e_c/m − (d_c/2m)²] = (4m·intra − Σ_c d_c²) / (4m²), where m is
+# the undirected edge count, intra the number of within-community edges,
+# and d_c the community degree sum. Every term is an exact integer
+# (Σd_c² accumulated in DECIMAL(38,0) — the kmeans accumulator rule, it
+# crosses 2^63 near m ≈ 2^31 edges) and Q is ONE division of two
+# correctly-rounded exact casts, so the number is bit-identical across
+# engines at any test scale. Scale: two broadcast label joins over the
+# checkpointed edge list + a 1-row aggregate on top of LPA's own cost.
+# ---------------------------------------------------------------------------
+
+def _q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import LPA_ROUNDS
+    from ..operators.graphstats import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    lab = label_propagation(edges, rounds=LPA_ROUNDS)
+    m = edges.count()
+    la = lab.withColumnsRenamed({"node": "u", "community": "cu"})
+    lb = lab.withColumnsRenamed({"node": "v", "community": "cv"})
+    intra = (
+        edges.join(F.broadcast(la), "u")
+        .join(F.broadcast(lb), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        deg.join(F.broadcast(lab), "node")
+        .groupBy("community")
+        .agg(F.sum("d").alias("dc"))
+    )
+    sd2 = dc.agg(
+        F.sum(F.col("dc").cast("decimal(38,0)") * F.col("dc").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sd2"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+    )
+    return intra.crossJoin(sd2).select(
+        "n_communities",
+        F.lit(m).cast("long").alias("n_edges"),
+        F.round(
+            (
+                F.lit(4) * F.lit(m) * F.col("intra").cast("decimal(38,0)")
+                - F.col("sd2")
+            ).cast("double")
+            / F.lit(float(4 * m * m)),
+            6,
+        ).alias("modularity"),
+    )
+
+
+def _sql_lpa_modularity() -> str:
+    from ..constants import LPA_ROUNDS
+    from ..operators.graphstats import label_propagation_oracle_sql
+
+    edges = (
+        "SELECT a.l_partkey AS u, b.l_partkey AS v"
+        " FROM lineitem a JOIN lineitem b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " GROUP BY 1, 2"
+    )
+    inner = label_propagation_oracle_sql(edges, LPA_ROUNDS)
+    return f"""
+WITH lab AS MATERIALIZED ({inner}),
+ed AS MATERIALIZED ({edges}),
+mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+intra AS (SELECT CAST(count(*) AS BIGINT) AS intra
+          FROM ed JOIN lab la ON la.node = ed.u
+                  JOIN lab lb ON lb.node = ed.v
+          WHERE la.community = lb.community),
+deg AS (SELECT node, count(*) AS d
+        FROM (SELECT u AS node FROM ed UNION ALL SELECT v FROM ed) t
+        GROUP BY node),
+dc AS (SELECT lab.community, CAST(sum(deg.d) AS BIGINT) AS dcv
+       FROM deg JOIN lab ON lab.node = deg.node GROUP BY 1),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(sum(dcv * dcv) AS HUGEINT) AS sd2 FROM dc)
+SELECT n_communities, mm.m AS n_edges,
+       round(CAST(4 * mm.m * intra.intra - s.sd2 AS DOUBLE)
+             / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS modularity
+FROM intra, s, mm
+"""
+
+
 def _q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphstats import kcore_summary
 
@@ -440,6 +532,15 @@ QUERIES = [
         f"engines) on the part co-purchase graph; top communities by "
         f"size; oracle unrolls the identical rounds as materialized "
         f"CTEs.",
+    ),
+    QuerySpec(
+        name="graph_lpa_modularity",
+        build=_q_lpa_modularity,
+        oracle=_sql_lpa_modularity(),
+        doc="Newman modularity Q of the LPA partition — exact integer "
+        "terms (DECIMAL(38,0) degree-square accumulator), one "
+        "correctly-rounded division; two broadcast label joins + 1-row "
+        "aggregates on top of LPA.",
     ),
     QuerySpec(
         name="graph_kcore_copurchase",
