@@ -441,3 +441,52 @@ def test_lpa_modularity_recount(spark, sf_dir):
     [r] = _run(spark, sf_dir, "graph_lpa_modularity")
     assert (r["n_communities"], r["n_edges"], r["modularity"]) == (len(dc), m, q)
     assert -0.5 <= r["modularity"] <= 1.0  # Q's mathematical range
+
+
+def test_link_prediction_recount(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        LINKPRED_HUB_CAP,
+        LINKPRED_TOPK,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pylist()
+    by_order: dict = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+    nbrs: dict = defaultdict(set)
+    for u, v in edges:
+        nbrs[u].add(v)
+        nbrs[v].add(u)
+    cn: dict = defaultdict(int)
+    for apex, ns in nbrs.items():
+        if len(ns) > LINKPRED_HUB_CAP:
+            continue
+        ss = sorted(ns)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                if (a, b) not in edges:
+                    cn[(a, b)] += 1
+    scored = [
+        (
+            u,
+            v,
+            c,
+            float(_round_half_up(c / (len(nbrs[u]) + len(nbrs[v]) - c), 6)),
+        )
+        for (u, v), c in cn.items()
+    ]
+    exp = sorted(scored, key=lambda r: (-r[3], r[0], r[1]))[:LINKPRED_TOPK]
+    got = [
+        (r["u"], r["v"], r["common_neighbors"], r["jaccard"])
+        for r in _run(spark, sf_dir, "graph_link_prediction")
+    ]
+    assert got == exp
+    assert len(got) == LINKPRED_TOPK

@@ -334,6 +334,17 @@ KCORE_ROUNDS = 8
 LPA_ROUNDS = 4
 LPA_TOPK = 20
 
+# Link prediction on the same graph: wedges enumerated only at apexes of
+# degree <= LINKPRED_HUB_CAP (the triangle-census cap discipline — the
+# pair stage stays <= m·cap rows on any degree distribution; the oracle
+# replays the identical cap so the capped score is exact, not an
+# unquantified approximation). 80 sits inside the co-purchase degree
+# distribution at EVERY fixture scale (sf0.001 min/median/max degree
+# 49/89/138; sf0.1 38/119/222), so the cap binds without emptying the
+# candidate set — probed at all three scales before freezing.
+LINKPRED_HUB_CAP = 80
+LINKPRED_TOPK = 20
+
 # Product quantization (Jegou et al. 2011): M subspaces, K codewords per
 # subspace (seeded id-order heuristic codebook, the IVF recipe), ADC
 # recall probed on the next NQ ids against the exact L2^2 top-k.

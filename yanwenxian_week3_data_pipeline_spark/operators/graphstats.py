@@ -270,3 +270,84 @@ def label_propagation_oracle_sql(edges_sql: str, rounds: int) -> str:
     parts[-1] = parts[-1].rstrip(",")
     parts.append(f"SELECT node, CAST(lb AS BIGINT) AS community FROM l{rounds}")
     return "\n".join(parts)
+
+
+def link_prediction_jaccard(
+    edges: DataFrame, hub_cap: int, topk: int
+) -> DataFrame:
+    """Top-``topk`` predicted links (u < v, common_neighbors, jaccard)
+    among 2-hop non-adjacent pairs of an undirected graph, scored by
+    neighbor-set Jaccard — the classic structural link-prediction /
+    item-recommendation baseline (Liben-Nowell & Kleinberg 2003).
+
+    Semantics under the cap: wedges are enumerated only at apexes whose
+    degree is ≤ ``hub_cap`` (the triangle_census escape hatch — the pair
+    stage is then ≤ m·cap rows on any degree distribution), so
+    ``common_neighbors`` counts common neighbors OF DEGREE ≤ cap. The
+    oracle replays the identical cap, so the capped score is exact and
+    engine-agreed, not an unquantified approximation; Jaccard divides by
+    the FULL degrees (exact), keeping scores comparable across pairs.
+
+    ``edges`` must be distinct with u < v. Shape: one symmetrize pass,
+    one degree aggregate broadcast back, a cap-filtered wedge self-join
+    (the only stage that can grow — bounded by m·cap), a pair count with
+    map-side combine, an anti-join against the edge list, and TakeOrdered.
+    """
+    deg = _degrees(edges)
+    adj = edges.select(F.col("u").alias("apex"), F.col("v").alias("nb")).unionAll(
+        edges.select(F.col("v").alias("apex"), F.col("u").alias("nb"))
+    )
+    da = deg.select(F.col("n").alias("apex"), F.col("d").alias("dapex"))
+    capped = adj.join(F.broadcast(da), "apex").where(F.col("dapex") <= hub_cap)
+    a, b = capped.alias("a"), capped.alias("b")
+    wedges = a.join(
+        b,
+        (F.col("a.apex") == F.col("b.apex")) & (F.col("a.nb") < F.col("b.nb")),
+    ).select(F.col("a.nb").alias("u"), F.col("b.nb").alias("v"))
+    pairs = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("common_neighbors")
+    )
+    cand = pairs.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        cand.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(topk)
+
+
+def link_prediction_oracle_sql(edges_sql: str, hub_cap: int, topk: int) -> str:
+    """DuckDB twin of :func:`link_prediction_jaccard` (identical cap,
+    identical exact-int Jaccard). ``edges_sql`` must yield u < v."""
+    return f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+adj AS (SELECT u AS apex, v AS nb FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT apex AS n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+capped AS (SELECT adj.* FROM adj JOIN deg ON deg.n = adj.apex
+           WHERE deg.d <= {hub_cap}),
+pairs AS (SELECT a.nb AS u, b.nb AS v, CAST(count(*) AS BIGINT) AS common_neighbors
+          FROM capped a JOIN capped b
+            ON a.apex = b.apex AND a.nb < b.nb
+          GROUP BY 1, 2),
+cand AS (SELECT pairs.* FROM pairs ANTI JOIN e USING (u, v)),
+scored AS (SELECT cand.u, cand.v, common_neighbors,
+             round(common_neighbors
+                   / CAST(du.d + dv.d - common_neighbors AS DOUBLE), 6) AS jaccard
+           FROM cand JOIN deg du ON du.n = cand.u JOIN deg dv ON dv.n = cand.v)
+SELECT * FROM scored ORDER BY jaccard DESC, u ASC, v ASC LIMIT {topk}
+"""

@@ -463,6 +463,34 @@ FROM intra, s, mm
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_link_prediction — neighbor-Jaccard link prediction on the part
+# co-purchase graph (see operators/graphstats.py:link_prediction_jaccard):
+# the "parts bought together but never yet in one order" recommender
+# baseline. Hub-capped wedge enumeration, exact-int Jaccard, TakeOrdered.
+# ---------------------------------------------------------------------------
+
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..constants import LINKPRED_HUB_CAP, LINKPRED_TOPK
+    from ..operators.graphstats import link_prediction_jaccard
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return link_prediction_jaccard(edges, LINKPRED_HUB_CAP, LINKPRED_TOPK)
+
+
+def _sql_link_prediction() -> str:
+    from ..constants import LINKPRED_HUB_CAP, LINKPRED_TOPK
+    from ..operators.graphstats import link_prediction_oracle_sql
+
+    edges = (
+        "SELECT a.l_partkey AS u, b.l_partkey AS v"
+        " FROM lineitem a JOIN lineitem b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " GROUP BY 1, 2"
+    )
+    return link_prediction_oracle_sql(edges, LINKPRED_HUB_CAP, LINKPRED_TOPK)
+
+
 def _q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphstats import kcore_summary
 
@@ -532,6 +560,15 @@ QUERIES = [
         f"engines) on the part co-purchase graph; top communities by "
         f"size; oracle unrolls the identical rounds as materialized "
         f"CTEs.",
+    ),
+    QuerySpec(
+        name="graph_link_prediction",
+        build=_q_link_prediction,
+        oracle=_sql_link_prediction(),
+        doc="Neighbor-Jaccard link prediction (top-20 non-adjacent "
+        "2-hop pairs) with hub-capped wedge enumeration (<= m·cap rows "
+        "on any degree distribution) and exact-int Jaccard; the oracle "
+        "replays the identical cap.",
     ),
     QuerySpec(
         name="graph_lpa_modularity",
