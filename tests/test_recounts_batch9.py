@@ -490,3 +490,78 @@ def test_link_prediction_recount(spark, sf_dir):
     ]
     assert got == exp
     assert len(got) == LINKPRED_TOPK
+
+
+def test_attribution_last_touch_recount(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.plans.analytic_ext import (
+        ATTR_WINDOW_DAYS,
+    )
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    by_user: dict = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append(e)
+    seg: dict = defaultdict(lambda: [0, Decimal(0)])
+    for seq in by_user.values():
+        seq.sort(key=lambda e: (e["ts"], e["event_id"]))
+        touch = None
+        for e in seq:
+            if e["event_type"] == "purchase":
+                if (
+                    touch is not None
+                    and (e["ts"].date() - touch["ts"].date()).days
+                    <= ATTR_WINDOW_DAYS
+                ):
+                    ch = touch["event_type"]
+                else:
+                    ch = "direct"
+                seg[ch][0] += 1
+                seg[ch][1] += Decimal(repr(e["value"])).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
+                )
+            else:
+                touch = e
+    got = {
+        r["channel"]: (r["n_purchases"], r["total_value"])
+        for r in _run(spark, sf_dir, "events_attribution_last_touch")
+    }
+    assert got == {k: (v[0], float(v[1])) for k, v in seg.items()}
+    assert sum(v[0] for v in got.values()) == sum(
+        1 for e in ev if e["event_type"] == "purchase"
+    )
+
+
+def test_top_paths_recount(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.plans.analytic_ext import (
+        PATH_GAP_MINUTES,
+        PATH_PREFIX_LEN,
+        PATH_TOPK,
+    )
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pylist()
+    by_user: dict = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append(e)
+    paths: dict = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort(key=lambda e: (e["ts"], e["event_id"]))
+        sessions: list = []
+        prev_ts = None
+        for e in seq:
+            if (
+                prev_ts is None
+                or (e["ts"] - prev_ts).total_seconds() > PATH_GAP_MINUTES * 60
+            ):
+                sessions.append([])
+            sessions[-1].append(e["event_type"])
+            prev_ts = e["ts"]
+        for s in sessions:
+            paths[">".join(s[:PATH_PREFIX_LEN])] += 1
+    exp = sorted(((-(n), p) for p, n in paths.items()))[:PATH_TOPK]
+    exp = [(p, -negn) for negn, p in exp]
+    got = [
+        (r["path"], r["n_sessions"])
+        for r in _run(spark, sf_dir, "events_top_paths")
+    ]
+    assert got == exp
+    assert len(got) == PATH_TOPK

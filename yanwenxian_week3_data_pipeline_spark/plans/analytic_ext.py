@@ -2156,9 +2156,183 @@ FROM scored GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# events_attribution_last_touch — marketing attribution: each purchase's
+# value is credited to the user's most recent PRECEDING non-purchase
+# event ("touch") within ATTR_WINDOW_DAYS; purchases with no touch in the
+# window are 'direct'. One user_id shuffle (the sequence window), then a
+# K-bounded channel aggregate. The two last_value(... IGNORE NULLS)
+# expressions share one frame and one condition, so they pick the SAME
+# row — ts and type stay consistent. Exactness: counts are ints, value
+# rides DEC6, the day bound is an integer datediff.
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_DAYS = 7
+
+
+def _q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", F.col("value").cast(DEC6).alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nonp = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    nonp_t = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    tagged = ev.select(
+        "*",
+        F.last(nonp, ignorenulls=True).over(w).alias("touch_ts"),
+        F.last(nonp_t, ignorenulls=True).over(w).alias("touch_type"),
+    ).where(F.col("event_type") == "purchase")
+    channel = F.when(
+        F.col("touch_ts").isNotNull()
+        & (
+            F.datediff(F.to_date("ts"), F.to_date("touch_ts"))
+            <= ATTR_WINDOW_DAYS
+        ),
+        F.col("touch_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        tagged.select(channel.alias("channel"), "v")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum("v").alias("total_value"),
+        )
+    )
+
+
+_SQL_ATTRIBUTION_LAST_TOUCH = f"""
+WITH ev AS (SELECT user_id, ts, event_id, event_type,
+                   CAST(value AS DECIMAL(25,6)) AS v FROM events),
+tagged AS (
+  SELECT *,
+    last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+  FROM ev),
+p AS (SELECT CASE WHEN touch_ts IS NOT NULL
+                   AND date_diff('day', CAST(touch_ts AS DATE), CAST(ts AS DATE))
+                       <= {ATTR_WINDOW_DAYS}
+             THEN touch_type ELSE 'direct' END AS channel, v
+      FROM tagged WHERE event_type = 'purchase')
+SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+       sum(v) AS total_value
+FROM p GROUP BY channel
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths — funnel discovery: the most common session openings.
+# Events are sessionized per user on a 30-minute gap (the sessionize
+# operator's rule, inlined as a window running-sum of gap flags), each
+# session is reduced to its first PATH_PREFIX_LEN event types joined by
+# '>', and the top PATH_TOPK paths are reported. Exactness: the per-
+# session sequence is a sort_array over (ts, event_id, type) structs —
+# the same total order both engines sort — and counts are ints. Scale:
+# one user_id shuffle shared by both windows, one (user, session)
+# aggregate whose collect_list is bounded by the session length, one
+# path count; TakeOrdered output.
+# ---------------------------------------------------------------------------
+
+PATH_GAP_MINUTES = 30
+PATH_PREFIX_LEN = 5
+PATH_TOPK = 15
+
+
+def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    wseq = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # INTERVAL comparison on the NTZ column (the sessionize operator's
+    # recipe — TIMESTAMP_NTZ has no long cast); a NULL lag (first event)
+    # falls to the otherwise(0), so sessions number from 0 on both engines
+    new_sess = F.when(
+        F.col("ts") - F.lag("ts").over(wseq)
+        > F.expr(f"INTERVAL {PATH_GAP_MINUTES} MINUTES"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "session_seq").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    path = F.array_join(
+        F.transform(
+            F.slice(F.col("seq"), 1, PATH_PREFIX_LEN), lambda s: s["event_type"]
+        ),
+        ">",
+    )
+    return (
+        per_sess.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(PATH_TOPK)
+    )
+
+
+_SQL_TOP_PATHS = f"""
+WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+    sum(CASE WHEN prev_ts IS NULL
+              OR (epoch(ts) - epoch(prev_ts)) > {PATH_GAP_MINUTES * 60}
+        THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id
+          ORDER BY ts ASC, event_id ASC) AS prev_ts FROM ev)),
+ps AS (
+  SELECT user_id, session_seq,
+    array_to_string(
+      list_transform(
+        list_slice(list_sort(list({{'ts': ts, 'eid': event_id, 't': event_type}})),
+                   1, {PATH_PREFIX_LEN}),
+        x -> x.t), '>') AS path
+  FROM s GROUP BY user_id, session_seq)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM ps GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {PATH_TOPK}
+"""
+
+
 QUERIES = [
     QuerySpec(
         "events_out_of_order_stats", _q_out_of_order_stats, _SQL_OUT_OF_ORDER
+    ),
+    QuerySpec(
+        "events_attribution_last_touch",
+        _q_attribution_last_touch,
+        _SQL_ATTRIBUTION_LAST_TOUCH,
+        doc="Last-touch purchase attribution within a 7-day window: one "
+        "user_id sequence window, K-bounded channel aggregate, "
+        "DECIMAL-exact value credit; untouched purchases land in "
+        "'direct'.",
+    ),
+    QuerySpec(
+        "events_top_paths",
+        _q_top_paths,
+        _SQL_TOP_PATHS,
+        doc="Top-15 session-opening paths (first 5 event types per "
+        "30-min-gap session): one user_id shuffle shared by both "
+        "windows, struct-sorted per-session sequences, TakeOrdered "
+        "output.",
     ),
     QuerySpec(
         "events_rfm_segments",
