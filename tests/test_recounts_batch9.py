@@ -565,3 +565,38 @@ def test_top_paths_recount(spark, sf_dir):
     ]
     assert got == exp
     assert len(got) == PATH_TOPK
+
+
+def test_distinctive_terms_recount(spark, sf_dir, documents):
+    from yanwenxian_week3_data_pipeline_spark.plans.curation_ext import (
+        LIFT_MIN_COUNT,
+        LIFT_TOPK_PER_SOURCE,
+    )
+
+    cts: dict = defaultdict(int)
+    for d in documents:
+        for t in _tokens(d["text"]):
+            cts[(d["source"], t)] += 1
+    ct: dict = defaultdict(int)
+    tst: dict = defaultdict(int)
+    for (s, t), n in cts.items():
+        ct[t] += n
+        tst[s] += n
+    t_all = sum(cts.values())
+    per_source: dict = defaultdict(list)
+    for (s, t), n in cts.items():
+        if n < LIFT_MIN_COUNT:
+            continue
+        lift = (n / ct[t]) * (t_all / tst[s])
+        per_source[s].append((-lift, t, n))
+    exp = []
+    for s in per_source:
+        for negl, t, n in sorted(per_source[s])[:LIFT_TOPK_PER_SOURCE]:
+            exp.append((s, t, n, float(_round_half_up(-negl, 6))))
+    got = [
+        (r["source"], r["term"], r["n_in_source"], r["lift"])
+        for r in _run(spark, sf_dir, "docs_distinctive_terms_by_source")
+    ]
+    assert sorted(got) == sorted(exp)
+    assert len({s for s, *_ in got}) == len(per_source)  # every source covered
+    assert all(lift >= 1.0 or n > 0 for *_xs, n, lift in got)

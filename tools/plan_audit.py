@@ -88,6 +88,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row target/pool feature-total crossJoins (DSIR normalizers)"
     },
     "agg_heavy_hitters_mg": {"BroadcastNestedLoopJoin": "1-row total-count threshold scalar"},
+    "docs_distinctive_terms_by_source": {
+        "BroadcastNestedLoopJoin": "1-row corpus token-total crossJoined "
+        "into the floor-filtered (source, term) frame — the sanctioned "
+        "docs_unigram_logprob scalar class"
+    },
     "graph_lpa_modularity": {
         "BroadcastNestedLoopJoin": "1-row intra-edge count crossJoined "
         "with the 1-row degree-square aggregate — the sanctioned census "

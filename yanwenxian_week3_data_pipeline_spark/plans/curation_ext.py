@@ -1766,7 +1766,92 @@ FROM r WHERE rank <= {EMB_OUTLIER_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# docs_distinctive_terms_by_source — per-source signature vocabulary: the
+# top terms by LIFT p(t|source)/p(t) with a min-count floor (the
+# corpus-drift companion to docs_source_lang_kl: KL says THAT a source's
+# distribution drifted, this says WHICH terms carry it). Exactness: all
+# counts are ints; lift = (c_ts/c_t)·(T/T_s) is the IDENTICAL IEEE
+# expression tree on both engines over exact-int casts (the
+# agg_stats_moments discipline), so the per-source ranking agrees
+# bit-for-bit; ties break on the term. Scale: ONE (source, token)
+# map-side-combining shuffle; marginals derive from that bounded table;
+# the per-source top-K is a window over rank-limited partitions.
+# ---------------------------------------------------------------------------
+
+LIFT_MIN_COUNT = 5
+LIFT_TOPK_PER_SOURCE = 5
+
+
+def _q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import clean_text_expr
+    from ..functions.textstats import tokens_expr
+
+    d = _docs(spark, sf_dir).select(
+        "source", clean_text_expr(F.col("text")).alias("c")
+    )
+    st = d.select("source", F.explode(tokens_expr(F.col("c"))).alias("term"))
+    cts = st.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_ts"))
+    ct = cts.groupBy("term").agg(F.sum("c_ts").alias("c_t"))
+    ts_tot = cts.groupBy("source").agg(F.sum("c_ts").alias("t_s"))
+    tot = cts.agg(F.sum("c_ts").alias("t_all"))
+    lift = (F.col("c_ts").cast("double") / F.col("c_t").cast("double")) * (
+        F.col("t_all").cast("double") / F.col("t_s").cast("double")
+    )
+    scored = (
+        cts.where(F.col("c_ts") >= LIFT_MIN_COUNT)
+        .join(F.broadcast(ct), "term")
+        .join(F.broadcast(ts_tot), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_lift", lift)
+    )
+    w = Window.partitionBy("source").orderBy(F.col("_lift").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= LIFT_TOPK_PER_SOURCE)
+        .select(
+            "source",
+            "term",
+            F.col("c_ts").cast("long").alias("n_in_source"),
+            F.round(F.col("_lift"), 6).alias("lift"),
+        )
+    )
+
+
+def _sql_distinctive_terms() -> str:
+    toks = tokens_sql("c")
+    return f"""
+WITH d AS (SELECT source, {CLEAN_SQL} AS c FROM documents),
+st AS (SELECT source, unnest({toks}) AS term FROM d),
+cts AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c_ts FROM st GROUP BY 1, 2),
+ct AS (SELECT term, CAST(sum(c_ts) AS BIGINT) AS c_t FROM cts GROUP BY 1),
+tst AS (SELECT source, CAST(sum(c_ts) AS BIGINT) AS t_s FROM cts GROUP BY 1),
+tot AS (SELECT CAST(sum(c_ts) AS BIGINT) AS t_all FROM cts),
+scored AS (
+  SELECT cts.source, cts.term, c_ts,
+    (CAST(c_ts AS DOUBLE) / CAST(c_t AS DOUBLE))
+      * (CAST(t_all AS DOUBLE) / CAST(t_s AS DOUBLE)) AS lift
+  FROM cts JOIN ct USING (term) JOIN tst USING (source), tot
+  WHERE c_ts >= {LIFT_MIN_COUNT}),
+r AS (SELECT source, term, c_ts, lift,
+        row_number() OVER (PARTITION BY source
+          ORDER BY lift DESC, term ASC) AS rn
+      FROM scored)
+SELECT source, term, c_ts AS n_in_source, round(lift, 6) AS lift
+FROM r WHERE rn <= {LIFT_TOPK_PER_SOURCE}
+"""
+
+
 QUERIES = [
+    QuerySpec(
+        "docs_distinctive_terms_by_source",
+        _q_distinctive_terms,
+        _sql_distinctive_terms(),
+        doc="Per-source top-5 terms by lift p(t|source)/p(t) with a "
+        "min-count floor — which terms carry a source's drift; one "
+        "(source, token) shuffle, bounded marginals, identical IEEE "
+        "lift expression on both engines.",
+    ),
     QuerySpec(
         "docs_ngram_novelty_by_source",
         _q_ngram_novelty,
