@@ -600,3 +600,77 @@ def test_distinctive_terms_recount(spark, sf_dir, documents):
     assert sorted(got) == sorted(exp)
     assert len({s for s, *_ in got}) == len(per_source)  # every source covered
     assert all(lift >= 1.0 or n > 0 for *_xs, n, lift in got)
+
+
+def _python_pca(rows: list[tuple[int, list[int]]], rounds: int) -> dict[int, int]:
+    """Sequential integer power-iteration replay (operators/pca_power.py
+    recurrence: n-scaled centering, non-negative-div renormalization)."""
+    from yanwenxian_week3_data_pipeline_spark.operators.pca_power import (
+        PCA_RESCALE,
+        PCA_XV_RESCALE,
+    )
+
+    n = len(rows)
+    nd = len(rows[0][1])
+    s = [sum(q[d] for _v, q in rows) for d in range(nd)]
+    u = {v: [n * q[d] - s[d] for d in range(nd)] for v, q in rows}
+    v = [PCA_RESCALE] * nd
+    for _ in range(rounds):
+        xv = {vid: sum(uv[d] * v[d] for d in range(nd)) for vid, uv in u.items()}
+        mx = max(abs(x) for x in xv.values())
+        xs = {
+            vid: (-1 if x < 0 else 1) * ((abs(x) * PCA_XV_RESCALE) // mx)
+            for vid, x in xv.items()
+        }
+        y = [sum(uv[d] * xs[vid] for vid, uv in u.items()) for d in range(nd)]
+        my = max(abs(x) for x in y)
+        v = [(-1 if x < 0 else 1) * ((abs(x) * PCA_RESCALE) // my) for x in y]
+    return dict(enumerate(v))
+
+
+def test_pca_power_iteration_recount(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.operators.kmeans_exact import KM_SCALE
+    from yanwenxian_week3_data_pipeline_spark.operators.pca_power import PCA_RESCALE
+    from yanwenxian_week3_data_pipeline_spark.plans.curation_ext import PCA_ROUNDS
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    rows = [
+        (
+            e["vec_id"],
+            [int(math.floor(float(x) * KM_SCALE + 0.5)) for x in e["embedding"]],
+        )
+        for e in emb
+    ]
+    v = _python_pca(rows, PCA_ROUNDS)
+    got = {
+        r["dim"]: r["loading"]
+        for r in _run(spark, sf_dir, "emb_pca_power_iteration")
+    }
+    assert got == {d: x / PCA_RESCALE for d, x in v.items()}
+    # a direction, not a degenerate vector: the renormalization pins the
+    # max-|component| at exactly +-1.0
+    assert max(abs(x) for x in got.values()) == 1.0
+
+
+def test_pca_power_finds_planted_axis(spark):
+    """Algorithmic property: on a cloud stretched along a planted axis,
+    the integer power iteration's loading aligns with that axis."""
+    import random
+
+    from yanwenxian_week3_data_pipeline_spark.operators.pca_power import (
+        pca_top_component,
+    )
+
+    rng = random.Random(5)
+    nd = 8
+    axis = [1.0 if d == 3 else 0.0 for d in range(nd)]
+    rows = []
+    for i in range(300):
+        t = rng.uniform(-1, 1)
+        vec = [t * axis[d] + rng.uniform(-0.05, 0.05) for d in range(nd)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["dim"]: r["loading"] for r in pca_top_component(df, rounds=5).collect()}
+    num = sum(got[d] * axis[d] for d in range(nd))
+    den = math.sqrt(sum(x * x for x in got.values()))
+    assert abs(num) / den > 0.95

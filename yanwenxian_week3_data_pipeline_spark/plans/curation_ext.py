@@ -1842,7 +1842,40 @@ FROM r WHERE rn <= {LIFT_TOPK_PER_SOURCE}
 """
 
 
+# ---------------------------------------------------------------------------
+# emb_pca_power_iteration — the top principal direction of the embedding
+# cloud by EXACT-INTEGER power iteration (operators/pca_power.py): the
+# pagerank bit-identical-iteration contract extended to linear algebra.
+# The number an embedding pipeline wants before JL projection / PCA
+# whitening / anisotropy correction: where the variance actually lives.
+# ---------------------------------------------------------------------------
+
+PCA_ROUNDS = 4
+
+
+def _q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca_power import pca_top_component
+
+    return pca_top_component(_emb(spark, sf_dir), rounds=PCA_ROUNDS)
+
+
+def _sql_pca_power() -> str:
+    from ..operators.pca_power import pca_oracle_sql
+
+    return pca_oracle_sql("SELECT vec_id, embedding FROM embeddings", PCA_ROUNDS)
+
+
 QUERIES = [
+    QuerySpec(
+        "emb_pca_power_iteration",
+        _q_pca_power,
+        _sql_pca_power(),
+        doc="Top principal component via exact-integer power iteration "
+        "(micro-quantized coords, division-free n-scaled centering, "
+        "DECIMAL(38,0) matvec sums, non-negative-div renormalization) — "
+        "bit-identical across engines; two map-side-combining aggregates "
+        "per round on the (vec, dim) long matrix.",
+    ),
     QuerySpec(
         "docs_distinctive_terms_by_source",
         _q_distinctive_terms,
