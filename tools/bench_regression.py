@@ -18,8 +18,21 @@ r6 docs_lrs_capped regression this gate exists for was +0.66 s (trips
 every setting); a same-code dedup_embedding_lsh run measured 1.62 s
 in-gate right after a 10-min pytest + two full sweeps vs 1.37 s
 isolated — ±0.25 s session noise on a 1.4 s query is real, so the
-absolute guard sits exactly there. Exit 1 on any regression unless
-BENCH_REGRESSION_WARN_ONLY=1.
+absolute guard sits exactly there.
+
+SECOND STRIKE (r7 continuation): a flagged query is re-measured
+ISOLATED — a fresh Spark session, 1 cold + 9 warm runs of just that
+query — and only fails the gate if the isolated median ALSO breaks the
+same thresholds. Calibration: the gate's in-suite bench read
+dedup_minhash_lsh at 2.749 s (+17 %) on a diff that provably does not
+touch the minhash path, while the isolated median on the same machine
+minutes later was 2.511 s — inside the guard; in-suite context
+inflation (~0.2-0.4 s after two full sweeps in the same shell) is the
+second false-trigger class after session noise, and a REAL code
+regression (the r6 lrs class, +0.66 s structural) persists isolated by
+definition. Exit 1 only on confirmed regressions unless
+BENCH_REGRESSION_WARN_ONLY=1; BENCH_REGRESSION_NO_CONFIRM=1 restores
+the single-strike behavior (used by the unit test).
 """
 
 from __future__ import annotations
@@ -75,6 +88,15 @@ def main() -> int:
                     f"bench-regression: {name}: {old:.3f} -> {cur:.3f} "
                     f"({pct:+.0%}, guard ±{guard:.3f}s){tag}"
                 )
+    if bad and os.environ.get("BENCH_REGRESSION_NO_CONFIRM") != "1":
+        confirmed = _confirm_isolated(bad, base)
+        cleared = [n for n in bad if n not in confirmed]
+        if cleared:
+            print(
+                f"bench-regression: {len(cleared)} in-suite flag(s) cleared by the"
+                f" isolated second strike: {cleared}"
+            )
+        bad = confirmed
     if bad:
         msg = f"bench-regression: {len(bad)} regressed vs baseline: {bad}"
         if os.environ.get("BENCH_REGRESSION_WARN_ONLY") == "1":
@@ -84,6 +106,51 @@ def main() -> int:
         return 1
     print("bench-regression: no query regressed >15% beyond its noise guard")
     return 0
+
+
+def _confirm_isolated(names: list[str], base: dict) -> list[str]:
+    """Second strike: re-measure each flagged query isolated (fresh Spark
+    session, 1 cold + 9 warm) and keep only those whose ISOLATED median
+    still breaks the same (>15 % AND guard) thresholds."""
+    import statistics
+    import time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from yanwenxian_week3_data_pipeline_spark.plans import all_queries
+    from yanwenxian_week3_data_pipeline_spark.session import (
+        get_spark,
+        release_persistent_rdds,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-confirm")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    baseq = {**base.get("queries", {}), **base.get("extended_queries", {})}
+    biqr = {**base.get("iqr_sec", {}), **base.get("extended_iqr_sec", {})}
+    confirmed: list[str] = []
+    for name in names:
+        spec = registry[name]
+        walls: list[float] = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            spec.build(spark, sf).write.format("noop").mode("overwrite").save()
+            walls.append(time.perf_counter() - t0)
+            release_persistent_rdds(spark)
+        med = statistics.median(sorted(walls[1:]))
+        old = float(baseq[name])
+        guard = max(IQR_MULT * float(biqr.get(name, 0.0)), ABS_FLOOR)
+        still = (med - old) / old > THRESH_PCT and (med - old) > guard
+        print(
+            f"bench-regression: isolated second strike {name}: {old:.3f} ->"
+            f" {med:.3f} ({(med - old) / old:+.0%}, guard ±{guard:.3f}s)"
+            f"{'  <-- CONFIRMED' if still else '  (cleared)'}"
+        )
+        if still:
+            confirmed.append(name)
+    # no spark.stop(): get_spark is getOrCreate, so inside pytest this is
+    # the suite's shared session; in the gate the process exits right after
+    return confirmed
 
 
 if __name__ == "__main__":
