@@ -674,3 +674,41 @@ def test_pca_power_finds_planted_axis(spark):
     num = sum(got[d] * axis[d] for d in range(nd))
     den = math.sqrt(sum(x * x for x in got.values()))
     assert abs(num) / den > 0.95
+
+
+def test_bfs_distances_recount(spark, sf_dir):
+    from yanwenxian_week3_data_pipeline_spark.plans.graph_ext import BFS_ROUNDS
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pylist()
+    by_order: dict = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    nbrs: dict = defaultdict(set)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+    seed = min(nbrs)
+    dist = {seed: 0}
+    frontier = {seed}
+    for r in range(1, BFS_ROUNDS + 1):
+        nxt = set()
+        for n_ in frontier:
+            nxt |= nbrs[n_]
+        nxt -= dist.keys()
+        for n_ in nxt:
+            dist[n_] = r
+        frontier = nxt
+    hist: dict = defaultdict(int)
+    for d_ in dist.values():
+        hist[d_] += 1
+    got = {
+        r["dist"]: r["n_nodes"] for r in _run(spark, sf_dir, "graph_bfs_distances")
+    }
+    assert got == dict(hist)
+    assert got[0] == 1  # the seed
+    assert sum(got.values()) <= len(nbrs)

@@ -351,3 +351,81 @@ scored AS (SELECT cand.u, cand.v, common_neighbors,
            FROM cand JOIN deg du ON du.n = cand.u JOIN deg dv ON dv.n = cand.v)
 SELECT * FROM scored ORDER BY jaccard DESC, u ASC, v ASC LIMIT {topk}
 """
+
+
+def bfs_distances(
+    edges: DataFrame, seed: int, rounds: int
+) -> DataFrame:
+    """(dist, n_nodes): the unweighted-shortest-path distance histogram
+    from ``seed`` over an undirected edge list (``u``/``v`` columns),
+    frontier-expanded for a FIXED ``rounds`` budget (the kcore/pagerank
+    discipline — at 100 TB you bound iterative rounds; small-world
+    graphs saturate in a handful). Exact by construction: frontier sets
+    and distances are integers, set algebra has no ties to break.
+
+    Scale shape: the symmetrized edge table is built once, partitioned
+    on src and checkpointed; each round is one frontier equi-join on
+    that partitioning + one distinct + one left-anti join against the
+    visited set (both shuffles on node keys, map-side combinable);
+    visited/frontier are checkpointed per round so lineage stays flat.
+    The output is (rounds+1)-bounded."""
+    e = edges.select(
+        F.col("u").cast("long").alias("s"), F.col("v").cast("long").alias("d")
+    )
+    und = (
+        e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .repartition("s")
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(int(seed), 0)], "node long, dist int"
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for r in range(1, rounds + 1):
+        nxt = (
+            und.join(frontier.withColumnsRenamed({"node": "s"}), "s")
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(r))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return (
+        visited.groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.col("dist").cast("int").alias("dist"), "n_nodes")
+    )
+
+
+def bfs_oracle_sql(edges_sql: str, seed_sql: str, rounds: int) -> str:
+    """DuckDB replay of the identical bounded BFS, rounds unrolled as
+    MATERIALIZED CTEs. ``edges_sql`` yields u, v; ``seed_sql`` yields one
+    row with a ``node`` column."""
+    parts = [
+        f"WITH e0 AS MATERIALIZED (SELECT u, v FROM ({edges_sql})),",
+        "e AS MATERIALIZED (SELECT u AS s, v AS d FROM e0"
+        " UNION SELECT v AS s, u AS d FROM e0),",
+        f"v0 AS MATERIALIZED (SELECT CAST(node AS BIGINT) AS node,"
+        f" 0 AS dist FROM ({seed_sql})),",
+        "f0 AS MATERIALIZED (SELECT node FROM v0),",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""n{r} AS MATERIALIZED (
+  SELECT DISTINCT e.d AS node, {r} AS dist
+  FROM e JOIN f{p} ON e.s = f{p}.node
+  WHERE e.d NOT IN (SELECT node FROM v{p})),
+v{r} AS MATERIALIZED (SELECT * FROM v{p} UNION ALL SELECT * FROM n{r}),
+f{r} AS MATERIALIZED (SELECT node FROM n{r}),"""
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(dist AS INT) AS dist, CAST(count(*) AS BIGINT) AS n_nodes"
+        f" FROM v{rounds} GROUP BY dist"
+    )
+    return "\n".join(parts)

@@ -491,6 +491,40 @@ def _sql_link_prediction() -> str:
     return link_prediction_oracle_sql(edges, LINKPRED_HUB_CAP, LINKPRED_TOPK)
 
 
+# ---------------------------------------------------------------------------
+# graph_bfs_distances — unweighted shortest-path distance histogram from a
+# deterministic seed (the smallest part key) over the co-purchase graph,
+# bounded-round frontier BFS (operators/graphstats.py:bfs_distances):
+# the reachability / hop-count primitive the graph family lacked —
+# "how many items are within k co-purchase hops of this one" is the
+# substitution-radius question. Small-world co-purchase graphs saturate
+# well inside the round budget; the output is (rounds+1)-bounded.
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 6
+
+
+def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphstats import bfs_distances
+
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    seed = edges.agg(F.min("u")).collect()[0][0]
+    return bfs_distances(edges, seed=int(seed), rounds=BFS_ROUNDS)
+
+
+def _sql_bfs_distances() -> str:
+    from ..operators.graphstats import bfs_oracle_sql
+
+    edges = (
+        "SELECT a.l_partkey AS u, b.l_partkey AS v"
+        " FROM lineitem a JOIN lineitem b"
+        " ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+        " GROUP BY 1, 2"
+    )
+    seed = f"SELECT min(u) AS node FROM ({edges})"
+    return bfs_oracle_sql(edges, seed, BFS_ROUNDS)
+
+
 def _q_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphstats import kcore_summary
 
@@ -560,6 +594,16 @@ QUERIES = [
         f"engines) on the part co-purchase graph; top communities by "
         f"size; oracle unrolls the identical rounds as materialized "
         f"CTEs.",
+    ),
+    QuerySpec(
+        name="graph_bfs_distances",
+        build=_q_bfs_distances,
+        oracle=_sql_bfs_distances(),
+        doc=f"Bounded-round BFS distance histogram (cap {BFS_ROUNDS}) "
+        "from the smallest part key over the co-purchase graph — the "
+        "reachability/hop-count primitive; per round one frontier "
+        "equi-join on the checkpointed src partitioning + one anti-join "
+        "against visited; oracle unrolls the identical rounds.",
     ),
     QuerySpec(
         name="graph_link_prediction",
