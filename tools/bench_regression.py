@@ -33,6 +33,16 @@ regression (the r6 lrs class, +0.66 s structural) persists isolated by
 definition. Exit 1 only on confirmed regressions unless
 BENCH_REGRESSION_WARN_ONLY=1; BENCH_REGRESSION_NO_CONFIRM=1 restores
 the single-strike behavior (used by the unit test).
+
+LIKE-WITH-LIKE (r8, closes r7 ADVICE on this file): isolated walls run
+~0.2-0.4 s faster than in-suite ones — the inflation documented above —
+so a second strike that compares its ISOLATED re-measure against an
+IN-SUITE baseline would systematically clear real regressions smaller
+than that margin on top of the 15 %/guard thresholds. When the baseline
+file carries ``isolated_sec`` / ``isolated_iqr_sec`` (recorded by
+``tools/make_bench_baseline.py --isolated`` with the same fresh-JVM
+1-cold+9-warm protocol), the second strike compares against THOSE; the
+in-suite medians remain the first-strike reference only.
 """
 
 from __future__ import annotations
@@ -128,6 +138,10 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
     registry = all_queries()
     baseq = {**base.get("queries", {}), **base.get("extended_queries", {})}
     biqr = {**base.get("iqr_sec", {}), **base.get("extended_iqr_sec", {})}
+    # like-with-like: prefer the isolated baseline (same fresh-session
+    # protocol as this re-measure) when the baseline file records one
+    iso_q = base.get("isolated_sec", {})
+    iso_iqr = base.get("isolated_iqr_sec", {})
     confirmed: list[str] = []
     for name in names:
         spec = registry[name]
@@ -138,11 +152,15 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
             walls.append(time.perf_counter() - t0)
             release_persistent_rdds(spark)
         med = statistics.median(sorted(walls[1:]))
-        old = float(baseq[name])
-        guard = max(IQR_MULT * float(biqr.get(name, 0.0)), ABS_FLOOR)
+        like = name in iso_q
+        old = float(iso_q[name]) if like else float(baseq[name])
+        guard = max(
+            IQR_MULT * float((iso_iqr if like else biqr).get(name, 0.0)), ABS_FLOOR
+        )
         still = (med - old) / old > THRESH_PCT and (med - old) > guard
         print(
-            f"bench-regression: isolated second strike {name}: {old:.3f} ->"
+            f"bench-regression: isolated second strike {name}: {old:.3f}"
+            f"{' (isolated baseline)' if like else ' (in-suite baseline)'} ->"
             f" {med:.3f} ({(med - old) / old:+.0%}, guard ±{guard:.3f}s)"
             f"{'  <-- CONFIRMED' if still else '  (cleared)'}"
         )
