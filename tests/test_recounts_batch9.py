@@ -712,3 +712,74 @@ def test_bfs_distances_recount(spark, sf_dir):
     assert got == dict(hist)
     assert got[0] == 1  # the seed
     assert sum(got.values()) <= len(nbrs)
+
+
+def test_pca_variance_explained_recount(spark, sf_dir):
+    """Sequential replay of the variance-share reduction
+    (operators/pca_power.py:pca_variance_explained): same centering +
+    iteration as _python_pca, then the normalized Rayleigh-quotient
+    chain — N = Σxn², T = Σus², r = (mx·10⁶)//umax, three exact floor
+    divisions — in arbitrary-precision Python ints."""
+    from yanwenxian_week3_data_pipeline_spark.operators.kmeans_exact import KM_SCALE
+    from yanwenxian_week3_data_pipeline_spark.operators.pca_power import PCA_RESCALE
+    from yanwenxian_week3_data_pipeline_spark.plans.curation_ext import PCA_ROUNDS
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    rows = [
+        (
+            e["vec_id"],
+            [int(math.floor(float(x) * KM_SCALE + 0.5)) for x in e["embedding"]],
+        )
+        for e in emb
+    ]
+    n = len(rows)
+    nd = len(rows[0][1])
+    s = [sum(q[d] for _v, q in rows) for d in range(nd)]
+    u = {v: [n * q[d] - s[d] for d in range(nd)] for v, q in rows}
+    vv = [_python_pca(rows, PCA_ROUNDS)[d] for d in range(nd)]
+
+    xv = {vid: sum(uv[d] * vv[d] for d in range(nd)) for vid, uv in u.items()}
+    mx = max(abs(x) for x in xv.values())
+    umax = max(abs(ud) for uv in u.values() for ud in uv)
+    big_n = sum(((abs(x) * PCA_RESCALE) // mx) ** 2 for x in xv.values())
+    big_t = sum(
+        ((abs(ud) * PCA_RESCALE) // umax) ** 2 for uv in u.values() for ud in uv
+    )
+    v2 = sum(x * x for x in vv)
+    r = (mx * PCA_RESCALE) // umax
+    s2 = (r * r * 10**9) // v2
+    s3 = (s2 * 10**9) // big_t
+    share_micro = (s3 * (big_n // 10**4)) // 10**20
+
+    [row] = _run(spark, sf_dir, "emb_pca_variance_explained")
+    assert (row["n_vecs"], row["n_dims"]) == (n, nd)
+    assert row["variance_share"] == share_micro / PCA_RESCALE
+    # a top component must explain at least 1/nd of the variance (it
+    # beats the average direction by definition) and at most all of it
+    assert 1.0 / nd <= row["variance_share"] <= 1.0 + 1e-9
+
+
+def test_pca_variance_degenerate_inputs(spark):
+    """r7 ADVICE: empty / all-identical inputs raise clearly instead of
+    propagating NULL loadings."""
+    import pytest as _pytest
+
+    from yanwenxian_week3_data_pipeline_spark.operators.pca_power import (
+        pca_top_component,
+        pca_variance_explained,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty embedding table"):
+        pca_top_component(empty)
+    with _pytest.raises(ValueError, match="empty embedding table"):
+        pca_variance_explained(empty)
+
+    same = spark.createDataFrame(
+        [(i, [0.25, -0.5, 0.125]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="all embeddings identical"):
+        pca_top_component(same)
+    with _pytest.raises(ValueError, match="all embeddings identical"):
+        pca_variance_explained(same)

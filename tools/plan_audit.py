@@ -56,6 +56,12 @@ ALLOW: dict[str, dict[str, str]] = {
     "emb_prefix_dim_recall": {
         "BroadcastNestedLoopJoin": "same K-bounded <=64-query sample broadcast into BOTH exact sides (full-dim and prefix-dim ground truths; the sim_cosine_topk class)"
     },
+    "emb_pca_variance_explained": {
+        "BroadcastNestedLoopJoin": "1-row scalar assembly (mx, N, T, v2 "
+        "aggregates cross-joined into one row for the exact floor-division "
+        "chain) — the sanctioned docs_unigram_logprob scalar class; the "
+        "matvec itself is the iteration's own map-side-combining shape"
+    },
     "text_bm25_topk": {
         "BroadcastNestedLoopJoin": "1-row corpus-stats scalar (N, T, df_i) cross-joined back — the sanctioned docs_unigram_logprob scalar class"
     },

@@ -2290,8 +2290,8 @@ _SQL_TOP_PATHS = f"""
 WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events),
 s AS (
   SELECT user_id, ts, event_id, event_type,
-    sum(CASE WHEN prev_ts IS NULL
-              OR (epoch(ts) - epoch(prev_ts)) > {PATH_GAP_MINUTES * 60}
+    sum(CASE WHEN prev_ts IS NULL THEN 0
+             WHEN (epoch(ts) - epoch(prev_ts)) > {PATH_GAP_MINUTES * 60}
         THEN 1 ELSE 0 END)
       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq

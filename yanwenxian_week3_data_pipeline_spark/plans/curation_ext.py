@@ -1865,6 +1865,20 @@ def _sql_pca_power() -> str:
     return pca_oracle_sql("SELECT vec_id, embedding FROM embeddings", PCA_ROUNDS)
 
 
+def _q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca_power import pca_variance_explained
+
+    return pca_variance_explained(_emb(spark, sf_dir), rounds=PCA_ROUNDS)
+
+
+def _sql_pca_variance() -> str:
+    from ..operators.pca_power import pca_variance_oracle_sql
+
+    return pca_variance_oracle_sql(
+        "SELECT vec_id, embedding FROM embeddings", PCA_ROUNDS
+    )
+
+
 QUERIES = [
     QuerySpec(
         "emb_pca_power_iteration",
@@ -1875,6 +1889,18 @@ QUERIES = [
         "DECIMAL(38,0) matvec sums, non-negative-div renormalization) — "
         "bit-identical across engines; two map-side-combining aggregates "
         "per round on the (vec, dim) long matrix.",
+    ),
+    QuerySpec(
+        "emb_pca_variance_explained",
+        _q_pca_variance,
+        _sql_pca_variance(),
+        doc="Share of total variance captured by the power-iteration top "
+        "component (Rayleigh quotient over the trace) — the number a "
+        "curation pipeline gates on before JL/whitening. Both quadratic "
+        "sums normalized to the 10^6 grid by their own 1-row maxima, then "
+        "three exact floor-division steps; every intermediate provably "
+        "< 10^38 at any corpus size for <=300 dims, bit-identical across "
+        "engines. One extra long-format matvec on top of the iteration.",
     ),
     QuerySpec(
         "docs_distinctive_terms_by_source",

@@ -457,8 +457,8 @@ dc AS (SELECT lab.community, CAST(sum(deg.d) AS BIGINT) AS dcv
 s AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
              CAST(sum(dcv * dcv) AS HUGEINT) AS sd2 FROM dc)
 SELECT n_communities, mm.m AS n_edges,
-       round(CAST(4 * mm.m * intra.intra - s.sd2 AS DOUBLE)
-             / CAST(4 * mm.m * mm.m AS DOUBLE), 6) AS modularity
+       round(CAST(CAST(4 AS HUGEINT) * mm.m * intra.intra - s.sd2 AS DOUBLE)
+             / CAST(CAST(4 AS HUGEINT) * mm.m * mm.m AS DOUBLE), 6) AS modularity
 FROM intra, s, mm
 """
 
