@@ -32,7 +32,11 @@ def node_count(plan: str, node: str) -> int:
 
 def test_star_join_broadcasts_dimensions(spark, sf_dir):
     plan = plan_of(spark, "join_region_revenue", sf_dir)
+    # dims broadcast; the fact-fact (lineitem-orders) side is PINNED to a
+    # shuffle merge join — the r8 A/B showed the r7 broadcast pin was the
+    # SLOW mode at both sf0.1 and sf1 (see _q_region_revenue's comment)
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

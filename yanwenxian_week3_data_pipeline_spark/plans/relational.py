@@ -131,17 +131,21 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The orders side of the fact-fact join sat exactly at AQE's runtime
     # broadcast threshold at sf0.1 — the plan flipped between SMJ and BHJ
-    # run to run (driver IQR 0.17 s on a 1.39 s median, bimodal samples in
-    # two rounds). Pin it, but SIZE-GATED on the local file like the scan
-    # fan-out: a hard broadcast pin would embed "orders fits in memory",
-    # which is false at 100 TB where both fact sides must shuffle on the
-    # order key and AQE should keep choosing.
-    from ..sources.tables import _local_parquet_bytes
-
-    okeys = orders.select("o_orderkey", "o_custkey")
-    obytes = _local_parquet_bytes(f"{sf_dir}/orders.parquet")
-    if obytes is not None and obytes < 64 * 1024 * 1024:
-        okeys = F.broadcast(okeys)
+    # run to run (bimodal driver samples in two rounds). r7 pinned it to
+    # BHJ behind a size gate; the r8 quiet-machine re-pin (the only
+    # superlinear-looking number on the r7 board: sf1 warm median 7.03 s,
+    # 5.1x wall for 10x rows) root-caused THAT as the slow mode: probing a
+    # fact-sized (1.5M-entry, 24 MB) hashed relation from 32 threads loses
+    # to shuffling both facts on the order key at BOTH measured scales
+    # (interleaved A/B, warm medians — sf0.1: BHJ 1.28 s vs SMJ 0.89/SHJ
+    # 0.85; sf1: BHJ 8.67 s vs SMJ 2.97/SHJ 3.02). Pin the MERGE join:
+    # tied with shuffle-hash everywhere, spill-safe at 100 TB where both
+    # fact sides must shuffle anyway, and it restores fleet-normal scaling
+    # (3.3x wall for 10x rows). Pre-aggregating lineitem by l_orderkey
+    # before the join was also A/B'd and LOST (sf1 8.5 s vs 3.1 s — the
+    # DECIMAL hash-agg over |orders| groups costs more than it saves).
+    # Dimensions stay broadcast: dim is |customer| rows only.
+    okeys = orders.select("o_orderkey", "o_custkey").hint("merge")
     return (
         li.join(okeys, li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
