@@ -253,6 +253,18 @@ def dedup_minhash_lsh(
     on band key (shuffle hash join on the bucket key — the only shuffle that
     grows with data) → distinct candidate pairs → verify via shingle-set
     intersection/union sizes.
+
+    Measured negative results (do not retry without new evidence): r7 —
+    shingle caching/passthrough (wash), verify-side candidate prefilter
+    (loss); r8 — Arrow mapInPandas intersection kernel for the verify
+    stage (wash: verify is ~0.3 s of the 2.4 s total and array_intersect
+    is already JVM-cheap over the ~14k surviving pairs at sf0.1) and a
+    groupBy+collect_list+combination-explode candidate stage replacing
+    the window guard + self-join (exact wash over 12 interleaved rounds:
+    2.3885 vs 2.390 s — the window rides the join's own exchange, so
+    there was no second shuffle to save). Stage breakdown at sf0.1:
+    shingles 0.94, +signatures 1.39, +banding/candidates 2.35, +verify
+    2.65 s.
     """
     sh = doc_shingles(df, text_col, id_col)
     # The Arrow signature kernel feeds BOTH band-join sides; exchange reuse

@@ -130,30 +130,43 @@ def pagerank(
     e = edges.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     ).distinct()
-    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
 
     # Degree-annotated edges checkpointed FIRST; the node/flag frame then
     # derives from the checkpoint, so the raw edge pipeline (source join +
     # distinct + degree) runs exactly once — deriving nodes and edges
     # independently re-ran it twice (measured r6: 2 × 1.9 s of a 7.5 s
-    # warm wall at sf0.1). Partitioned on dst optimistically (the
-    # broadcast shape's aggregation key); the huge-N fallback below
-    # re-cuts to src, paying one extra |E| shuffle only in the regime
-    # where per-round costs dwarf it.
-    ed = e.join(deg, "s").repartition("d").localCheckpoint(eager=True)
+    # warm wall at sf0.1). Degree is a COUNT WINDOW over src (r8 setup
+    # rework: the groupBy(s)+join form A/B'd slower — setup warm median
+    # 2.205 → 1.825 s at sf0.1 with the fused flags below, identical ed
+    # rows — the window rides the same to-src exchange and drops the
+    # aggregate build + join probe). Caveat recorded: the window puts ALL
+    # of one src's edges in a single task, so a graph with an extreme
+    # out-degree hub (≫10⁷ edges from one node) should flip back to the
+    # map-side-combining groupBy+broadcast-join form — a one-line switch.
+    # Partitioned on dst optimistically (the broadcast shape's aggregation
+    # key); the huge-N fallback below re-cuts to src, paying one extra |E|
+    # shuffle only in the regime where per-round costs dwarf it.
+    from pyspark.sql.window import Window
 
-    nodes = ed.select(F.col("s").alias("node")).union(
-        ed.select(F.col("d").alias("node"))
-    ).distinct()
+    ed = (
+        e.withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .repartition("d")
+        .localCheckpoint(eager=True)
+    )
 
     # One flags frame carried THROUGH the rank state: is_seed (teleport
-    # target) and is_dang (no out-edges, from a left join on the degree
-    # table) — per round, both are column filters on the checkpointed
-    # frame instead of joins against separate node sets.
-    has_out = (
-        ed.select(F.col("s").alias("node")).distinct().withColumn("_has", F.lit(True))
+    # target) and is_dang (no out-edges) — per round, both are column
+    # filters on the checkpointed frame instead of joins against separate
+    # node sets. Built in ONE union+aggregate pass (r8: the former
+    # union-distinct + second distinct + left join re-read ed three
+    # times; max(_has) over the tagged endpoint stream yields the same
+    # (node, has-out) table in a single map-side-combining shuffle).
+    flagged = (
+        ed.select(F.col("s").alias("node"), F.lit(True).alias("_has"))
+        .union(ed.select(F.col("d").alias("node"), F.lit(False).alias("_has")))
+        .groupBy("node")
+        .agg(F.max("_has").alias("_has"))
     )
-    flagged = nodes.join(has_out, "node", "left")
     if seeds is not None:
         flagged = flagged.join(
             seeds.select(F.col("node").cast("long").alias("node"))
@@ -164,13 +177,13 @@ def pagerank(
         ).select(
             "node",
             F.coalesce("_seed", F.lit(False)).alias("is_seed"),
-            F.col("_has").isNull().alias("is_dang"),
+            (~F.col("_has")).alias("is_dang"),
         )
     else:
         flagged = flagged.select(
             "node",
             F.lit(True).alias("is_seed"),
-            F.col("_has").isNull().alias("is_dang"),
+            (~F.col("_has")).alias("is_dang"),
         )
     flagged = flagged.localCheckpoint(eager=True)
     n = flagged.count()
