@@ -262,9 +262,14 @@ def dedup_minhash_lsh(
     groupBy+collect_list+combination-explode candidate stage replacing
     the window guard + self-join (exact wash over 12 interleaved rounds:
     2.3885 vs 2.390 s — the window rides the join's own exchange, so
-    there was no second shuffle to save). Stage breakdown at sf0.1:
-    shingles 0.94, +signatures 1.39, +banding/candidates 2.35, +verify
-    2.65 s.
+    there was no second shuffle to save); also r8 — a FUSED raw-text→sig
+    Arrow kernel (clean/tokenize/shingle/md5/minhash in one Python pass,
+    bit-equal sig table) won the isolated sig stage 1.63 → 1.38 s but
+    washed end-to-end (2.266 vs 2.229 s over 10 interleaved rounds: the
+    candidate+verify stages dominate and the native shingle eval it
+    removes overlaps work the pipeline pays anyway). Stage breakdown at
+    sf0.1: shingles 0.94, +signatures 1.39, +banding/candidates 2.35,
+    +verify 2.65 s.
     """
     sh = doc_shingles(df, text_col, id_col)
     # The Arrow signature kernel feeds BOTH band-join sides; exchange reuse
