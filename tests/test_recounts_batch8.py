@@ -319,3 +319,83 @@ def test_source_lang_kl_recount(spark, sf_dir, documents):
     # milli-rounding can push a near-uniform source a hair below 0; real
     # divergence must stay far from pathological
     assert all(k > -0.001 for _n, k in exp.values())
+
+
+def test_source_mirror_matrix_recount(spark, sf_dir, documents):
+    """Sequential replay of dedup_source_mirror_matrix: the full minhash
+    chain (as in the estimate-gate recount), then the unordered
+    source x source aggregation with exact micro-int jaccard sums."""
+    import hashlib
+
+    from yanwenxian_week3_data_pipeline_spark.constants import (
+        DEDUP_MAX_BUCKET,
+        MINHASH_BANDS,
+        MINHASH_JACCARD_THRESHOLD,
+        MINHASH_NUM_HASHES,
+        MINHASH_PRIME,
+        MINHASH_ROWS_PER_BAND,
+        MINHASH_SHINGLE_K,
+    )
+
+    def shingles(text):
+        toks = _tokens(text)
+        k = MINHASH_SHINGLE_K
+        if len(toks) < k:
+            return set()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    def signature(sh_set):
+        p = MINHASH_PRIME
+        sig = [None] * MINHASH_NUM_HASHES
+        for s in sh_set:
+            d = hashlib.md5(s.encode()).hexdigest()
+            h1, h2 = int(d[0:15], 16), int(d[15:29], 16)
+            for i in range(MINHASH_NUM_HASHES):
+                g = h1 if i == 0 else (h1 + (i * h2) % p) % p
+                if sig[i] is None or g < sig[i]:
+                    sig[i] = g
+        return sig
+
+    sh = {d["doc_id"]: shingles(d["text"]) for d in documents}
+    sig = {i: signature(s) for i, s in sh.items() if s}
+    buckets = defaultdict(list)
+    for doc_id in sorted(sig):
+        for b in range(MINHASH_BANDS):
+            sl = sig[doc_id][b * MINHASH_ROWS_PER_BAND : (b + 1) * MINHASH_ROWS_PER_BAND]
+            key = hashlib.md5(",".join(str(v) for v in sl).encode()).hexdigest()
+            buckets[(b, key)].append(doc_id)
+    cand = set()
+    for ids in buckets.values():
+        if len(ids) > DEDUP_MAX_BUCKET:
+            continue
+        for i, a in enumerate(ids):
+            for b_ in ids[i + 1 :]:
+                cand.add((min(a, b_), max(a, b_)))
+
+    thr = Decimal(repr(MINHASH_JACCARD_THRESHOLD))
+    src = {d["doc_id"]: d["source"] for d in documents}
+    agg = defaultdict(lambda: [0, 0])  # (src_a, src_b) -> [n_pairs, sum_jm]
+    for a, b_ in sorted(cand):
+        inter = len(sh[a] & sh[b_])
+        union = len(sh[a]) + len(sh[b_]) - inter
+        if not union:
+            continue
+        jac = _round_half_up(inter / union, 6)
+        if jac < thr:
+            continue
+        # round(jaccard * 1e6) on the already-6dp-rounded double, as both
+        # engines compute it
+        jm = int(_round_half_up(float(jac) * 1000000.0, 0))
+        key = (min(src[a], src[b_]), max(src[a], src[b_]))
+        agg[key][0] += 1
+        agg[key][1] += jm
+    exp = {
+        k: (n, float(_round_half_up(sjm / (n * 1000000), 6)))
+        for k, (n, sjm) in agg.items()
+    }
+    assert exp, "fixture must produce at least one mirrored source pair"
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_pairs"], r["mean_jaccard"])
+        for r in _run(spark, sf_dir, "dedup_source_mirror_matrix")
+    }
+    assert got == exp

@@ -451,6 +451,74 @@ JOIN sigs sb ON sb.doc_id = p.doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_source_mirror_matrix — mirror detection: which SOURCES duplicate
+# each other. Verified near-dup pairs (the dedup_minhash_lsh output)
+# aggregated to the unordered source×source matrix with a pair count and
+# the mean verified Jaccard — the number crawl curation acts on (drop or
+# down-weight a mirrored host, pick one canonical side). Intra-source
+# rows (source_a = source_b) are the self-duplication diagonal.
+#
+# Exactness: each pair's jaccard is ALREADY rounded to 6 dp, so
+# round(jaccard·10⁶) is an exact long on both engines; the mean is ONE
+# double division of two exact integers (the dec_as_double discipline).
+# Scale shape: everything up to the pair list is dedup_minhash_lsh's own
+# banded plan; the matrix step is two |pairs|-row joins against the
+# (doc_id, source) projection and a |sources|²-bounded aggregate.
+# ---------------------------------------------------------------------------
+
+def _q_source_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pairs = dedup_minhash_lsh(
+        docs, "text", "doc_id", threshold=MINHASH_JACCARD_THRESHOLD
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.withColumnsRenamed({"doc_id": "id_a", "source": "src_a"})
+    sb = src.withColumnsRenamed({"doc_id": "id_b", "source": "src_b"})
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            F.round(F.col("jaccard") * F.lit(1000000.0)).cast("long").alias("_jm"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("_jm").cast("long").alias("_sum_jm"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.round(
+                F.col("_sum_jm").cast("double")
+                / (F.col("n_pairs") * F.lit(1000000)).cast("double"),
+                6,
+            ).alias("mean_jaccard"),
+        )
+    )
+
+
+_SQL_SOURCE_MIRRORS = f"""
+WITH pairs AS (SELECT doc_a, doc_b, jaccard FROM ({_SQL_DEDUP_MINHASH})),
+src AS (SELECT doc_id, source FROM documents),
+tagged AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b,
+         CAST(round(p.jaccard * 1000000.0) AS BIGINT) AS jm
+  FROM pairs p
+  JOIN src sa ON sa.doc_id = p.doc_a
+  JOIN src sb ON sb.doc_id = p.doc_b)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CAST(sum(jm) AS DOUBLE)
+             / CAST(count(*) * 1000000 AS DOUBLE), 6) AS mean_jaccard
+FROM tagged GROUP BY source_a, source_b
+"""
+
+
 # --- SimHash ----------------------------------------------------------------
 
 def _simhash_sql(c: str, bits: int = SIMHASH_BITS) -> str:
@@ -3209,6 +3277,16 @@ QUERIES = [
     QuerySpec("text_minhash_signature", _q_minhash_sig, _SQL_MINHASH_SIG),
     QuerySpec("dedup_minhash_lsh", _q_dedup_minhash, _SQL_DEDUP_MINHASH, headline=True),
     QuerySpec("dedup_minhash_estimate_gate", _q_minhash_est_gate, _SQL_MINHASH_EST_GATE),
+    QuerySpec(
+        "dedup_source_mirror_matrix",
+        _q_source_mirrors,
+        _SQL_SOURCE_MIRRORS,
+        doc="Mirror detection: verified near-dup pairs aggregated to the "
+        "unordered source x source matrix (pair count + mean verified "
+        "Jaccard from exact micro-int sums) — the drop/down-weight/"
+        "canonicalize signal for mirrored hosts; |sources|^2-bounded "
+        "output on top of the banded LSH plan.",
+    ),
     QuerySpec("text_simhash", _q_simhash, _SQL_SIMHASH),
     QuerySpec("dedup_simhash_pairs", _q_dedup_simhash, _SQL_DEDUP_SIMHASH),
     QuerySpec("dedup_ngram_jaccard", _q_ngram_jaccard, _SQL_NGRAM_JACCARD),
