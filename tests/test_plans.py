@@ -32,13 +32,32 @@ def node_count(plan: str, node: str) -> int:
 
 def test_star_join_broadcasts_dimensions(spark, sf_dir):
     plan = plan_of(spark, "join_region_revenue", sf_dir)
-    # dims broadcast; the fact-fact (lineitem-orders) side is PINNED to a
-    # shuffle merge join — the r8 A/B showed the r7 broadcast pin was the
-    # SLOW mode at both sf0.1 and sf1 (see _q_region_revenue's comment)
+    # dims broadcast (r9 A/B: broadcast-dim beats shuffled-dim at sf0.1 AND
+    # sf1); the fact-fact (lineitem-orders) side is PINNED to a shuffle
+    # merge join — the r8 A/B showed the r7 broadcast pin was the SLOW
+    # mode at both sf0.1 and sf1 (see _q_region_revenue's comment)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_star_join_dim_broadcast_degrades_past_size_gate(spark, sf_dir, monkeypatch):
+    # at 100 TB the customer table is fact-sized: the dim-side broadcast
+    # must degrade to a shuffled merge join by construction (VERDICT r8 #1)
+    from yanwenxian_week3_data_pipeline_spark.plans import relational
+
+    baseline = plan_of(spark, "join_region_revenue", sf_dir)
+    monkeypatch.setattr(relational, "_local_parquet_bytes", lambda _p: 10**12)
+    gated = plan_of(spark, "join_region_revenue", sf_dir)
+    # one broadcast (dim-fact) becomes a second merge join; nation/region
+    # stay broadcast inside the dim build
+    assert node_count(gated, "SortMergeJoin") == node_count(baseline, "SortMergeJoin") + 1
+    assert node_count(gated, "BroadcastHashJoin") == node_count(baseline, "BroadcastHashJoin") - 1
+    # unknown size (object store) must also degrade to shuffle
+    monkeypatch.setattr(relational, "_local_parquet_bytes", lambda _p: None)
+    unknown = plan_of(spark, "join_region_revenue", sf_dir)
+    assert node_count(unknown, "SortMergeJoin") == node_count(gated, "SortMergeJoin")
 
 
 def test_q1_pushdown_and_pruning(spark, sf_dir):

