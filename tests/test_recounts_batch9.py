@@ -736,7 +736,8 @@ def test_pca_variance_explained_recount(spark, sf_dir):
     nd = len(rows[0][1])
     s = [sum(q[d] for _v, q in rows) for d in range(nd)]
     u = {v: [n * q[d] - s[d] for d in range(nd)] for v, q in rows}
-    vv = [_python_pca(rows, PCA_ROUNDS)[d] for d in range(nd)]
+    pv = _python_pca(rows, PCA_ROUNDS)  # one full iteration, not nd of them
+    vv = [pv[d] for d in range(nd)]
 
     xv = {vid: sum(uv[d] * vv[d] for d in range(nd)) for vid, uv in u.items()}
     mx = max(abs(x) for x in xv.values())
@@ -783,3 +784,15 @@ def test_pca_variance_degenerate_inputs(spark):
         pca_top_component(same)
     with _pytest.raises(ValueError, match="all embeddings identical"):
         pca_variance_explained(same)
+
+    # r8 ADVICE: a NULL/empty embedding row desyncs n between the
+    # centering (count() keeps it) and the exploded matrix (posexplode
+    # drops it) — AND between the Spark and DuckDB twins. Refuse loudly.
+    holey = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, None), (2, [0.3, 0.4]), (3, [])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="NULL/empty"):
+        pca_top_component(holey)
+    with _pytest.raises(ValueError, match="NULL/empty"):
+        pca_variance_explained(holey)

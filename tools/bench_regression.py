@@ -20,9 +20,11 @@ in-gate right after a 10-min pytest + two full sweeps vs 1.37 s
 isolated — ±0.25 s session noise on a 1.4 s query is real, so the
 absolute guard sits exactly there.
 
-SECOND STRIKE (r7 continuation): a flagged query is re-measured
-ISOLATED — a fresh Spark session, 1 cold + 9 warm runs of just that
-query — and only fails the gate if the isolated median ALSO breaks the
+SECOND STRIKE (r7 continuation; subprocess-exact since r9): a flagged
+query is re-measured ISOLATED — a fresh JVM subprocess running ONLY
+that query (make_bench_baseline's --isolated-one child, the same code
+path that records the isolated baseline), 1 cold + 9 warm runs — and
+only fails the gate if the isolated median ALSO breaks the
 same thresholds. Calibration: the gate's in-suite bench read
 dedup_minhash_lsh at 2.749 s (+17 %) on a diff that provably does not
 touch the minhash path, while the isolated median on the same machine
@@ -119,39 +121,43 @@ def main() -> int:
 
 
 def _confirm_isolated(names: list[str], base: dict) -> list[str]:
-    """Second strike: re-measure each flagged query isolated (fresh Spark
-    session, 1 cold + 9 warm) and keep only those whose ISOLATED median
-    still breaks the same (>15 % AND guard) thresholds."""
-    import statistics
-    import time
+    """Second strike: re-measure each flagged query ISOLATED — one fresh
+    JVM subprocess per query via make_bench_baseline's ``--isolated-one``
+    child mode, the IDENTICAL protocol that recorded the isolated
+    baseline (r8 ADVICE: the previous in-process getOrCreate re-measure
+    inherited the suite's warmed JVM, and the 2nd+ flagged query ran in
+    a session the 1st had warmed — both warmer than the fresh-JVM
+    baseline, biasing toward clearing borderline regressions). Keep only
+    queries whose isolated median still breaks the same (>15 % AND
+    guard) thresholds; a query whose re-measure FAILS stays flagged (a
+    regression must be cleared by evidence, not by a broken probe)."""
+    import subprocess
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from yanwenxian_week3_data_pipeline_spark.plans import all_queries
-    from yanwenxian_week3_data_pipeline_spark.session import (
-        get_spark,
-        release_persistent_rdds,
-    )
-
+    tool = os.path.join(os.path.dirname(os.path.abspath(__file__)), "make_bench_baseline.py")
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("bench-confirm")
-    spark.sparkContext.setLogLevel("ERROR")
-    registry = all_queries()
     baseq = {**base.get("queries", {}), **base.get("extended_queries", {})}
     biqr = {**base.get("iqr_sec", {}), **base.get("extended_iqr_sec", {})}
-    # like-with-like: prefer the isolated baseline (same fresh-session
+    # like-with-like: prefer the isolated baseline (same fresh-JVM
     # protocol as this re-measure) when the baseline file records one
     iso_q = base.get("isolated_sec", {})
     iso_iqr = base.get("isolated_iqr_sec", {})
     confirmed: list[str] = []
     for name in names:
-        spec = registry[name]
-        walls: list[float] = []
-        for _ in range(10):
-            t0 = time.perf_counter()
-            spec.build(spark, sf).write.format("noop").mode("overwrite").save()
-            walls.append(time.perf_counter() - t0)
-            release_persistent_rdds(spark)
-        med = statistics.median(sorted(walls[1:]))
+        proc = subprocess.run(
+            [sys.executable, tool, "--isolated-one", name, sf],
+            capture_output=True,
+            text=True,
+        )
+        try:
+            med = float(json.loads(proc.stdout.strip().splitlines()[-1])["median"])
+        except (IndexError, ValueError, KeyError, json.JSONDecodeError):
+            print(
+                f"bench-regression: isolated second strike {name}: re-measure "
+                f"FAILED (rc={proc.returncode}) — keeping the flag\n"
+                + proc.stderr.strip()[-500:]
+            )
+            confirmed.append(name)
+            continue
         like = name in iso_q
         old = float(iso_q[name]) if like else float(baseq[name])
         guard = max(
@@ -166,8 +172,6 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
         )
         if still:
             confirmed.append(name)
-    # no spark.stop(): get_spark is getOrCreate, so inside pytest this is
-    # the suite's shared session; in the gate the process exits right after
     return confirmed
 
 

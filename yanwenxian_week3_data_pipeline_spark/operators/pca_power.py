@@ -37,8 +37,8 @@ checkpoint of the 64-row vector keeps lineage flat.
 the number a curation pipeline actually gates on: the top component's
 share of total variance (the Rayleigh quotient over the trace). Same
 exactness contract — see its docstring for the reduction scheme that
-keeps every intermediate inside DECIMAL(38,0)/HUGEINT at any corpus
-size.
+keeps every intermediate inside DECIMAL(38,0)/HUGEINT within the
+documented (PCA_VAR_MAX_DIMS, PCA_VAR_MAX_VECS) envelope.
 """
 
 from __future__ import annotations
@@ -69,9 +69,28 @@ def _pca_prepare(
             )
         ).alias("dim", "q"),
     )
-    n = emb.count()
+    # One 1-row aggregate for n AND the degenerate-row count: a NULL/empty
+    # embedding array is dropped by posexplode but counted by count(), so
+    # the same n would be baked into the centering while the oracle's
+    # unnest-side n_vecs disagrees — the one input shape where the twins
+    # silently diverge. Refuse it loudly (ADVICE r8).
+    head = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                F.col(embedding).isNull() | (F.size(F.col(embedding)) == 0), 1
+            ).otherwise(0)
+        ).alias("bad"),
+    ).collect()[0]
+    n = head["n"]
     if n == 0:
         raise ValueError(f"{caller}: empty embedding table")
+    if head["bad"]:
+        raise ValueError(
+            f"{caller}: {head['bad']} rows have NULL/empty {embedding!r} arrays; "
+            "drop them first (they would desync n between the centering and "
+            "the exploded matrix)"
+        )
     sums = q.groupBy("dim").agg(F.sum("q").cast("long").alias("s"))
     u = (
         q.join(F.broadcast(sums), "dim")
@@ -157,7 +176,16 @@ def pca_top_component(
 # s1·10⁹ = r²·10⁹ ≤ ndims²·10³³ stays under DECIMAL(38,0)/HUGEINT only
 # while ndims ≤ ~300. Raise the guard together with a rescale if wider
 # embeddings ever land.
+#
+# Corpus-size envelope (ADVICE r8): the dims guard does not make the
+# pipeline unbounded in n. The binding limit is the int64 CENTERING,
+# u = n·q − s computed in long arithmetic: |u| ≤ 2·n·10⁶·max|x|, so for
+# unit-scale coordinates exactness holds for n ≲ 4.6·10¹² vectors (the
+# former `nn div 10000` BIGINT quotient, which overflowed ~50× earlier
+# at n ≈ 9·10¹⁰, now goes through _fdiv in DECIMAL(38,0)). Past that,
+# quantize the centering into DECIMAL(38,0) too.
 PCA_VAR_MAX_DIMS = 300
+PCA_VAR_MAX_VECS = 4 * 10**12  # documented int64-centering bound (unit-scale coords)
 
 
 def _fdiv(a: str, b: str) -> str:
@@ -189,8 +217,9 @@ def pca_variance_explained(
     Then share·10⁶ = N·r² / (10⁶·v2·T) with N = Σxn², T = Σus²,
     v2 = Σv², r = (mx·10⁶) div umax, evaluated in three exact
     floor-division steps (``_fdiv``) whose intermediates are provably
-    < 10³⁸ for ndims ≤ PCA_VAR_MAX_DIMS at ANY corpus size (N ≤ n·10¹²
-    enters only after a div-10⁴ reduction of its own). Every operand is
+    < 10³⁸ for ndims ≤ PCA_VAR_MAX_DIMS and n ≤ PCA_VAR_MAX_VECS — the
+    binding bound is the int64 centering, not this reduction (N ≤ n·10¹²
+    enters only after a DECIMAL(38,0) div-10⁴ reduction). Every operand is
     non-negative, so Spark's div / ``_fdiv`` and DuckDB's ``//`` agree
     bit-for-bit; the returned double is share_micro/10⁶, an exact cast.
     The statistic is DEFINED as this reduced formula: the per-element
@@ -246,8 +275,11 @@ def pca_variance_explained(
         .select(F.expr(_fdiv("s1 * 1000000000", "v2")).alias("s2"), "nn", "t")
         .select(F.expr(_fdiv("s2 * 1000000000", "t")).alias("s3"), "nn")
         .select(
+            # nn ≤ n·10¹², so the div-10⁴ reduction must stay in
+            # DECIMAL(38,0) (_fdiv) — as BIGINT it would overflow at
+            # n ≈ 9·10¹⁰ vectors (ADVICE r8); DuckDB twin: plain //
             F.expr(
-                "CAST((s3 * (nn div 10000)) div 100000000000000000000 AS BIGINT)"
+                f"CAST((s3 * {_fdiv('nn', '10000')}) div 100000000000000000000 AS BIGINT)"
             ).alias("share_micro")
         )
         .select(

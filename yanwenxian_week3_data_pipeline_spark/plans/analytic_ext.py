@@ -2007,26 +2007,38 @@ def _q_markov_transitions_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         ev.coalesce(2).write.mode("overwrite").option(
             "timestampFormat", JSON_TS_FORMAT
         ).json(src)
-        sink = f"ywx_markov_stream_sink_{next(_STREAM_SINK_SEQ)}"
-        drained = run_available_now(transitions_stateful(spark, src), sink)
-        wp = Window.partitionBy("prev_type")
-        out = (
-            drained.groupBy("prev_type", "next_type")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
-            .withColumn("_tot", F.sum("n_transitions").over(wp))
-            .select(
-                "prev_type",
-                "next_type",
-                "n_transitions",
-                F.round(
-                    F.col("n_transitions").cast("double") / F.col("_tot").cast("double"),
-                    6,
-                ).alias("p_next"),
+        sink = None
+        try:
+            sink = f"ywx_markov_stream_sink_{next(_STREAM_SINK_SEQ)}"
+            drained = run_available_now(transitions_stateful(spark, src), sink)
+            wp = Window.partitionBy("prev_type")
+            return (
+                drained.groupBy("prev_type", "next_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+                .withColumn("_tot", F.sum("n_transitions").over(wp))
+                .select(
+                    "prev_type",
+                    "next_type",
+                    "n_transitions",
+                    F.round(
+                        F.col("n_transitions").cast("double")
+                        / F.col("_tot").cast("double"),
+                        6,
+                    ).alias("p_next"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        spark.catalog.dropTempView(sink)
-        return out
+        finally:
+            # drop the memory-sink view even when the drain or the
+            # downstream aggregation throws — otherwise the full drained
+            # transition stream leaks in the catalog once per retry
+            # (ADVICE r8). Safe: the eager localCheckpoint materialized
+            # the bounded result before the success-path return.
+            if sink is not None:
+                try:
+                    spark.catalog.dropTempView(sink)
+                except Exception:  # noqa: BLE001 - cleanup must not mask the real error
+                    pass
     finally:
         shutil.rmtree(src, ignore_errors=True)
 
