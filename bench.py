@@ -18,7 +18,25 @@ import time
 import pandas as pd  # module-level: pandas_udf resolves stringified type hints here
 
 
+def _load1m() -> float | None:
+    """1-minute system load average, None off-Linux. Sampled around every
+    query so the artifact of record is LOAD-AUDITABLE (r8: the driver's
+    BENCH_r08.json was uniformly +15-30 % vs the gate bench minutes
+    earlier — the box's external ~10-minute load cycle — and the only way
+    to tell was cross-referencing the round log)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
+    # sampled BEFORE the Spark session exists: at this instant nothing of
+    # ours is running, so a high reading is external load (or the decay
+    # tail of whatever the caller ran just before — either way, a warning
+    # that the suite starts in a non-quiet window)
+    load_start = _load1m()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -87,13 +105,15 @@ def main() -> None:
     SUBSEC_THRESHOLD = float(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC", "0.6"))
     SUBSEC_EXTRA_RUNS = 4 if WARM_RUNS >= 5 else 0
 
-    def run_set(names: dict | list) -> tuple[dict, dict, dict, dict]:
+    def run_set(names: dict | list) -> tuple[dict, dict, dict, dict, dict]:
         timings: dict[str, float] = {}
         cold: dict[str, float] = {}
         iqr: dict[str, float] = {}
         samples: dict[str, list[float]] = {}
+        loads: dict[str, list[float | None]] = {}
         for name in sorted(names):
             spec = registry[name]
+            load_at_start = _load1m()
 
             def one_run() -> float:
                 t0 = time.perf_counter()
@@ -120,10 +140,33 @@ def main() -> None:
             timings[name] = round(statistics.median(sorted(warm)), 3)
             q = statistics.quantiles(sorted(warm), n=4, method="inclusive")
             iqr[name] = round(q[2] - q[0], 3)
-        return timings, cold, iqr, samples
+            loads[name] = [load_at_start, _load1m()]
+        return timings, cold, iqr, samples, loads
 
-    timings, cold, iqr, samples = run_set(specs)
-    ext_timings, ext_cold, ext_iqr, ext_samples = run_set(EXTENDED)
+    timings, cold, iqr, samples, loads = run_set(specs)
+    ext_timings, ext_cold, ext_iqr, ext_samples, ext_loads = run_set(EXTENDED)
+    load_end = _load1m()
+
+    # Contamination flag: the bench's OWN 32-thread bursts push the 1-min
+    # load to ~2-3 by mid-suite (measured on a quiet box), while the
+    # external load cycle spikes it to 8-11 — so a pre-suite load above
+    # LOAD_START_MAX (nothing of ours is running yet) or any per-query
+    # sample above LOAD_MAX (beyond bench self-load) marks the line as
+    # load-contaminated. Advisory: the raw samples are all emitted, so a
+    # reader can re-judge with their own thresholds.
+    LOAD_START_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_START_MAX", "2.0"))
+    LOAD_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "5.0"))
+    all_loads = [
+        x for pair in list(loads.values()) + list(ext_loads.values()) for x in pair
+    ] + [load_start, load_end]
+    observed = [x for x in all_loads if x is not None]
+    contaminated = bool(
+        observed
+        and (
+            (load_start is not None and load_start > LOAD_START_MAX)
+            or max(observed) > LOAD_MAX
+        )
+    )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -149,6 +192,12 @@ def main() -> None:
                 "extended_iqr_sec": ext_iqr,
                 "extended_warm_samples_sec": ext_samples,
                 "extended_cold_run_sec": ext_cold,
+                "load_1m_start": load_start,
+                "load_1m_end": load_end,
+                "load_1m_per_query": loads,
+                "extended_load_1m_per_query": ext_loads,
+                "load_1m_max": round(max(observed), 2) if observed else None,
+                "load_contaminated": contaminated,
             }
         )
     )

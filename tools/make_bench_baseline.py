@@ -2,7 +2,13 @@
 
 Usage:
     python tools/make_bench_baseline.py <bench.json> --source "note" [--isolated [sf_dir]]
+    python tools/make_bench_baseline.py <bench.json> --source "note" --reisolate q1,q2 [sf_dir]
     python tools/make_bench_baseline.py --isolated-one <query> <sf_dir>   (internal)
+
+``--reisolate`` carries the PREVIOUS baseline's isolated entries forward
+and re-measures only the named queries — for rounds where a couple of
+plans changed but the rest of the isolated record (a quiet-machine
+artifact that takes ~10 min to re-earn) is still like-with-like valid.
 
 The baseline file drives tools/bench_regression.py. It holds, per query:
 
@@ -95,6 +101,7 @@ def main() -> int:
     src = argv[0] if argv and not argv[0].startswith("--") else "/tmp/bench_gate.json"
     source_note = ""
     isolated = False
+    reisolate: list[str] = []
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     i = 0
     while i < len(argv):
@@ -107,6 +114,12 @@ def main() -> int:
                 sf_dir = argv[i + 1]
                 i += 1
             i += 1
+        elif argv[i] == "--reisolate":
+            reisolate = [q for q in argv[i + 1].split(",") if q]
+            i += 2
+            if i < len(argv) and not argv[i].startswith("--"):
+                sf_dir = argv[i]
+                i += 1
         else:
             i += 1
 
@@ -131,6 +144,21 @@ def main() -> int:
         base["isolated_protocol"] = (
             f"fresh JVM subprocess per query, {ISOLATED_RUNS} runs, "
             "median/IQR of warm 9 (second-strike protocol), sf_dir=" + sf_dir
+        )
+    elif reisolate:
+        with open(BASELINE) as f:
+            prev = json.load(f)
+        kept_sec = dict(prev.get("isolated_sec", {}))
+        kept_iqr = dict(prev.get("isolated_iqr_sec", {}))
+        iso = _measure_isolated(sorted(reisolate), sf_dir)
+        for n, rec in iso.items():
+            kept_sec[n] = rec["median"]
+            kept_iqr[n] = rec["iqr"]
+        base["isolated_sec"] = kept_sec
+        base["isolated_iqr_sec"] = kept_iqr
+        base["isolated_protocol"] = (
+            prev.get("isolated_protocol", "")
+            + f"; reisolated {sorted(reisolate)} sf_dir={sf_dir}"
         )
 
     base["source"] = source_note or f"recomputed from {src}"

@@ -25,6 +25,24 @@ python tools/verify_all.py /root/testdata/sf0.01
 VERIFY_TZ=America/New_York python tools/verify_all.py /root/testdata/sf0.01
 python tools/plan_audit.py
 python bench.py | tee /tmp/bench_gate.json
+# r9 (VERDICT r8 #3): bench.py now emits load_1m_* fields and a
+# load_contaminated flag (the box's external ~10-min load cycle inflated
+# BENCH_r08.json +15-30% and was detectable only via the round log). If
+# the gate's bench line is contaminated, preserve it and retry ONCE after
+# the next load trough (1-min load < 1.0, max 15 min wait) — the retry is
+# what the gate certifies; a still-contaminated retry stands but is
+# flagged in the JSON for the record.
+if python -c "import json,sys; d=json.loads(open('/tmp/bench_gate.json').read().strip().splitlines()[-1]); sys.exit(0 if d.get('load_contaminated') else 1)"; then
+  echo "round gate: bench line is load-contaminated; waiting for a trough then retrying once" >&2
+  cp /tmp/bench_gate.json /tmp/bench_gate_contaminated.json
+  i=0
+  while [ "$i" -lt 90 ]; do
+    if awk '{exit !($1 < 1.0)}' /proc/loadavg; then break; fi
+    sleep 10
+    i=$((i + 1))
+  done
+  python bench.py | tee /tmp/bench_gate.json
+fi
 # r7: round-over-round tripwire on BOTH headline and extended medians —
 # the r6 lesson: an extended-query regression (+30-40% on docs_lrs_capped)
 # survived a "definitive ALL GREEN" gate because nothing thresholded it
