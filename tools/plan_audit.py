@@ -94,6 +94,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row target/pool feature-total crossJoins (DSIR normalizers)"
     },
     "agg_heavy_hitters_mg": {"BroadcastNestedLoopJoin": "1-row total-count threshold scalar"},
+    "dedup_minhash_recall": {
+        "BroadcastNestedLoopJoin": "1-row n_lsh count crossJoined into the "
+        "1-row recall summary — the sanctioned scalar class; the exact-GT "
+        "co-occurrence stage itself is an INTENTIONAL exact baseline of "
+        "the dedup_embedding_cosine class (recall ground truth, sampled "
+        "slice at 100 TB)"
+    },
     "docs_distinctive_terms_by_source": {
         "BroadcastNestedLoopJoin": "1-row corpus token-total crossJoined "
         "into the floor-filtered (source, term) frame — the sanctioned "

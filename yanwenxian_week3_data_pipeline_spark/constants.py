@@ -77,9 +77,15 @@ MISSING_DATE_LITERALS: tuple[str, ...] = ("none", "null", "nan")
 # Verified identical on both engines (probe 2026-08-13).
 HASH64_HEX_CHARS = 15
 
-# MinHash configuration (dedup family).
-MINHASH_NUM_HASHES = 32
-MINHASH_BANDS = 8          # 8 bands x 4 rows
+# MinHash configuration (dedup family). The env overrides exist ONLY for
+# guarded A/B experiments (fresh interpreter per variant; both the Spark
+# expressions and the DuckDB oracle derive from these names, so a variant
+# stays self-consistent) — production value is the default. r9 A/B of
+# 32/8x4 vs 16-hash variants: see operators/dedup.py docstring.
+import os as _os
+
+MINHASH_NUM_HASHES = int(_os.environ.get("YWX_MINHASH_NUM_HASHES", "32"))
+MINHASH_BANDS = int(_os.environ.get("YWX_MINHASH_BANDS", "8"))  # 8 bands x 4 rows
 
 # LSH buckets larger than this are skipped by the band self-joins: a bucket
 # of b members contributes b^2/2 candidate pairs, so one boilerplate/empty-

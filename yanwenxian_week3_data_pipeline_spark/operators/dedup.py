@@ -270,6 +270,17 @@ def dedup_minhash_lsh(
     removes overlaps work the pipeline pays anyway). Stage breakdown at
     sf0.1: shingles 0.94, +signatures 1.39, +banding/candidates 2.35,
     +verify 2.65 s.
+
+    r9 — FLOOR DECLARED after the last open variant was tried: lowering
+    MINHASH_NUM_HASHES 32→16 (both 8×2 and 4×4 band shapes, fresh
+    interpreter per variant via the YWX_MINHASH_* env knobs, two session
+    rounds each at sf0.1) was a wall-time WASH (round 1: 3.46/3.29/3.23 s
+    for 32-8×4/16-8×2/16-4×4; round 2 INVERTED the ordering: 3.17/3.26 s
+    with the 16-4×4 session load-contaminated) and a measured RECALL LOSS
+    against exact ground truth (dedup_minhash_recall: 0.9961 → 0.9883,
+    1 → 3 of 256 true pairs missed at sf0.1). A quality regression for no
+    reliable speed win; the ~2.3–2.6 s sf0.1 floor stands on evidence.
+    Do not revisit the hash count without a new quality budget.
     """
     sh = doc_shingles(df, text_col, id_col)
     # The Arrow signature kernel feeds BOTH band-join sides; exchange reuse

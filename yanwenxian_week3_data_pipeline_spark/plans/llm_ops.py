@@ -452,6 +452,98 @@ JOIN sigs sb ON sb.doc_id = p.doc_b
 
 
 # ---------------------------------------------------------------------------
+# dedup_minhash_recall — the minhash family's missing recall gate (r9): the
+# LSH+verify pipeline's recall against EXACT ground truth (every pair with
+# true shingle-Jaccard >= threshold), completing the sketch-gate family
+# (emb_knn_recall / dedup_lsh_recall measure the embedding side; this is
+# the text side). Ground truth via a shingle inverted index: explode
+# shingles, self-equi-join on the shingle, and COUNT co-occurrences per
+# pair — the group count IS the exact intersection size (shingle arrays
+# are sets), so true Jaccard needs no list_intersect. The threshold test
+# is integer-exact cross-engine: J >= t  <=>  (1+t)·ni >= t·(na+nb), all
+# operands exact in double.
+#
+# Scale: the GT stage is O(sum df²) over shingle document frequencies —
+# an INTENTIONAL exact baseline of the dedup_embedding_cosine class (the
+# plan-audit-justified recall ground truth); at 100 TB it runs on a
+# sampled corpus slice, never the full corpus. The LSH side is the
+# production banded plan unchanged. r9 context: this gate is what made
+# the 32->16 hash A/B decidable (recall 0.9961 vs 0.9883 at sf0.1 for a
+# wall-time wash -> variant rejected, floor declared).
+# ---------------------------------------------------------------------------
+
+
+def _q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_minhash_lsh, doc_shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = doc_shingles(docs, "text", "doc_id").where(F.size("shingles") > 0)
+    ex = sh.select(
+        F.col("id"), F.size("shingles").alias("nsh"), F.explode("shingles").alias("s")
+    )
+    a = ex.select(
+        F.col("id").alias("id_a"), F.col("nsh").alias("na"), F.col("s").alias("sa")
+    )
+    b = ex.select(
+        F.col("id").alias("id_b"), F.col("nsh").alias("nb"), F.col("s").alias("sb")
+    )
+    inter = (
+        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    )
+    t = MINHASH_JACCARD_THRESHOLD
+    gt = inter.where(
+        F.lit(1.0 + t) * F.col("ni") >= F.lit(t) * (F.col("na") + F.col("nb"))
+    ).select("id_a", "id_b")
+    lsh = dedup_minhash_lsh(docs, "text", "doc_id", threshold=t).select("id_a", "id_b")
+    marked = gt.join(lsh.withColumn("_f", F.lit(1)), ["id_a", "id_b"], "left")
+    s = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("_f"), F.lit(0)).cast("long").alias("n_found"),
+    )
+    nl = lsh.agg(F.count(F.lit(1)).cast("long").alias("n_lsh"))
+    return s.crossJoin(F.broadcast(nl)).select(
+        "n_true",
+        "n_lsh",
+        "n_found",
+        (F.col("n_true") - F.col("n_found")).cast("long").alias("n_missed"),
+        F.when(
+            F.col("n_true") > 0,
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_true").cast("double"), 6
+            ),
+        ).alias("recall"),
+    )
+
+
+_SQL_MINHASH_RECALL = f"""
+WITH gtd AS ({_CLEANED}),
+gts AS (SELECT doc_id, {_shingles_sql_inline('c')} AS shingles FROM gtd),
+gtn AS (SELECT doc_id, shingles FROM gts WHERE len(shingles) > 0),
+shex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS s FROM gtn),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.nsh AS na, b.nsh AS nb,
+                 CAST(count(*) AS BIGINT) AS ni
+          FROM shex a JOIN shex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+gt AS (SELECT id_a, id_b FROM inter
+       WHERE {1.0 + MINHASH_JACCARD_THRESHOLD} * ni
+             >= {MINHASH_JACCARD_THRESHOLD} * (na + nb)),
+lsh AS (SELECT doc_a AS id_a, doc_b AS id_b FROM ({_SQL_DEDUP_MINHASH})),
+marked AS (SELECT gt.id_a, gt.id_b,
+                  CASE WHEN lsh.id_a IS NULL THEN 0 ELSE 1 END AS f
+           FROM gt LEFT JOIN lsh ON gt.id_a = lsh.id_a AND gt.id_b = lsh.id_b),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_true,
+             CAST(coalesce(sum(f), 0) AS BIGINT) AS n_found FROM marked),
+l AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM lsh)
+SELECT n_true, n_lsh, n_found, CAST(n_true - n_found AS BIGINT) AS n_missed,
+  CASE WHEN n_true > 0
+       THEN round(CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS recall
+FROM s, l
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_source_mirror_matrix — mirror detection: which SOURCES duplicate
 # each other. Verified near-dup pairs (the dedup_minhash_lsh output)
 # aggregated to the unordered source×source matrix with a pair count and
@@ -3277,6 +3369,7 @@ QUERIES = [
     QuerySpec("text_minhash_signature", _q_minhash_sig, _SQL_MINHASH_SIG),
     QuerySpec("dedup_minhash_lsh", _q_dedup_minhash, _SQL_DEDUP_MINHASH, headline=True),
     QuerySpec("dedup_minhash_estimate_gate", _q_minhash_est_gate, _SQL_MINHASH_EST_GATE),
+    QuerySpec("dedup_minhash_recall", _q_minhash_recall, _SQL_MINHASH_RECALL),
     QuerySpec(
         "dedup_source_mirror_matrix",
         _q_source_mirrors,
