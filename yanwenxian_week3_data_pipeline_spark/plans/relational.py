@@ -62,6 +62,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+def _t_shuffle_input(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Loader for tables whose FIRST consumer is a key shuffle (join or
+    window) with no heavy per-row expressions before it: plain scan, NO
+    fan-out. The fan-out's round-robin repartition buys nothing here —
+    the single-split scan must serialize the shuffle write either way,
+    so it only adds a full extra exchange of the table. r9 interleaved
+    A/B on the registered queries (fanout vs plain, warm medians):
+    join_region_revenue sf0.1 1.841 → 1.029 s (−44 %), sf1 14.2 → 6.3 s
+    under identical load (−56 %; the fan-out was the whole 4.0× sf1
+    scaling anomaly); window_topk_per_customer sf1 2.895 → 2.627 s (raw
+    won all 6 interleaved rounds), sf0.1 wash (orders sits below the
+    fan-out gate there). Contrast q1/minhash-class scans, where per-row
+    work dominates and the fan-out is the measured WIN (r4: q1 5.9 →
+    2.9 s at sf1) — the decision is per-consumer, not per-table."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
 # ---------------------------------------------------------------------------
 # q1_pricing_summary — TPC-H Q1-shaped scan+aggregate over lineitem
 # ---------------------------------------------------------------------------
@@ -141,8 +158,11 @@ _SQL_Q1 = _sql_q1()
 # ---------------------------------------------------------------------------
 
 def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    # both facts feed the merge join directly (no per-row expression work
+    # before the key shuffle) — plain scans, no fan-out (see
+    # _t_shuffle_input: the fan-out here WAS the 4.0x sf1 scaling anomaly)
+    li = _t_shuffle_input(spark, sf_dir, "lineitem")
+    orders = _t_shuffle_input(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
@@ -279,7 +299,9 @@ FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 # ---------------------------------------------------------------------------
 
 def _q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
+    # orders feeds the window's custkey shuffle directly — plain scan,
+    # no fan-out (r9 A/B: raw won all 6 interleaved sf1 rounds)
+    orders = _t_shuffle_input(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         orders.withColumn("rnk", F.row_number().over(w).cast("int"))
