@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 
 from ..functions.hashing import hash60_expr, hash60_sql
 from . import QuerySpec
+from .relational import _gated_dim
 
 DEC = "decimal(18,2)"
 
@@ -343,7 +344,10 @@ def _q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
         .distinct()
     )
-    j = o.join(F.broadcast(parents), o.o_custkey == parents.c_custkey, "left")
+    # distinct parent keys are |customer|-bounded → size-gated broadcast
+    # (customer is fact-sized at 100 TB; the gate degrades this to a
+    # shuffled merge join by construction past 64 MB)
+    j = o.join(_gated_dim(parents, sf_dir, "customer"), o.o_custkey == parents.c_custkey, "left")
     frac = lambda cond: F.round(  # noqa: E731 - tiny local alias
         F.sum(cond.cast("long")) / F.count(F.lit(1)), 6
     )

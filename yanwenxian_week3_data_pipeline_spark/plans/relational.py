@@ -28,24 +28,35 @@ from ..sources.tables import _local_parquet_bytes, read_parquet_fanout
 
 DEC = "decimal(18,2)"
 
-# Size gate for broadcasting the customer-derived dimension in
-# join_region_revenue (r9, VERDICT r8 #1). The r8 lesson ("A/B any broadcast
-# pin of a >100k-row side") was interleave-tested on THIS side too: at both
-# bench scales the broadcast wins (warm medians, interleaved, identical load
-# window — sf0.1: bcast 1.176 s vs merge 1.475 / shufhash 1.404; sf1: bcast
-# 3.060 vs merge 3.570 / shufhash 3.385). A 150k-row ~5 MB projected dim is
-# nothing like the 1.5M-entry hashed orders relation that lost in r8 — the
-# probe side is identical work, and the broadcast saves one full shuffle of
-# the 6M-row fact. The gate exists for the 100 TB shape, where customer IS
-# fact-sized: past 64 MB of customer parquet (≈ TPC-H SF3; in-memory dim
-# projection ~10x smaller than the file, comfortably broadcastable up to the
-# gate) — or when the size is unknowable (object store) — the dim degrades
-# to a shuffled merge join by construction instead of attempting an
-# executor-OOM broadcast.
+# Size gate for broadcasting SF-scaling dimension sides (customer / supplier
+# / part and aggregates whose cardinality is bounded by one of them). Built
+# in r9 for join_region_revenue (VERDICT r8 #1), propagated repo-wide in r10
+# (VERDICT r9 #1: seventeen sibling queries carried the same unconditional
+# hint). The r8 lesson ("A/B any broadcast pin of a >100k-row side") was
+# interleave-tested on the customer dim side: at both bench scales the
+# broadcast wins (warm medians, interleaved, identical load window — sf0.1:
+# bcast 1.176 s vs merge 1.475 / shufhash 1.404; sf1: bcast 3.060 vs merge
+# 3.570 / shufhash 3.385). A 150k-row ~5 MB projected dim is nothing like
+# the 1.5M-entry hashed orders relation that lost in r8 — the probe side is
+# identical work, and the broadcast saves one full shuffle of the fact. The
+# gate exists for the 100 TB shape, where customer/supplier/part ARE
+# fact-sized (all three scale linearly with SF in TPC-H): past 64 MB of the
+# side's base-table parquet (≈ TPC-H SF3; in-memory dim projection ~10x
+# smaller than the file, comfortably broadcastable up to the gate) — or
+# when the size is unknowable (object store) — the side degrades to a
+# shuffled merge join by construction instead of attempting an executor-OOM
+# broadcast. Constant-cardinality sides (nation=25, region=5, 1-row scalars,
+# LIMIT-K tops) stay unconditionally broadcast — they cannot outgrow memory.
 DIM_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _gated_dim(dim: DataFrame, sf_dir: str, table: str = "customer") -> DataFrame:
+    """Broadcast ``dim`` iff the base table bounding its cardinality
+    (``table``) is under the size gate; else degrade to a shuffled merge
+    join. For derived sides (filtered dims, group-by-partkey aggregates)
+    ``table`` is the proxy whose file size upper-bounds the side — a
+    conservative overestimate, which is the safe direction for a broadcast
+    decision."""
     nbytes = _local_parquet_bytes(f"{sf_dir}/{table}.parquet")
     if nbytes is not None and nbytes < DIM_BROADCAST_MAX_BYTES:
         return F.broadcast(dim)
@@ -767,7 +778,7 @@ def _q_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = _t(spark, sf_dir, "region").select("r_regionkey", F.col("r_name").alias("rr_name"))
     counts = (
         _t(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gated_dim(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("rr_name"), F.col("o_orderpriority").alias("prio"))

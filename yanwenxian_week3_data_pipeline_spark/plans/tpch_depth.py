@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import QuerySpec
+from .relational import _gated_dim
 from ..constants import SCAN_FANOUT_TABLE_MIN_BYTES
 from ..sources.tables import read_parquet_fanout
 
@@ -70,17 +71,19 @@ def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = (
         _t(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(_gated_dim(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_brand", "p_size", "l_suppkey")
         .distinct()
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(_gated_dim(supp, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
     )
     min_bal = shipped.groupBy(F.col("p_partkey").alias("mb_partkey")).agg(
         F.min("s_acctbal").alias("min_bal")
     )
     return (
         shipped.join(
-            F.broadcast(min_bal),
+            # grouped-by-partkey aggregate: cardinality bounded by |part|,
+            # so the part file is the gate proxy
+            _gated_dim(min_bal, sf_dir, "part"),
             (F.col("p_partkey") == F.col("mb_partkey"))
             & (F.col("s_acctbal") == F.col("min_bal")),
         )
@@ -161,8 +164,8 @@ def _q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(_gated_dim(cust, sf_dir, "customer"), F.col("o_custkey") == cust.c_custkey)
+        .join(_gated_dim(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .where(
@@ -218,11 +221,11 @@ def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_rev = F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(F.lit(0).cast(DEC)))
     total_rev = F.sum(rev)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(_gated_dim(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(_gated_dim(cust, sf_dir, "customer"), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(asia_keys), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(_gated_dim(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -271,8 +274,8 @@ def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = F.col("p_retailprice").cast(DEC) * F.lit("0.8").cast("decimal(2,1)")
     profit = _revenue() - F.col("l_quantity").cast(QTY) * cost
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(_gated_dim(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
+        .join(_gated_dim(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
@@ -401,7 +404,7 @@ def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(_gated_dim(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -426,13 +429,14 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        _gated_dim(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     qty_stats = li.groupBy(F.col("l_partkey").alias("qs_partkey")).agg(
         F.sum(F.col("l_quantity").cast(QTY)).alias("sum_qty"),
         F.count(F.lit(1)).alias("n_lines"),
     )
-    small = li.join(F.broadcast(qty_stats), F.col("l_partkey") == F.col("qs_partkey")).where(
+    # per-partkey aggregate → |part|-bounded cardinality, part is the proxy
+    small = li.join(_gated_dim(qty_stats, sf_dir, "part"), F.col("l_partkey") == F.col("qs_partkey")).where(
         F.col("l_quantity").cast(QTY) * F.col("n_lines") * 5 < F.col("sum_qty")
     )
     return small.agg(
@@ -472,7 +476,7 @@ def _q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15)) & qty.between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(_gated_dim(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .where(cond)
         .agg(F.sum(_revenue()).alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
     )
@@ -509,7 +513,7 @@ def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     waiting = per_order.where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        waiting.join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        waiting.join(_gated_dim(supp, sf_dir, "supplier"), F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -588,14 +592,15 @@ ORDER BY c_nationkey
 def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD").select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        _gated_dim(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     ).select("l_partkey", "l_suppkey", F.col("l_quantity").cast(QTY).alias("qty"))
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("supp_qty"))
     per_part = li.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
         F.sum("qty").alias("part_qty")
     )
     heavy = (
-        per_ps.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pp_partkey"))
+        # per-partkey aggregate → |part|-bounded cardinality, part is the proxy
+        per_ps.join(_gated_dim(per_part, sf_dir, "part"), F.col("l_partkey") == F.col("pp_partkey"))
         .where(F.col("supp_qty") * 200 > F.col("part_qty"))
         .select("l_suppkey")
         .distinct()

@@ -9,7 +9,10 @@ Scale notes (100 TB):
 - q6 is the pushdown showcase: all three predicates reach the parquet scan
   (``PushedFilters``) and only 3 columns are read (``ReadSchema``);
 - q3/q5/q10 broadcast every dimension (customer/nation/region/supplier) so
-  the only fact shuffle is the final groupBy key;
+  the only fact shuffle is the final groupBy key; SF-scaling sides
+  (customer/supplier/part) sit behind the shared size gate
+  (relational._gated_dim, r10 — at 100 TB those tables are fact-sized and
+  the plan degrades to a shuffled merge join by construction);
 - q15/q18 are two-phase agg-then-join: the aggregate side is tiny after the
   groupBy, so AQE converts the join-back to broadcast at runtime;
 - q14 is a broadcast join + conditional aggregation — one pass, no shuffle
@@ -24,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from . import QuerySpec
+from .relational import _gated_dim
 from ..constants import SCAN_FANOUT_TABLE_MIN_BYTES
 from ..sources.tables import read_parquet_fanout
 
@@ -57,7 +61,7 @@ def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gated_dim(cust.select("c_custkey"), sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_revenue()).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -99,8 +103,8 @@ def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(_gated_dim(cust.select("c_custkey", "c_nationkey"), sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gated_dim(supp.select("s_suppkey", "s_nationkey"), sf_dir, "supplier"), li.l_suppkey == F.col("s_suppkey"))
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -168,7 +172,7 @@ def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     return (
         li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(_gated_dim(cust, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
         .agg(F.sum(_revenue()).alias("revenue"))
@@ -206,7 +210,7 @@ def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC)))
     total = F.sum(rev)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(_gated_dim(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .agg(
             promo.alias("promo_revenue"),
             total.alias("total_revenue"),
@@ -243,7 +247,7 @@ def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = rev.agg(F.max("total_revenue").alias("m"))
     return (
         rev.join(F.broadcast(max_rev), rev.total_revenue == F.col("m"))
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(_gated_dim(supp, sf_dir, "supplier"), rev.l_suppkey == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -276,7 +280,7 @@ def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust.select("c_custkey", "c_name")), orders.o_custkey == F.col("c_custkey"))
+        .join(_gated_dim(cust.select("c_custkey", "c_name"), sf_dir, "customer"), orders.o_custkey == F.col("c_custkey"))
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
     )
 
