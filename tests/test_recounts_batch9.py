@@ -796,3 +796,14 @@ def test_pca_variance_degenerate_inputs(spark):
         pca_top_component(holey)
     with _pytest.raises(ValueError, match="NULL/empty"):
         pca_variance_explained(holey)
+
+    # r9 ADVICE: a NULL ELEMENT inside an array is the third variant of the
+    # same class — floor(NULL) would null-poison the dim sums silently.
+    ragged = spark.createDataFrame(
+        [(0, [0.1, 0.2]), (1, [0.3, None]), (2, [0.5, 0.6])],
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(ValueError, match="NULL-element"):
+        pca_top_component(ragged)
+    with _pytest.raises(ValueError, match="NULL-element"):
+        pca_variance_explained(ragged)

@@ -150,7 +150,7 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
         )
         try:
             med = float(json.loads(proc.stdout.strip().splitlines()[-1])["median"])
-        except (IndexError, ValueError, KeyError, json.JSONDecodeError):
+        except (IndexError, TypeError, ValueError, KeyError, json.JSONDecodeError):
             print(
                 f"bench-regression: isolated second strike {name}: re-measure "
                 f"FAILED (rc={proc.returncode}) — keeping the flag\n"

@@ -115,6 +115,8 @@ def main() -> int:
                 i += 1
             i += 1
         elif argv[i] == "--reisolate":
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                raise SystemExit("--reisolate requires a comma-separated query list")
             reisolate = [q for q in argv[i + 1].split(",") if q]
             i += 2
             if i < len(argv) and not argv[i].startswith("--"):
@@ -148,8 +150,12 @@ def main() -> int:
     elif reisolate:
         with open(BASELINE) as f:
             prev = json.load(f)
-        kept_sec = dict(prev.get("isolated_sec", {}))
-        kept_iqr = dict(prev.get("isolated_iqr_sec", {}))
+        # carry forward only entries for queries that still exist in the new
+        # bench line — a removed/renamed query must not keep a stale isolated
+        # baseline alive indefinitely (ADVICE r9)
+        live = set(base["queries"]) | set(base["extended_queries"])
+        kept_sec = {n: v for n, v in prev.get("isolated_sec", {}).items() if n in live}
+        kept_iqr = {n: v for n, v in prev.get("isolated_iqr_sec", {}).items() if n in live}
         iso = _measure_isolated(sorted(reisolate), sf_dir)
         for n, rec in iso.items():
             kept_sec[n] = rec["median"]

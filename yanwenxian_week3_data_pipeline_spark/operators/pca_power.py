@@ -78,7 +78,13 @@ def _pca_prepare(
         F.count(F.lit(1)).alias("n"),
         F.sum(
             F.when(
-                F.col(embedding).isNull() | (F.size(F.col(embedding)) == 0), 1
+                F.col(embedding).isNull()
+                | (F.size(F.col(embedding)) == 0)
+                # NULL elements INSIDE the array are the third variant of the
+                # same desync class: floor(NULL) null-poisons the dim sums
+                # instead of raising (ADVICE r9)
+                | F.exists(F.col(embedding), lambda x: x.isNull()),
+                1,
             ).otherwise(0)
         ).alias("bad"),
     ).collect()[0]
@@ -87,7 +93,7 @@ def _pca_prepare(
         raise ValueError(f"{caller}: empty embedding table")
     if head["bad"]:
         raise ValueError(
-            f"{caller}: {head['bad']} rows have NULL/empty {embedding!r} arrays; "
+            f"{caller}: {head['bad']} rows have NULL/empty/NULL-element {embedding!r} arrays; "
             "drop them first (they would desync n between the centering and "
             "the exploded matrix)"
         )
