@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from ..functions.hashing import hash60_expr, hash60_sql
 from . import QuerySpec
+from .relational import _t_shuffle_input
 from ..constants import SCAN_FANOUT_TABLE_MIN_BYTES
 from ..sources.tables import read_parquet_fanout
 
@@ -370,7 +371,9 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def _q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
+    # first consumer is the o_custkey window shuffle — plain loader
+    # (r9 window_topk A/B evidence: same shape, plain won at sf1)
+    orders = _t_shuffle_input(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
         # epoch seconds via pure NTZ arithmetic (timestampdiff from the NTZ
@@ -563,12 +566,13 @@ def _q_auto_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.salt import auto_skew_join
 
     hot = F.when(F.col("l_orderkey") % 2 == 0, F.lit(0)).otherwise(F.col("l_orderkey"))
-    fact = _t(spark, sf_dir, "lineitem").select(
+    # both facts feed key shuffles after trivial projections — plain loaders
+    fact = _t_shuffle_input(spark, sf_dir, "lineitem").select(
         hot.alias("jk"), F.col("l_extendedprice").cast(DEC6).alias("price")
     )
     dim_key = F.when(F.col("o_orderkey") % 2 == 0, F.lit(0)).otherwise(F.col("o_orderkey"))
     dim = (
-        _t(spark, sf_dir, "orders")
+        _t_shuffle_input(spark, sf_dir, "orders")
         .select(dim_key.alias("jk"))
         .distinct()
         .withColumn("bucket", F.pmod(F.col("jk"), F.lit(10)))
@@ -1121,7 +1125,10 @@ FROM expanded GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def _q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # the distinct's partial dedup barely reduces (near-unique pairs), so the
+    # first consumer is effectively a raw key shuffle — plain loader (r10
+    # q18 A/B: the no-reduction partial-agg class loses 31% to the fan-out)
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(
@@ -1267,8 +1274,9 @@ FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
 # ---------------------------------------------------------------------------
 
 def _q_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # both facts feed the hinted shuffle-hash join directly — plain loaders
+    li = _t_shuffle_input(spark, sf_dir, "lineitem")
+    orders = _t_shuffle_input(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     return (
         li.join(orders.hint("SHUFFLE_HASH"), li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
@@ -1508,7 +1516,7 @@ def _q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one order would otherwise inflate every pair/triple count (r4 bug —
     # counts were line combinations, not order support). Pinned by the
     # independent pure-Python recount in tests/test_analytic_new.py.
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b, c = li.alias("a"), li.alias("b"), li.alias("c")
     pairs = (
         a.join(
@@ -1615,7 +1623,7 @@ _CF_NEIGHBORS = 5
 
 
 def _q_item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     pairs = (
         a.join(

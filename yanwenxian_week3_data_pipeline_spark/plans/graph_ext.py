@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import QuerySpec
+from .relational import _t_shuffle_input
 from ..constants import KCORE_K, KCORE_ROUNDS, SCAN_FANOUT_TABLE_MIN_BYTES
 from ..operators.pagerank import pagerank, pagerank_oracle_sql
 from ..sources.tables import read_parquet_fanout
@@ -40,6 +41,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KEEPS the fan-out: the _t_shuffle_input rule nominates these (first
+    # consumer is the l_orderkey join) but the r10 interleaved A/B at sf1
+    # was a wash (fanout 12.561 vs plain 12.652 s median) — pagerank's wall
+    # is the 10-round recurrence, not the edge build. Unchanged to keep the
+    # pin history comparable; do not re-litigate without new evidence.
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     return li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
@@ -146,7 +152,9 @@ def _q_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate part lines within one order can't push an edge over the
     # threshold (r4 bug — sup>=2 was satisfiable by a single order with a
     # repeated part line). Pinned by the adjacency-set recount test.
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # Near-unique distinct = raw-key-shuffle first consumer: plain loader
+    # (r10 q18 A/B, no-reduction partial-agg class).
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(
@@ -230,7 +238,7 @@ TRI_HUB_CAP = 4
 def _q_triangles_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graphstats import triangle_census
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(
@@ -317,7 +325,8 @@ FROM tri
 # ---------------------------------------------------------------------------
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # self-join on l_orderkey is the first consumer — plain loader
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     return (
         a.join(

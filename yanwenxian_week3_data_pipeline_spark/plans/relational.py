@@ -86,7 +86,17 @@ def _t_shuffle_input(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     won all 6 interleaved rounds), sf0.1 wash (orders sits below the
     fan-out gate there). Contrast q1/minhash-class scans, where per-row
     work dominates and the fan-out is the measured WIN (r4: q1 5.9 →
-    2.9 s at sf1) — the decision is per-consumer, not per-table."""
+    2.9 s at sf1) — the decision is per-consumer, not per-table.
+
+    r10 propagation A/Bs (tools/ab_loader.py, interleaved, warm medians,
+    plain vs fanout): q3 sf0.1 1.103 vs 1.527, sf1 2.418 vs 4.643; q5
+    sf0.1 1.136 vs 1.699, sf1 2.131 vs 8.820 (the fan-out's full exchange
+    of unfiltered lineitem was a 4.1x loss); q18 sf1 7.629 vs 10.995 —
+    so a HIGH-CARDINALITY groupBy/distinct whose partial agg barely
+    reduces belongs to the shuffle class too. The measured boundary:
+    q11's l_partkey groupBy (~30x reduction) was a wash (7.646 vs
+    7.806); low-cardinality aggs with per-row expression work stay on
+    the fan-out (q1 class)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

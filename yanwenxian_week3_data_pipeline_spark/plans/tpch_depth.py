@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import QuerySpec
-from .relational import _gated_dim
+from .relational import _gated_dim, _t_shuffle_input
 from ..constants import SCAN_FANOUT_TABLE_MIN_BYTES
 from ..sources.tables import read_parquet_fanout
 
@@ -115,11 +115,14 @@ LIMIT 100
 # ---------------------------------------------------------------------------
 
 def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").where(
+    # both facts feed the o_orderkey semi join after pushed filters /
+    # projections only — plain loaders by the _t_shuffle_input rule
+    # (r10 A/B evidence on the q3/q5 siblings)
+    orders = _t_shuffle_input(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast(TS))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast(TS))
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (
         orders.join(
             li,
@@ -149,11 +152,12 @@ ORDER BY o_orderpriority
 
 def _q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    li = _t(spark, sf_dir, "lineitem").where(
+    # shuffle-bound facts (q3/q5 class): plain loaders
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast(TS))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast(TS))
     )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orders = _t_shuffle_input(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n1 = nation.select(
@@ -210,7 +214,9 @@ def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders").where(
+    # lineitem keeps the fan-out (its first consumer is the broadcast part
+    # probe — map-heavy, the q1 class); orders feeds the o_orderkey shuffle
+    orders = _t_shuffle_input(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast(TS))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast(TS))
     )
@@ -270,7 +276,7 @@ def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    orders = _t_shuffle_input(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     cost = F.col("p_retailprice").cast(DEC) * F.lit("0.8").cast("decimal(2,1)")
     profit = _revenue() - F.col("l_quantity").cast(QTY) * cost
     return (
@@ -305,6 +311,11 @@ ORDER BY n_name, o_year DESC
 # ---------------------------------------------------------------------------
 
 def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KEEPS the fan-out — measured boundary case of the _t_shuffle_input
+    # rule (r10 interleaved A/B at sf1: fanout 7.806 vs plain 7.646 s, a
+    # wash inside IQR): the l_partkey groupBy reduces ~30x, so map-side
+    # partial aggregation matters about as much as the extra exchange.
+    # Do not re-litigate without a new decision criterion.
     li = _t(spark, sf_dir, "lineitem")
     val = li.groupBy("l_partkey").agg(F.sum(_revenue()).alias("part_value"))
     total = val.agg(F.sum("part_value").alias("total_value"))
@@ -332,11 +343,12 @@ ORDER BY part_value DESC, l_partkey ASC
 # ---------------------------------------------------------------------------
 
 def _q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").where(
+    # shuffle-bound facts (q3/q5 class): plain loaders
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast(TS))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast(TS))
     )
-    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    orders = _t_shuffle_input(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -367,7 +379,9 @@ ORDER BY l_linestatus
 
 def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    orders = _t(spark, sf_dir, "orders").where(
+    # orders feeds the o_custkey shuffle of a left join whose preserved side
+    # is customer (so the fact can't be broadcast away) — plain loader
+    orders = _t_shuffle_input(spark, sf_dir, "orders").where(
         F.col("o_orderpriority") != "5-LOW"
     ).select("o_orderkey", "o_custkey")
     per_cust = (
@@ -498,10 +512,11 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 A
 # ---------------------------------------------------------------------------
 
 def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+    # shuffle-bound facts (q3/q5 class): plain loaders
+    orders = _t_shuffle_input(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     tagged = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
         "late", F.col("l_shipdate") > F.col("o_orderdate")
     )
@@ -547,7 +562,8 @@ LIMIT 20
 
 def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
-    orders = _t(spark, sf_dir, "orders").where(
+    # orders feeds the o_custkey anti-join shuffle — plain loader
+    orders = _t_shuffle_input(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast(TS)
     ).select("o_custkey")
     pos = cust.where(F.col("c_acctbal") > 0)

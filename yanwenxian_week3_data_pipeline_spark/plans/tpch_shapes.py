@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from . import QuerySpec
-from .relational import _gated_dim
+from .relational import _gated_dim, _t_shuffle_input
 from ..constants import SCAN_FANOUT_TABLE_MIN_BYTES
 from ..sources.tables import read_parquet_fanout
 
@@ -57,8 +57,12 @@ _REV_SQL = f"CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discoun
 def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1998-06-01").cast(TS)
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    # fact loaders: first consumer is the fact-fact key shuffle after pushed
+    # filters only — plain scan, no fan-out (r10 interleaved A/B, plain vs
+    # fanout warm medians: sf0.1 1.103 vs 1.527 s, sf1 2.418 vs 4.643 s;
+    # plain won every round at both scales)
+    orders = _t_shuffle_input(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(_gated_dim(cust.select("c_custkey"), sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
@@ -89,8 +93,11 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders").where(
+    # shuffle-bound facts (r10 interleaved A/B: plain 1.136 vs fanout
+    # 1.699 s at sf0.1; 2.131 vs 8.820 s at sf1 — the fan-out's extra full
+    # exchange of unfiltered lineitem was a 4.1x loss)
+    li = _t_shuffle_input(spark, sf_dir, "lineitem")
+    orders = _t_shuffle_input(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast(TS))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast(TS))
     )
@@ -163,8 +170,10 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 # ---------------------------------------------------------------------------
 
 def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
-    orders = _t(spark, sf_dir, "orders").where(
+    # same shuffle-bound fact-fact shape as q3 — plain loaders by the
+    # _t_shuffle_input decision rule (pushed filters, then the key shuffle)
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t_shuffle_input(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast(TS))
         & (F.col("o_orderdate") < F.lit("1997-07-01").cast(TS))
     )
@@ -270,8 +279,13 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 # ---------------------------------------------------------------------------
 
 def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
+    # lineitem's first consumer is a groupBy on l_orderkey whose partial
+    # aggregation barely reduces (~1 group per 4 rows, huge hash table), so
+    # it behaves like a raw key shuffle — r10 interleaved A/B at sf1: plain
+    # 7.629 vs fanout 10.995 s (-31%, plain won all 6 rounds). orders feeds
+    # the o_orderkey join directly.
+    li = _t_shuffle_input(spark, sf_dir, "lineitem")
+    orders = _t_shuffle_input(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
