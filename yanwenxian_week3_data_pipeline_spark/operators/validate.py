@@ -56,6 +56,25 @@ def with_validation(df: DataFrame, rules: list[Rule]) -> DataFrame:
     return df.withColumns(cols)
 
 
+def passed_expr(rules: list[Rule]) -> Column:
+    """``passed`` alone, without building the failure structs.
+
+    ``validation_columns``'s ``passed`` is ``size(failures) == 0``, which
+    forces codegen of every rule's MESSAGE expression (format_string /
+    concat chains inside the structs) even when the consumer only reads the
+    boolean — Catalyst cannot prune subtrees of a needed expression. For
+    counting/filtering consumers (the funnel's n_valid) this form generates
+    only the predicates. A rule "fires" in ``validation_columns`` iff its
+    predicate is literally TRUE (``when`` treats NULL as not-fired), so the
+    exact equivalent is the negated disjunction of null-safe TRUE tests.
+    """
+    fired = [r.predicate.eqNullSafe(F.lit(True)) for r in rules]
+    out = fired[0]
+    for f in fired[1:]:
+        out = out | f
+    return ~out
+
+
 def keep_valid(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """flt_valid_rows (cleaner.py:361-363): keep rows passing all rules —
     expressed as a filter on the computed column, not an anti-join, so no

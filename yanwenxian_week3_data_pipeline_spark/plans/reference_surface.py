@@ -18,7 +18,7 @@ from ..functions.text import (
 )
 from ..operators.aggregates import completeness, date_range, failure_distribution, pass_rate
 from ..operators.dedup import dedup_keep_first
-from ..operators.validate import with_validation
+from ..operators.validate import passed_expr, with_validation
 from . import QuerySpec
 from .documents_domain import (
     CLEANED_CTE,
@@ -182,7 +182,16 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_kept",
         F.col("_complete") & (F.sum(F.col("_complete").cast("int")).over(w) == 1),
     )
-    validated = with_validation(flagged, document_rules())
+    # passed_expr, not with_validation: the funnel reads only the boolean,
+    # but size(failures)==0 forces codegen of every rule's message
+    # expression (format_string/concat inside the structs — Catalyst can't
+    # prune subtrees of a needed expression). The predicate-only form was
+    # the r10 bounded attempt at this query's documented JIT-tiering decay:
+    # interleaved A/B over the whole slope (20 rounds, sf0.1) — early
+    # median 0.920 vs 1.046 s, late 0.734 vs 0.783, full -13%, won 18/20
+    # rounds. Smaller generated code runs faster at every tier AND
+    # plateaus sooner.
+    validated = flagged.withColumn("passed", passed_expr(document_rules()))
     counts = validated.agg(
         F.count(F.lit(1)).alias("n_loaded"),
         F.sum(F.col("_complete").cast("long")).alias("n_complete"),

@@ -213,9 +213,12 @@ def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = nation.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    li = _t(spark, sf_dir, "lineitem")
-    # lineitem keeps the fan-out (its first consumer is the broadcast part
-    # probe — map-heavy, the q1 class); orders feeds the o_orderkey shuffle
+    # lineitem is plain too: broadcast probes are a hash lookup per row,
+    # not q1-class map work, and the o_orderkey shuffle follows — r10
+    # interleaved A/B (tools/ab_loader.py): plain 2.255 vs fanout 8.474 s
+    # at sf1 (-73%; the fan-out exchanged the unfiltered full-width
+    # table), 1.479 vs 2.025 at sf0.1
+    li = _t_shuffle_input(spark, sf_dir, "lineitem")
     orders = _t_shuffle_input(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast(TS))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast(TS))
@@ -270,7 +273,10 @@ ORDER BY o_year
 # ---------------------------------------------------------------------------
 
 def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # plain lineitem (q8's rule: probes-then-key-shuffle): r10 A/B plain
+    # 4.349 vs fanout 8.740 s at sf1 (-50%, won all 6 rounds), 3.355 vs
+    # 5.297 at sf0.1 — the 5.05x sf1 pin decomposed to the fan-out
+    li = _t_shuffle_input(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red")).select(
         "p_partkey", "p_retailprice"
     )
@@ -520,10 +526,21 @@ def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
         "late", F.col("l_shipdate") > F.col("o_orderdate")
     )
-    per_order = tagged.groupBy("o_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supps"),
-        F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    # Manual two-level aggregate instead of two countDistinct()s: Spark
+    # plans multi-distinct as an Expand that triplicates the join output
+    # before aggregating. Grouping by (o_orderkey, l_suppkey) first needs
+    # no Expand AND no extra shuffle — the join output is already hash-
+    # partitioned on o_orderkey, a subset of both grouping keys, so both
+    # levels reuse that exchange. r10 interleaved A/B (sf1: 3.215 vs
+    # 6.108 s, -47%; sf0.1: 1.028 vs 1.293, -20%; identical results) —
+    # this was most of q21's 4.72x sf1 scaling pin.
+    per_pair = tagged.groupBy("o_orderkey", "l_suppkey").agg(
+        F.max(F.col("late")).alias("any_late")
+    )
+    per_order = per_pair.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum(F.col("any_late").cast("long")).alias("n_late_supps"),
+        F.min(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("late_supp"),
     )
     waiting = per_order.where((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
