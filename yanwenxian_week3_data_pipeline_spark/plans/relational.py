@@ -96,7 +96,20 @@ def _t_shuffle_input(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reduces belongs to the shuffle class too. The measured boundary:
     q11's l_partkey groupBy (~30x reduction) was a wash (7.646 vs
     7.806); low-cardinality aggs with per-row expression work stay on
-    the fan-out (q1 class)."""
+    the fan-out (q1 class).
+
+    r10 pin-sweep refinement (all interleaved A/Bs at sf1): a BROADCAST
+    PROBE is one hash lookup per row, not map-heavy work — if a key
+    shuffle (join, near-unique distinct/groupBy) follows the probes, load
+    plain (q8 2.255 vs 8.474; q9 4.349 vs 8.740; q2 1.415 vs 6.643; q16
+    2.177 vs 7.133; q20 2.461 vs 2.802; q15 1.066 vs 1.634). And the
+    fan-out's exchange carries the POST-pushdown scan output: with no
+    pushed filter it re-ships the whole table full-width, losing even
+    before a global agg (q19 1.065 vs 5.376, -80%). The fan-out's
+    remaining measured wins: a pushed filter shrinks the scan AND what
+    follows is probe/expression work with no key shuffle (q14 0.986 vs
+    1.148; q1-class scans; q11/q17 partkey-grain washes keep it by
+    default)."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

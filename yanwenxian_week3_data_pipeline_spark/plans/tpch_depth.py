@@ -69,7 +69,10 @@ def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_size")
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
     shipped = (
-        _t(spark, sf_dir, "lineitem")
+        # plain lineitem: the near-unique distinct after the probe is a key
+        # shuffle (q8/q9's probes-then-shuffle rule) — r10 A/B plain 1.415
+        # vs fanout 6.643 s at sf1 (-79%), 0.833 vs 1.440 at sf0.1
+        _t_shuffle_input(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
         .join(_gated_dim(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_brand", "p_size", "l_suppkey")
@@ -422,7 +425,12 @@ def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(
         (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # plain lineitem: the countDistinct's internal keys are (group cols,
+    # l_suppkey) — near-pair-unique, so the partial agg barely reduces and
+    # the scan is shuffle-bound (q18's evidence class). r10 A/B: plain
+    # 2.177 vs fanout 7.133 s at sf1 (-69%, plain's worst beat fanout's
+    # best sample)
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
         li.join(_gated_dim(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
@@ -448,6 +456,10 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 
 def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    # lineitem KEEPS the fan-out: the selective Brand#3 semi probe + the
+    # l_partkey-grain aggregate reduce strongly before any wide shuffle
+    # (the measured q11 wash class). r10 A/B confirmed the wash: plain
+    # 1.724 vs fanout 1.732 s at sf1 — do not retry without new evidence.
     li = _t(spark, sf_dir, "lineitem").join(
         _gated_dim(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
@@ -487,7 +499,13 @@ WHERE CAST(l_quantity AS {QTY}) * n_lines * 5 < sum_qty
 # ---------------------------------------------------------------------------
 
 def _q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # plain lineitem: no pushed filter shrinks this scan, so the fan-out
+    # would exchange the ENTIRE table full-width (the disjunct predicates
+    # need qty + price + discount) for one cheap probe per row — r10 A/B:
+    # plain 1.065 vs fanout 5.376 s at sf1 (-80%). Contrast q14, where the
+    # pushed shipdate filter shrinks the scan ~24x BEFORE the fan-out
+    # exchange and the fan-out measurably wins (0.986 vs 1.148).
+    li = _t_shuffle_input(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     qty = F.col("l_quantity")
     cond = (
@@ -624,7 +642,11 @@ ORDER BY c_nationkey
 
 def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD").select("p_partkey")
-    li = _t(spark, sf_dir, "lineitem").join(
+    # plain lineitem: the (l_partkey, l_suppkey) groupBy after the semi
+    # probe reduces only a few-fold, so the scan is shuffle-bound — r10
+    # A/B: plain 2.461 vs fanout 2.802 s at sf1 (-12%, fully separated
+    # samples: plain max 2.698 < fanout min 2.712)
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").join(
         _gated_dim(part, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     ).select("l_partkey", "l_suppkey", F.col("l_quantity").cast(QTY).alias("qty"))
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("supp_qty"))

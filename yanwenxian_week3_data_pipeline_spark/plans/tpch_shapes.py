@@ -210,6 +210,11 @@ LIMIT 20
 # ---------------------------------------------------------------------------
 
 def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lineitem KEEPS the fan-out — the measured exception that proves the
+    # rule: the pushed shipdate filter shrinks the scan output ~24x BEFORE
+    # the fan-out exchange, and what follows is probe + global agg with no
+    # key shuffle (true q1-class map work). r10 A/B: fanout 0.986 vs plain
+    # 1.148 s at sf1 (-14%) — do not retry without new evidence.
     li = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast(TS))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast(TS))
@@ -244,7 +249,12 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-0
 # ---------------------------------------------------------------------------
 
 def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").where(
+    # plain lineitem: the first consumer is the l_suppkey groupBy — a key
+    # shuffle, so the fan-out's extra exchange buys nothing (r10 A/B:
+    # plain 1.066 vs fanout 1.634 s at sf1, -35%). q14 filters the same
+    # date range but aggregates globally (no key shuffle) and KEEPS the
+    # fan-out on its measured win.
+    li = _t_shuffle_input(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast(TS))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast(TS))
     )
