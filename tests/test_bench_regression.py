@@ -7,8 +7,8 @@ from __future__ import annotations
 
 import importlib.util
 import json
-import statistics
-import time
+import subprocess
+import sys
 from pathlib import Path
 
 import pytest
@@ -51,24 +51,43 @@ def test_single_strike_fails_without_confirm(br, tmp_path, monkeypatch):
     assert br.main() == 1
 
 
-def _isolated_median(spark, sf_dir, name, runs=4):
-    from yanwenxian_week3_data_pipeline_spark.plans import all_queries
+def _isolated_one(sf_dir: str, name: str) -> tuple[float, float]:
+    """Measure ``name`` with the IDENTICAL fresh-JVM subprocess protocol the
+    second strike itself uses (make_bench_baseline --isolated-one: 1 cold +
+    9 warm, median/IQR of the warm 9)."""
+    tool = Path(__file__).resolve().parents[1] / "tools" / "make_bench_baseline.py"
+    proc = subprocess.run(
+        [sys.executable, str(tool), "--isolated-one", name, sf_dir],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    return float(rec["median"]), float(rec["iqr"])
 
-    spec = all_queries()[name]
-    walls = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        walls.append(time.perf_counter() - t0)
-    return statistics.median(sorted(walls[1:]))
 
-
-def test_second_strike_clears_in_suite_inflation(br, spark, sf_dir, tmp_path, monkeypatch):
+def test_second_strike_clears_in_suite_inflation(br, sf_dir, tmp_path, monkeypatch):
     """A fake in-suite reading 2x the real wall flags, but the isolated
-    re-measure lands near the honest baseline and clears it."""
+    re-measure lands near the honest ISOLATED baseline and clears it.
+
+    r10: the baseline median is obtained via the same fresh-JVM
+    --isolated-one protocol the second strike uses, and recorded under
+    ``isolated_sec`` the way every production baseline is
+    (docs/BENCH_BASELINE.json) — so the test exercises the like-with-like
+    path _confirm_isolated actually takes. The first cut measured the
+    baseline in the warm pytest JVM instead, a protocol mismatch the
+    tripwire itself was built to avoid (r7/r8 ADVICE): it turned red on an
+    idle box whenever the fresh-JVM vs warm-JVM gap on this sub-second
+    query exceeded the 0.25 s guard (observed 0.639 in-process vs 0.999
+    fresh-JVM under the r10 box drift)."""
     name = "q6_forecast_revenue"
-    med = _isolated_median(spark, sf_dir, name)
-    base = {"queries": {name: round(med + 0.05, 3)}, "iqr_sec": {name: 0.0}}
+    med, iqr = _isolated_one(sf_dir, name)
+    base = {
+        "queries": {name: round(med + 0.05, 3)},
+        "iqr_sec": {name: 0.0},
+        "isolated_sec": {name: med},
+        "isolated_iqr_sec": {name: iqr},
+    }
     new = {"queries": {name: round(med * 2 + 0.6, 3)}}
     monkeypatch.delenv("BENCH_REGRESSION_NO_CONFIRM", raising=False)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
