@@ -98,6 +98,61 @@ def test_second_strike_clears_in_suite_inflation(br, sf_dir, tmp_path, monkeypat
     assert br.main() == 0
 
 
+def _fake_probe(monkeypatch, br, median, samples):
+    """Stub the --isolated-one subprocess with a crafted probe record."""
+    import subprocess as _sp
+    import types
+
+    rec = json.dumps({"name": "qx", "median": median, "iqr": 0.1, "samples": samples})
+
+    def fake_run(*a, **k):
+        return types.SimpleNamespace(stdout=rec + "\n", stderr="", returncode=0)
+
+    monkeypatch.setattr(_sp, "run", fake_run)
+
+
+def test_second_strike_slope_dominated_probe_clears(br, tmp_path, monkeypatch):
+    """r10 steady-tail verdict: a probe whose 9-warm median lands on a
+    cold-cache/JIT decay slope but whose LAST-5 tail sits at the baseline
+    must clear. Shape taken from the real r10 storm probe (docs_lrs:
+    median 8.567 vs baseline 1.960, 20-run plateau 1.85 BELOW baseline)."""
+    base = {
+        "queries": {"qx": 1.8},
+        "iqr_sec": {"qx": 0.1},
+        "isolated_sec": {"qx": 1.96},
+        "isolated_iqr_sec": {"qx": 0.05},
+    }
+    new = {"queries": {"qx": 4.0}}  # in-suite flag fires
+    _fake_probe(
+        monkeypatch, br, 7.8, [19.2, 14.3, 9.9, 8.9, 7.8, 3.1, 2.3, 2.0, 1.9, 1.85]
+    )
+    monkeypatch.delenv("BENCH_REGRESSION_NO_CONFIRM", raising=False)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["x", _write(tmp_path, "n.json", new), _write(tmp_path, "b.json", base)],
+    )
+    assert br.main() == 0
+
+
+def test_second_strike_flat_high_probe_confirms(br, tmp_path, monkeypatch):
+    """A structurally slow probe (flat samples, no slope) must still
+    CONFIRM — the steady tail breaks the same thresholds the median does."""
+    base = {
+        "queries": {"qx": 1.8},
+        "iqr_sec": {"qx": 0.1},
+        "isolated_sec": {"qx": 1.96},
+        "isolated_iqr_sec": {"qx": 0.05},
+    }
+    new = {"queries": {"qx": 4.0}}
+    _fake_probe(monkeypatch, br, 3.1, [3.4, 3.2, 3.0, 3.1, 3.2, 3.0, 3.1, 3.1, 3.0, 3.2])
+    monkeypatch.delenv("BENCH_REGRESSION_NO_CONFIRM", raising=False)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["x", _write(tmp_path, "n.json", new), _write(tmp_path, "b.json", base)],
+    )
+    assert br.main() == 1
+
+
 def test_second_strike_confirms_real_regression(br, spark, sf_dir, tmp_path, monkeypatch):
     """An absurdly low baseline models a real structural regression: the
     isolated re-measure still breaks the thresholds and the gate fails.

@@ -45,6 +45,23 @@ file carries ``isolated_sec`` / ``isolated_iqr_sec`` (recorded by
 ``tools/make_bench_baseline.py --isolated`` with the same fresh-JVM
 1-cold+9-warm protocol), the second strike compares against THOSE; the
 in-suite medians remain the first-strike reference only.
+
+STEADY-TAIL VERDICT (r10): a CONFIRMED verdict must be backed by the
+probe's steady tail, not its warm-up slope. Evidence: during an r10
+external load storm that evicted the page cache, EVERY fresh-JVM probe
+started 5-10x slow and decayed monotonically for 10+ runs (control
+q1_pricing_summary: cold 12.7 s, warm 3.8 -> 0.94; docs_lrs_capped
+probe samples 14.3 -> 3.2), so the 9-warm median landed mid-slope at
+8.567 s against a 1.960 s baseline and falsely CONFIRMED — while a
+20-run in-session probe of the same commit plateaued at 1.85 s, BELOW
+the baseline. Cold/JIT-slope costs are one-time and amortized at scale;
+bench.py's own protocol already excludes them (cold run recorded but
+not counted). So the second strike now confirms only when the median of
+the probe's LAST FIVE samples (its best available steady-state
+estimate) ALSO breaks the same thresholds; a probe whose tail clears is
+printed as slope-dominated and cleared. A real plan regression (the r6
+lrs class, +0.66 s structural) inflates the steady state by definition
+and still confirms.
 """
 
 from __future__ import annotations
@@ -149,7 +166,15 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
             text=True,
         )
         try:
-            med = float(json.loads(proc.stdout.strip().splitlines()[-1])["median"])
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            med = float(rec["median"])
+            # steady-tail estimate (module docstring, r10): median of the
+            # last 5 samples in RUN ORDER — on a flat probe it equals the
+            # warm median up to noise; on a cold-cache/JIT-slope probe it
+            # is the only honest steady-state reading the probe contains.
+            # Probes predating the samples field fall back to the median.
+            tail = sorted(float(x) for x in rec.get("samples", [med])[-5:])
+            tail_med = tail[len(tail) // 2]
         except (IndexError, TypeError, ValueError, KeyError, json.JSONDecodeError):
             print(
                 f"bench-regression: isolated second strike {name}: re-measure "
@@ -163,12 +188,23 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
         guard = max(
             IQR_MULT * float((iso_iqr if like else biqr).get(name, 0.0)), ABS_FLOOR
         )
-        still = (med - old) / old > THRESH_PCT and (med - old) > guard
+        breaks = lambda v: (v - old) / old > THRESH_PCT and (v - old) > guard
+        slope_dominated = breaks(med) and not breaks(tail_med)
+        still = breaks(med) and breaks(tail_med)
         print(
             f"bench-regression: isolated second strike {name}: {old:.3f}"
             f"{' (isolated baseline)' if like else ' (in-suite baseline)'} ->"
-            f" {med:.3f} ({(med - old) / old:+.0%}, guard ±{guard:.3f}s)"
-            f"{'  <-- CONFIRMED' if still else '  (cleared)'}"
+            f" {med:.3f} (tail {tail_med:.3f}) ({(med - old) / old:+.0%},"
+            f" guard ±{guard:.3f}s)"
+            + (
+                "  <-- CONFIRMED"
+                if still
+                else (
+                    "  (cleared: slope-dominated probe, steady tail inside guard)"
+                    if slope_dominated
+                    else "  (cleared)"
+                )
+            )
         )
         if still:
             confirmed.append(name)

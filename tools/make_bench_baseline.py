@@ -64,12 +64,34 @@ def _isolated_one(name: str, sf_dir: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spec = all_queries()[name]
     walls: list[float] = []
-    for _ in range(ISOLATED_RUNS):
+
+    def one_run() -> None:
         t0 = time.perf_counter()
         spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         walls.append(round(time.perf_counter() - t0, 3))
         release_persistent_rdds(spark)
-    med, iqr = _med_iqr(walls[1:])
+
+    for _ in range(ISOLATED_RUNS):
+        one_run()
+    # Decay extension (r10): on a cold-cache/JIT-slope session (an r10
+    # load storm showed fresh-JVM probes starting 5-10x slow and decaying
+    # monotonically past run 9 — docs_lrs warm-9 median 8.567 vs a 20-run
+    # plateau of 1.85), the warm-9 samples all sit on the slope and carry
+    # no steady-state information. While the last-3 median is still well
+    # below the first-3 median (>25 % drop), keep running (cap 24 warm)
+    # so the samples TAIL reaches the plateau bench_regression's
+    # steady-tail verdict reads. ``median`` stays the warm-9 median —
+    # every recorded isolated baseline keeps its like-with-like meaning;
+    # quiet-box probes are flat by run 3 and never extend.
+    def _m3(xs: list[float]) -> float:
+        return sorted(xs)[1]
+
+    # extend while the last-3 median is still dropping >15 % vs the
+    # previous 3 (a flat probe fails this immediately; a decaying one
+    # runs until its tail levels off or the cap)
+    while len(walls) - 1 < 24 and _m3(walls[-3:]) < 0.85 * _m3(walls[-6:-3]):
+        one_run()
+    med, iqr = _med_iqr(walls[1:ISOLATED_RUNS])
     print(json.dumps({"name": name, "median": med, "iqr": iqr, "samples": walls}))
 
 
