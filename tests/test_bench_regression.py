@@ -90,6 +90,9 @@ def test_second_strike_clears_in_suite_inflation(br, sf_dir, tmp_path, monkeypat
     }
     new = {"queries": {name: round(med * 2 + 0.6, 3)}}
     monkeypatch.delenv("BENCH_REGRESSION_NO_CONFIRM", raising=False)
+    # probe and (test-local) baseline share the box state back-to-back;
+    # the production trough wait would only add dead time here
+    monkeypatch.setenv("BENCH_REGRESSION_TROUGH_WAIT", "0")
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
     monkeypatch.setattr(
         "sys.argv",
@@ -127,6 +130,9 @@ def test_second_strike_slope_dominated_probe_clears(br, tmp_path, monkeypatch):
         monkeypatch, br, 7.8, [19.2, 14.3, 9.9, 8.9, 7.8, 3.1, 2.3, 2.0, 1.9, 1.85]
     )
     monkeypatch.delenv("BENCH_REGRESSION_NO_CONFIRM", raising=False)
+    # probe and (test-local) baseline share the box state back-to-back;
+    # the production trough wait would only add dead time here
+    monkeypatch.setenv("BENCH_REGRESSION_TROUGH_WAIT", "0")
     monkeypatch.setattr(
         "sys.argv",
         ["x", _write(tmp_path, "n.json", new), _write(tmp_path, "b.json", base)],
@@ -146,6 +152,9 @@ def test_second_strike_flat_high_probe_confirms(br, tmp_path, monkeypatch):
     new = {"queries": {"qx": 4.0}}
     _fake_probe(monkeypatch, br, 3.1, [3.4, 3.2, 3.0, 3.1, 3.2, 3.0, 3.1, 3.1, 3.0, 3.2])
     monkeypatch.delenv("BENCH_REGRESSION_NO_CONFIRM", raising=False)
+    # probe and (test-local) baseline share the box state back-to-back;
+    # the production trough wait would only add dead time here
+    monkeypatch.setenv("BENCH_REGRESSION_TROUGH_WAIT", "0")
     monkeypatch.setattr(
         "sys.argv",
         ["x", _write(tmp_path, "n.json", new), _write(tmp_path, "b.json", base)],
@@ -164,6 +173,9 @@ def test_second_strike_confirms_real_regression(br, spark, sf_dir, tmp_path, mon
     base = {"queries": {name: 0.001}, "iqr_sec": {name: 0.0}}
     new = {"queries": {name: 5.0}}
     monkeypatch.delenv("BENCH_REGRESSION_NO_CONFIRM", raising=False)
+    # probe and (test-local) baseline share the box state back-to-back;
+    # the production trough wait would only add dead time here
+    monkeypatch.setenv("BENCH_REGRESSION_TROUGH_WAIT", "0")
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
     monkeypatch.setattr(
         "sys.argv",

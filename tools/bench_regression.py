@@ -149,9 +149,46 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
     guard) thresholds; a query whose re-measure FAILS stays flagged (a
     regression must be cleared by evidence, not by a broken probe)."""
     import subprocess
+    import time
 
     tool = os.path.join(os.path.dirname(os.path.abspath(__file__)), "make_bench_baseline.py")
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    def _load1m() -> float | None:
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except (OSError, ValueError, IndexError):
+            return None
+
+    def _wait_trough() -> float | None:
+        """Probe-level trough wait (r10): at the instant a probe would
+        launch, nothing of ours is running — a 1-min load above the bench's
+        own LOAD_START_MAX is external. A probe launched into a SUSTAINED
+        storm reads flat-high (observed: docs_lrs 7.191 s flat, +267 %
+        against a 1.960 baseline, minutes after a quiet-box probe of the
+        same commit read 2.266 flat) and the steady-tail verdict rightly
+        refuses to clear it — so wait for the trough the way
+        round_gate.sh's bench retry already does (up to 10 min, load
+        < 1.0), then launch. A real regression confirms in a trough just
+        the same. Disable with BENCH_REGRESSION_TROUGH_WAIT=0 (unit tests
+        use mocked probes and must not sleep)."""
+        if os.environ.get("BENCH_REGRESSION_TROUGH_WAIT") == "0":
+            return _load1m()
+        load = _load1m()
+        if load is None or load <= 2.0:
+            return load
+        deadline = time.monotonic() + 600
+        while time.monotonic() < deadline:
+            time.sleep(10)
+            load = _load1m()
+            if load is None or load < 1.0:
+                return load
+        print(
+            f"bench-regression: no load trough within 10 min (1-min load {load});"
+            " probing anyway — verdict may be storm-inflated"
+        )
+        return load
     baseq = {**base.get("queries", {}), **base.get("extended_queries", {})}
     biqr = {**base.get("iqr_sec", {}), **base.get("extended_iqr_sec", {})}
     # like-with-like: prefer the isolated baseline (same fresh-JVM
@@ -160,6 +197,7 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
     iso_iqr = base.get("isolated_iqr_sec", {})
     confirmed: list[str] = []
     for name in names:
+        load_at_launch = _wait_trough()
         proc = subprocess.run(
             [sys.executable, tool, "--isolated-one", name, sf],
             capture_output=True,
@@ -195,7 +233,8 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
             f"bench-regression: isolated second strike {name}: {old:.3f}"
             f"{' (isolated baseline)' if like else ' (in-suite baseline)'} ->"
             f" {med:.3f} (tail {tail_med:.3f}) ({(med - old) / old:+.0%},"
-            f" guard ±{guard:.3f}s)"
+            f" guard ±{guard:.3f}s, load@launch"
+            f" {load_at_launch if load_at_launch is not None else '?'})"
             + (
                 "  <-- CONFIRMED"
                 if still
