@@ -591,3 +591,70 @@ def test_containment_catches_subset_dup_jaccard_misses(spark):
     assert cont == 1.0
     assert jac < 0.2
     assert not any(3 in k for k in out)
+
+
+def test_containment_counting_identity_matches_brute_force(spark):
+    """The r11 counting-identity verify (n_inter = n_rare + n_common over
+    unique postings, sound c_tot pre-filter) against an independent
+    pure-Python brute force, on a corpus engineered to exercise every
+    branch: rare shingles (2 <= df <= max_df), common shingles
+    (df > max_df, the n_common join), df = 1 shingles (contribute
+    nothing), and pairs the pre-filter must keep vs drop."""
+    import random
+
+    from yanwenxian_week3_data_pipeline_spark.operators.dedup import (
+        dedup_containment,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(25)]
+    boiler = "the quick brown fox jumps over the lazy dog again"  # df-heavy
+    docs = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 40)))
+        # half the docs carry the boilerplate run -> its shingles go common
+        docs.append((i, (boiler + " " + body) if i % 2 == 0 else body))
+    # planted subset pair: doc 100 fully inside doc 101
+    core = " ".join(rng.choice(vocab) for _ in range(12))
+    docs.append((100, core))
+    docs.append((101, core + " " + " ".join(rng.choice(vocab) for _ in range(30))))
+    threshold, max_df = 0.5, 3
+
+    def brute(docs):
+        k = 3
+        sh = {}
+        for did, text in docs:
+            toks = text.split(" ")
+            sh[did] = {
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            }
+        df_count: dict[str, int] = {}
+        for s_set in sh.values():
+            for s in s_set:
+                df_count[s] = df_count.get(s, 0) + 1
+        rare = {s for s, n in df_count.items() if 2 <= n <= max_df}
+        out = {}
+        ids = sorted(sh)
+        for i, ia in enumerate(ids):
+            for ib in ids[i + 1 :]:
+                inter = sh[ia] & sh[ib]
+                if not (inter & rare):
+                    continue  # candidate iff >=1 shared RARE shingle
+                mn = min(len(sh[ia]), len(sh[ib]))
+                cont = len(inter) / mn
+                if round(cont, 6) >= threshold:
+                    jac = len(inter) / (len(sh[ia]) + len(sh[ib]) - len(inter))
+                    out[(ia, ib)] = (cont, jac)
+        return out
+
+    expected = brute(docs)
+    assert expected, "corpus must produce at least one qualifying pair"
+    df = spark.createDataFrame(docs, "doc_id long, c string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in dedup_containment(df, "c", "doc_id", threshold, max_df).collect()
+    }
+    assert set(got) == set(expected)
+    for pair, (cont, jac) in expected.items():
+        assert got[pair][0] == pytest.approx(cont, abs=1e-6)
+        assert got[pair][1] == pytest.approx(jac, abs=1e-6)

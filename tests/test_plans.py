@@ -114,6 +114,29 @@ def test_sf_scaling_broadcast_degrades_past_size_gate(spark, sf_dir, name, monke
     assert node_count(unknown, "BroadcastHashJoin") == node_count(gated, "BroadcastHashJoin")
 
 
+def test_containment_counting_small_sides_degrade_past_size_gate(
+    spark, sf_dir, monkeypatch
+):
+    # r11 counting-identity verify: the per-doc size table and the common-
+    # shingle slice are broadcast through _gated_dim (proxy: documents) —
+    # past the gate they must degrade to shuffled joins; the 1-row c_tot
+    # scalar stays broadcast (sanctioned scalar class, plan-audit ALLOW)
+    from yanwenxian_week3_data_pipeline_spark.plans import relational
+
+    baseline = plan_of(spark, "dedup_containment_pairs", sf_dir)
+    assert node_count(baseline, "BroadcastHashJoin") >= 3  # na, nb, common semi
+    monkeypatch.setattr(relational, "_local_parquet_bytes", lambda _p: 10**12)
+    gated = plan_of(spark, "dedup_containment_pairs", sf_dir)
+    assert node_count(gated, "BroadcastHashJoin") < node_count(baseline, "BroadcastHashJoin")
+    assert node_count(gated, "SortMergeJoin") > node_count(baseline, "SortMergeJoin")
+    assert "CartesianProduct" not in gated
+    # unknown size (object store) must degrade identically
+    monkeypatch.setattr(relational, "_local_parquet_bytes", lambda _p: None)
+    unknown = plan_of(spark, "dedup_containment_pairs", sf_dir)
+    assert node_count(unknown, "SortMergeJoin") == node_count(gated, "SortMergeJoin")
+    assert node_count(unknown, "BroadcastHashJoin") == node_count(gated, "BroadcastHashJoin")
+
+
 def test_q1_pushdown_and_pruning(spark, sf_dir):
     plan = plan_of(spark, "q1_pricing_summary", sf_dir)
     # the shipdate filter must reach the parquet scan…

@@ -94,6 +94,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row target/pool feature-total crossJoins (DSIR normalizers)"
     },
     "agg_heavy_hitters_mg": {"BroadcastNestedLoopJoin": "1-row total-count threshold scalar"},
+    "dedup_containment_pairs": {
+        "BroadcastNestedLoopJoin": "1-row corpus common-shingle-total (c_tot) "
+        "scalar crossJoined into the candidate pre-filter — the sanctioned "
+        "scalar class (counting-identity verify, r11)"
+    },
     "dedup_minhash_recall": {
         "BroadcastNestedLoopJoin": "1-row n_lsh count crossJoined into the "
         "1-row recall summary — the sanctioned scalar class; the exact-GT "

@@ -572,6 +572,7 @@ def dedup_containment(
     id_col: str,
     threshold: float,
     max_df: int,
+    small_hint=F.broadcast,
 ) -> DataFrame:
     """Containment near-duplicate pairs: containment(A, B) =
     |shingles(A) ∩ shingles(B)| / min(|A|, |B|) — catches SUBSET
@@ -586,48 +587,100 @@ def dedup_containment(
     it shares at least one RARE shingle (2 <= df <= max_df). The df cap
     bounds the per-shingle join fan-out at max_df² (the DEDUP_MAX_BUCKET
     discipline) and drops stopword-grade shingles, which can never be
-    containment evidence on their own. Exact verify over the full shingle
-    sets; output (id_a < id_b, containment, jaccard).
+    containment evidence on their own.
+
+    Verify is by COUNTING IDENTITIES, not by shipping shingle arrays
+    (r10 decomposition: at sf0.1 the df ≤ max_df "rare" filter removes
+    only 0.08 % of postings, candidate gen emits 1.13 M pairs for 256
+    result rows, and candidate+verify — two joins carrying full shingle
+    arrays — were 70 % of an 8.3 s wall; guide §2.3 "shuffle keys and
+    metadata instead of payloads"). Shingles are DISTINCT per doc
+    (``shingles_expr`` applies array_distinct), so postings are unique
+    (id, s) rows and per-pair co-occurrence COUNTS are exact set-
+    intersection sizes:
+
+      n_rare(A,B)   = #shared shingles with 2 ≤ df ≤ max_df
+                      — the candidate self-join's own groupBy count;
+      n_common(A,B) = #shared shingles with df > max_df — counted by
+                      joining only SURVIVING candidates to the tiny
+                      df > max_df postings slice;
+      df = 1 shingles belong to one doc and contribute 0;
+      n_inter = n_rare + n_common, exactly array_intersect's size.
+
+    A SOUND pre-filter runs between the two counts: n_inter can never
+    exceed n_rare plus the corpus-wide count of common shingles (c_tot),
+    so a pair with round((n_rare + c_tot)/min(|A|,|B|), 6) < threshold
+    can never reach round(n_inter/min, 6) ≥ threshold (round is
+    monotone) and is dropped before the n_common join — 1.13 M → ~10³
+    pairs at sf0.1. Measured (r10 prototype, interleaved ×6, results
+    bit-identical): 8.442 → 6.166 s at sf0.1 (−27 %, fully separated
+    samples); SLOWER at sf0.01 (1.86 vs 1.36 s — fixed join overhead
+    dominates tiny candidate sets), and the win grows with Σdf², i.e.
+    superlinearly with corpus size. Output (id_a < id_b, containment,
+    jaccard) — identical to the array-intersect formulation.
+
+    ``small_hint`` wraps the per-doc size table and the common-shingle
+    slice (both far smaller than the corpus, but SF-scaling): callers
+    with a size gate pass it (plans layer: ``_gated_dim``) so the hint
+    degrades to a shuffled join past the broadcast budget; the default
+    broadcasts, which is right for bounded inputs. The 1-row c_tot
+    scalar stays unconditionally broadcast.
     """
     sh = doc_shingles(df, text_col, id_col)
     posts = sh.select("id", F.explode("shingles").alias("s"))
-    rare = (
-        posts.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where((F.col("n") >= 2) & (F.col("n") <= max_df))
-        .select("s")
+    # The df-count table feeds SIX plan branches (rare ×2 self-join sides,
+    # common ×2 posts_c sides, plus the rare/common splits): per-branch
+    # column pruning de-unifies the subtrees so exchange reuse does not
+    # kick in (the docs_lrs r7 lesson) and each branch would re-scan +
+    # re-shingle the corpus and redo the groupBy(s) exchange. dfc is
+    # vocabulary-sized (distinct shingles, 2 narrow columns), so ONE eager
+    # materialization replaces those passes — measured interleaved ×6,
+    # bit-identical: sf0.1 6.120 → 4.336 s (−29 %, 6/6 rounds), sf1
+    # 15.456 → 13.123 s (−15 %, 5/6).
+    dfc = (
+        posts.groupBy("s").agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     )
+    rare = dfc.where((F.col("n") >= 2) & (F.col("n") <= max_df)).select("s")
+    common = dfc.where(F.col("n") > max_df).select("s")
     posts_r = posts.join(rare, "s", "left_semi")
     a, b = posts_r.alias("a"), posts_r.alias("b")
-    cand = (
+    n_rare = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_rare"))
+    )
+    sizes = sh.select("id", F.size("shingles").alias("n"))
+    c_tot = common.agg(F.count(F.lit(1)).alias("c_tot"))
+    min_n = F.least("na", "nb").cast("long")
+    cand = (
+        n_rare.join(small_hint(sizes.withColumnsRenamed({"id": "id_a", "n": "na"})), "id_a")
+        .join(small_hint(sizes.withColumnsRenamed({"id": "id_b", "n": "nb"})), "id_b")
+        .crossJoin(F.broadcast(c_tot))
+        .where(F.round((F.col("n_rare") + F.col("c_tot")) / min_n, 6) >= threshold)
+    )
+    posts_c = posts.join(small_hint(common), "s", "left_semi")
+    n_common = (
+        cand.select("id_a", "id_b")
+        .join(posts_c.withColumnsRenamed({"id": "id_a"}), "id_a")
+        .join(posts_c.withColumnsRenamed({"id": "id_b"}), ["s", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        cand.join(sh.withColumnsRenamed({"id": "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "shingles": "sh_b"}), "id_b")
+        cand.join(n_common, ["id_a", "id_b"], "left")
         .withColumn(
-            "n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+            "n_inter",
+            (F.col("n_rare") + F.coalesce("n_common", F.lit(0))).cast("long"),
         )
-        .withColumn(
-            "containment",
-            F.round(
-                F.col("n_inter")
-                / F.least(F.size("sh_a"), F.size("sh_b")).cast("long"),
-                6,
-            ),
-        )
+        .withColumn("containment", F.round(F.col("n_inter") / min_n, 6))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter")
-                / (
-                    F.size("sh_a") + F.size("sh_b") - F.col("n_inter")
-                ).cast("long"),
+                / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("long"),
                 6,
             ),
         )

@@ -700,13 +700,19 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..constants import CONTAIN_MAX_DF, CONTAIN_THRESHOLD
     from ..operators.dedup import dedup_containment
+    from .relational import _gated_dim
 
+    # the counting verify's small sides (per-doc sizes, common-shingle
+    # slice) derive from documents and scale with SF — size-gate the
+    # broadcast with the base table as the conservative proxy (the
+    # _gated_dim discipline: past the gate they degrade to shuffled joins)
     return dedup_containment(
         _cleaned_docs(spark, sf_dir).select("doc_id", "c"),
         "c",
         "doc_id",
         CONTAIN_THRESHOLD,
         CONTAIN_MAX_DF,
+        small_hint=lambda side: _gated_dim(side, sf_dir, "documents"),
     )
 
 
