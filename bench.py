@@ -136,7 +136,16 @@ def main() -> None:
             if SUBSEC_EXTRA_RUNS and statistics.median(warm) < SUBSEC_THRESHOLD:
                 warm.extend(one_run() for _ in range(SUBSEC_EXTRA_RUNS))
             cold[name] = per_run[0]
-            samples[name] = warm
+            # The emitted raw-sample array is CAPPED at the last 9 samples
+            # (r10 lesson: BENCH_r09.json printed fine, rc 0, but the
+            # driver recorded parsed: null — if anything tail-buffers the
+            # line before parsing, unbounded per-query arrays are the one
+            # thing that grows with warm-run extensions). The median/IQR
+            # statistics below are still computed over EVERY warm sample;
+            # today's default protocol (5 warm + 4 sub-second extras)
+            # emits at most 9 anyway, so the cap only binds if a caller
+            # raises SPARK_GRAFT_BENCH_WARM. Keys and semantics unchanged.
+            samples[name] = warm[-9:]
             timings[name] = round(statistics.median(sorted(warm)), 3)
             q = statistics.quantiles(sorted(warm), n=4, method="inclusive")
             iqr[name] = round(q[2] - q[0], 3)

@@ -118,7 +118,7 @@ def main() -> int:
                     f"({pct:+.0%}, guard ±{guard:.3f}s){tag}"
                 )
     if bad and os.environ.get("BENCH_REGRESSION_NO_CONFIRM") != "1":
-        confirmed = _confirm_isolated(bad, base)
+        confirmed = _confirm_isolated(bad, base, audit_path=new_path + ".second_strike.jsonl")
         cleared = [n for n in bad if n not in confirmed]
         if cleared:
             print(
@@ -137,7 +137,7 @@ def main() -> int:
     return 0
 
 
-def _confirm_isolated(names: list[str], base: dict) -> list[str]:
+def _confirm_isolated(names: list[str], base: dict, audit_path: str | None = None) -> list[str]:
     """Second strike: re-measure each flagged query ISOLATED — one fresh
     JVM subprocess per query via make_bench_baseline's ``--isolated-one``
     child mode, the IDENTICAL protocol that recorded the isolated
@@ -161,6 +161,20 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
         except (OSError, ValueError, IndexError):
             return None
 
+    # The launch threshold is the bench's own pre-suite contamination
+    # threshold (ADVICE r10: it was hardcoded 2.0 here while bench.py read
+    # it from env — tuning one silently desynchronized the other).
+    try:
+        load_start_max = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_START_MAX", "2.0"))
+    except ValueError:
+        load_start_max = 2.0
+    # ONE 10-minute trough budget shared across the whole confirmation
+    # loop (ADVICE r10: per-query waits could stall a stormy gate
+    # N x 10 min). Between probes the load is still re-checked cheaply;
+    # once the budget is spent, remaining probes launch regardless (their
+    # verdict line records the load at launch either way).
+    wait_budget = [600.0]
+
     def _wait_trough() -> float | None:
         """Probe-level trough wait (r10): at the instant a probe would
         launch, nothing of ours is running — a 1-min load above the bench's
@@ -169,23 +183,29 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
         against a 1.960 baseline, minutes after a quiet-box probe of the
         same commit read 2.266 flat) and the steady-tail verdict rightly
         refuses to clear it — so wait for the trough the way
-        round_gate.sh's bench retry already does (up to 10 min, load
-        < 1.0), then launch. A real regression confirms in a trough just
-        the same. Disable with BENCH_REGRESSION_TROUGH_WAIT=0 (unit tests
-        use mocked probes and must not sleep)."""
-        if os.environ.get("BENCH_REGRESSION_TROUGH_WAIT") == "0":
+        round_gate.sh's bench retry already does (load < 1.0), then
+        launch. A real regression confirms in a trough just the same.
+        Any falsy BENCH_REGRESSION_TROUGH_WAIT value ("0", "false", "")
+        disables the wait (unit tests use mocked probes and must not
+        sleep; ADVICE r10 — only the literal "0" used to count)."""
+        tw = os.environ.get("BENCH_REGRESSION_TROUGH_WAIT")
+        if tw is not None and tw.strip().lower() in ("0", "false", "no", "off", ""):
             return _load1m()
         load = _load1m()
-        if load is None or load <= 2.0:
+        if load is None or load <= load_start_max:
             return load
-        deadline = time.monotonic() + 600
-        while time.monotonic() < deadline:
-            time.sleep(10)
-            load = _load1m()
-            if load is None or load < 1.0:
-                return load
+        deadline = time.monotonic() + wait_budget[0]
+        t0 = time.monotonic()
+        try:
+            while time.monotonic() < deadline:
+                time.sleep(10)
+                load = _load1m()
+                if load is None or load < 1.0:
+                    return load
+        finally:
+            wait_budget[0] = max(0.0, wait_budget[0] - (time.monotonic() - t0))
         print(
-            f"bench-regression: no load trough within 10 min (1-min load {load});"
+            f"bench-regression: trough-wait budget exhausted (1-min load {load});"
             " probing anyway — verdict may be storm-inflated"
         )
         return load
@@ -229,6 +249,32 @@ def _confirm_isolated(names: list[str], base: dict) -> list[str]:
         breaks = lambda v: (v - old) / old > THRESH_PCT and (v - old) > guard
         slope_dominated = breaks(med) and not breaks(tail_med)
         still = breaks(med) and breaks(tail_med)
+        # Persist the full verdict evidence next to the gate's bench line
+        # (ADVICE r10: slope-dominated clearances existed only in stdout —
+        # a cleared flag could not be re-examined later).
+        if audit_path:
+            try:
+                with open(audit_path, "a") as f:
+                    f.write(
+                        json.dumps(
+                            {
+                                "name": name,
+                                "baseline": old,
+                                "baseline_kind": "isolated" if like else "in_suite",
+                                "guard": round(guard, 3),
+                                "probe_median": med,
+                                "probe_tail_median": tail_med,
+                                "probe_samples": rec.get("samples"),
+                                "load_at_launch": load_at_launch,
+                                "verdict": "confirmed"
+                                if still
+                                else ("cleared_slope_dominated" if slope_dominated else "cleared"),
+                            }
+                        )
+                        + "\n"
+                    )
+            except OSError:
+                pass  # the audit record is best-effort; the verdict stands
         print(
             f"bench-regression: isolated second strike {name}: {old:.3f}"
             f"{' (isolated baseline)' if like else ' (in-suite baseline)'} ->"

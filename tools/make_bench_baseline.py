@@ -77,9 +77,11 @@ def _isolated_one(name: str, sf_dir: str) -> None:
     # load storm showed fresh-JVM probes starting 5-10x slow and decaying
     # monotonically past run 9 — docs_lrs warm-9 median 8.567 vs a 20-run
     # plateau of 1.85), the warm-9 samples all sit on the slope and carry
-    # no steady-state information. While the last-3 median is still well
-    # below the first-3 median (>25 % drop), keep running (cap 24 warm)
-    # so the samples TAIL reaches the plateau bench_regression's
+    # no steady-state information. While the last-3 median is still
+    # dropping >15 % vs the previous-3 window (the implemented rule below;
+    # ADVICE r10 flagged that this comment used to describe a different
+    # ">25 % vs the first-3" criterion), keep running (cap 24 warm) so the
+    # samples TAIL reaches the plateau bench_regression's
     # steady-tail verdict reads. ``median`` stays the warm-9 median —
     # every recorded isolated baseline keeps its like-with-like meaning;
     # quiet-box probes are flat by run 3 and never extend.
