@@ -67,6 +67,38 @@ def test_winnowing_fp_count_compressed(spark):
     assert 0 < len(fa) < n_grams / 2
 
 
+def test_winnowing_arrow_kernel_matches_expression(spark, sf_dir):
+    """The r11 Arrow/numpy fingerprint kernel (the default path) must be
+    bit-identical to the expression reference the DuckDB oracle replays —
+    the _minhash_sig_table cross-impl discipline. Exercised on the real
+    sf documents (covers empty/short docs, entity unescaping, whitespace
+    runs) plus edge docs planted around the k/w boundaries."""
+    from pyspark.sql import Row
+
+    from yanwenxian_week3_data_pipeline_spark.plans.curation_ext import (
+        _winnow_fps_table,
+    )
+
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            Row(doc_id=100001, text=""),  # no tokens
+            Row(doc_id=100002, text="a b c"),  # < k tokens
+            Row(doc_id=100003, text="a b c d"),  # exactly k -> 1 gram < w
+            Row(doc_id=100004, text=" ".join(f"t{i}" for i in range(8))),  # = w grams
+            Row(doc_id=100005, text="x y " * 30),  # repetitive: distinct mins
+        ]
+    )
+    d = real.unionByName(edge)
+    expr_rows = {
+        (r["doc_id"], fp)
+        for r in d.select("doc_id", _winnow_fps_expr(F.col("text")).alias("fps")).collect()
+        for fp in r["fps"]
+    }
+    kernel_rows = {(r["doc_id"], r["fp"]) for r in _winnow_fps_table(d).collect()}
+    assert kernel_rows == expr_rows
+
+
 def test_label_centroids_known_vectors(spark, sf_dir):
     out = {r["label"]: r for r in _q_label_centroids(spark, sf_dir).collect()}
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
