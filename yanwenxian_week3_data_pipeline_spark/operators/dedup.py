@@ -625,6 +625,18 @@ def dedup_containment(
     degrades to a shuffled join past the broadcast budget; the default
     broadcasts, which is right for bounded inputs. The 1-row c_tot
     scalar stays unconditionally broadcast.
+
+    r11 negative result — PPJoin-style positional prefix filtering of
+    the candidate self-join was instrumented and REJECTED (do not retry
+    without a new corpus shape): at sf0.1 the smaller-side prefix
+    (global df-ascending order, o_B = max(1, ceil((t−ε)·n_B − c_tot)))
+    cuts emitted pair rows only 1.27 M → 491 k and DISTINCT candidates
+    1.13 M → 466 k (2.4×, not the 10× target — the pair mass is df=2-3
+    shingles spread across every doc, which prefixes cannot exclude),
+    while forfeiting the exact n_rare the full self-join's groupBy
+    produces for free, forcing a recount join for ~466 k pairs that
+    costs more than the emission it saves. Numbers + lemma:
+    tools/prefix_filter_counts.py.
     """
     sh = doc_shingles(df, text_col, id_col)
     posts = sh.select("id", F.explode("shingles").alias("s"))
