@@ -285,16 +285,28 @@ def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    orders = _t_shuffle_input(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # r11 shuffle-byte narrowing (guide §2.3 "project before the exchange"):
+    # the per-row profit DECIMAL is evaluated right after the broadcast
+    # probes, so the orderkey exchange feeding the lineitem⋈orders join
+    # ships (l_orderkey, n_name, profit) instead of the four raw numeric
+    # inputs; the orders side ships year(o_orderdate) (int) instead of the
+    # timestamp. Decimal arithmetic is per-row and exact, so evaluating it
+    # before or after the join is the same function — results asserted
+    # identical. Interleaved A/B (tools/proto_q9_narrow.py): sf1 3.677 →
+    # 3.237 s (−12 %, won 6/6 pairwise), sf0.1 0.674 → 0.619 s (−8 %).
+    orders = _t_shuffle_input(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
     cost = F.col("p_retailprice").cast(DEC) * F.lit("0.8").cast("decimal(2,1)")
     profit = _revenue() - F.col("l_quantity").cast(QTY) * cost
     return (
         li.join(_gated_dim(part, sf_dir, "part"), li.l_partkey == part.p_partkey)
         .join(_gated_dim(supp, sf_dir, "supplier"), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(F.sum(profit).alias("sum_profit"))
+        .select(li.l_orderkey.alias("l_orderkey"), F.col("n_name"), profit.alias("_profit"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year").alias("o_year"))
+        .agg(F.sum("_profit").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 
