@@ -90,7 +90,17 @@ def main() -> None:
     # waves — iterative graph and suffix-grain substring — benched under
     # the same median-of-N protocol but reported SEPARATELY so the
     # 12-query headline total stays comparable across rounds.
-    EXTENDED = ["docs_lrs_capped", "graph_pagerank_purchases"]
+    # r11 ADDITIONS (keys only added, never removed/renamed — the bench
+    # contract): the two operators round 11 rebuilt, so their walls are
+    # measured by the driver itself from r11 on. extended_total_wall is
+    # therefore NOT comparable to r10's (two new members); the per-query
+    # keys are.
+    EXTENDED = [
+        "docs_lrs_capped",
+        "graph_pagerank_purchases",
+        "dedup_containment_pairs",
+        "text_winnowing_overlap",
+    ]
     import statistics
 
     from yanwenxian_week3_data_pipeline_spark.session import release_persistent_rdds
